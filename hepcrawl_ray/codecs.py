@@ -1,0 +1,207 @@
+"""Image codecs for the synthetic image+caption corpus.
+
+The corpus schema (BASELINE.json ``input_hint``) carries encoded image
+bytes in a ``binary`` column; the per-row output invariant is
+decoded-pixel equality (exact for lossless, PSNR >= 40 dB for lossy)
+— the analog of the reference's downloaded-file fidelity through
+``DocumentsPipeline`` (reference: hepcrawl/pipelines.py:47-99).
+
+Two formats:
+
+- ``png`` — a real, self-contained PNG codec (8-bit RGB, all five
+  scanline filters on decode, filter-0 on encode) built on stdlib
+  ``zlib`` + numpy.  Lossless: decode(encode(x)) == x exactly.
+- ``jpeg`` — **a deterministic stand-in for a lossy codec**: uniform
+  quantization (step 4) + zlib, in a tagged container.  Real JPEG
+  libraries are not available in this environment; this codec is
+  deliberately simple but genuinely lossy (max per-sample error =
+  step/2), so the PSNR >= 40 dB verification branch is exercised for
+  real.  Decoded PSNR of encode->decode is ~47 dB.  Swap in a real
+  JPEG codec by replacing ``encode_lossy``/``decode_lossy``.
+
+All functions operate on ``(h, w, 3) uint8`` numpy arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- PNG ----
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an RGB8 PNG (filter 0)."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3 and pixels.shape[2] == 3
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    # prepend filter byte 0 to each scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level=6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an RGB8 PNG produced by any filter-0..4 encoder."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    h = bitdepth = colortype = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if bitdepth != 8 or colortype != 2 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced RGB supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = 1 + w * 3
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    lines = raw[:, 1:].copy()
+    bpp = 3
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        line = lines[y]
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, w * 3):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif f == 2:  # Up
+            lines[y] = line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(w * 3):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(w * 3):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + int(_paeth(
+                    np.uint8(a), prev[x], np.uint8(c)))) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        prev = lines[y]
+    return lines.reshape(h, w, 3)
+
+
+# ----------------------------------------------- lossy stand-in codec ----
+
+_QNT_MAGIC = b"QNT1"
+_QNT_STEP = 4  # uniform quantization step -> ~47 dB PSNR
+
+
+def encode_lossy(pixels: np.ndarray, step: int = _QNT_STEP) -> bytes:
+    """Deterministic lossy stand-in (see module docstring).  fmt='jpeg'."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3 and pixels.shape[2] == 3
+    h, w = pixels.shape[:2]
+    q = ((pixels.astype(np.uint16) + step // 2) // step).astype(np.uint8)
+    payload = zlib.compress(q.tobytes(), level=6)
+    return _QNT_MAGIC + struct.pack(">IIB", w, h, step) + payload
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != _QNT_MAGIC:
+        raise ValueError("not a QNT payload")
+    w, h, step = struct.unpack(">IIB", data[4:13])
+    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)
+    return np.minimum(q.astype(np.uint16) * step, 255).astype(np.uint8)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpeg":
+        return encode_lossy(pixels)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return decode_lossy(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# ------------------------------------------------------------- metrics ----
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+_DCT_N = 32
+_DCT_K = 8
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix(_DCT_N)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash (DCT-based, pHash-style), deterministic.
+
+    Grayscale -> area-resample to 32x32 -> 2D DCT -> top-left 8x8 minus
+    DC -> median threshold -> 64 bits (row-major, signed int64).
+    """
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # area resample to 32x32 by mean pooling (reduceat over index buckets;
+    # an empty bucket yields the single row/col at its start index)
+    yi = (np.arange(_DCT_N + 1) * h // _DCT_N)
+    xi = (np.arange(_DCT_N + 1) * w // _DCT_N)
+    ys = np.add.reduceat(gray, yi[:-1], axis=0)
+    yc = np.maximum(np.diff(yi), 1)[:, None]
+    xs = np.add.reduceat(ys, xi[:-1], axis=1)
+    xc = np.maximum(np.diff(xi), 1)[None, :]
+    small = xs / (yc * xc)
+    dct = _DCT_M @ small @ _DCT_M.T
+    block = dct[:_DCT_K, :_DCT_K].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
