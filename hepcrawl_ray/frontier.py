@@ -1,0 +1,389 @@
+"""Partitioned URL frontier: the stateful heart of the engine.
+
+Replaces the reference's Scrapy scheduler + crawl-once middleware +
+politeness settings (reference: hepcrawl/middlewares.py:58-210,
+hepcrawl/settings.py:50-60) with a pool of Ray actors, one per
+host-hash partition:
+
+- a SeenSet (blocked Bloom + cuckoo map) holding the URL-seen state
+  with the timestamp re-crawl rule
+- per-host pending queues with ``(-priority, seq)`` ordering (Scrapy's
+  higher-priority-first, FIFO tie-break), stored as *sorted numpy
+  arrays + cursor* — pop order equals sorted order between offer
+  rounds, so draining is pure slicing, no per-row Python heap ops
+- token-bucket politeness in **virtual time**: host ``h`` admits in
+  round ``r`` iff ``r >= next_round[h]``, then takes up to
+  ``max_concurrency`` URLs and waits ``ceil(min_delay_ms/tick_ms)``
+  rounds — identical to the spec in ``hepcrawl_ray.sim``
+- a robots cache (disallow prefixes per host, from the politeness
+  table)
+
+Partitioning is by *host* hash-range so a host's budget, robots rules
+and seen-shard are all partition-local — no cross-partition
+coordination is needed to drain, which is what makes the frontier
+embarrassingly parallel.  Hot hosts can be salted across
+``salt_k`` sub-partitions (deterministic ``url_hash % salt_k``), each
+sub-partition receiving an integer share of the host's concurrency
+budget; the global per-round budget is preserved because virtual
+rounds are aligned across partitions.
+
+Determinism: offers are *buffered* and sorted by ``seq`` at
+``seal()`` before admission, so the admission decision (and therefore
+crawl order) is independent of Ray task arrival order.  The global
+admission order is the sort by ``(round, host, pop_idx)`` — exactly
+the simulator's host-lexicographic interleave.
+
+Checkpoint: ``checkpoint(dir)`` atomically snapshots seen-filter
+bytes, remaining queue arrays, next-round markers, the seq counter and
+lineage metrics; ``FrontierPartition.restore(dir)`` resumes exactly
+(reference analog: last-run store,
+hepcrawl/spiders/common/lastrunstore_spider.py:53-126).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hepcrawl_ray import urlkit
+from hepcrawl_ray.state import SeenSet
+
+DEFAULT_TICK_MS = 100
+DEFAULT_CONCURRENCY = 2
+DEFAULT_DELAY_MS = 0
+
+OFFER_SCHEMA = pa.schema([
+    ("url", pa.string()),            # canonical
+    ("url_hash", pa.int64()),
+    ("host", pa.string()),
+    ("path", pa.string()),
+    ("priority", pa.float64()),
+    ("seq", pa.int64()),
+    ("mtime", pa.int64()),
+    ("set_id", pa.string()),
+])
+
+ADMIT_SCHEMA = pa.schema([
+    ("round", pa.int32()),
+    ("host", pa.string()),
+    ("url", pa.string()),
+    ("url_hash", pa.int64()),
+    ("seq", pa.int64()),
+    ("priority", pa.float64()),
+    ("mtime", pa.int64()),
+    ("set_id", pa.string()),
+    ("pop_idx", pa.int32()),
+    ("partition", pa.int32()),
+])
+
+
+def canonicalize_batch(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches body: url -> canonical/hash/host/path columns.
+
+    Runs before routing; the canonical identity mirrors the reference's
+    per-field ``canonicalize_url`` (reference: hepcrawl/loaders.py:162-164).
+    """
+    urls = batch.column("url").to_pylist()
+    canon = urlkit.canonicalize_many(urls)
+    hashes = urlkit.hash64_many(canon)
+    hosts = urlkit.host_many(canon)
+    paths = [c.split("://", 1)[-1] for c in canon]
+    paths = [p[p.find("/"):] if "/" in p else "/" for p in paths]
+    out = {
+        "url": canon,
+        "url_hash": hashes,
+        "host": hosts,
+        "path": paths,
+        "priority": batch.column("priority") if "priority" in batch.column_names
+        else np.zeros(len(urls)),
+        "seq": batch.column("seq"),
+        "mtime": batch.column("mtime") if "mtime" in batch.column_names
+        else np.zeros(len(urls), dtype=np.int64),
+        "set_id": batch.column("set_id") if "set_id" in batch.column_names
+        else [""] * len(urls),
+    }
+    return pa.table(out, schema=OFFER_SCHEMA)
+
+
+class HostBudget:
+    __slots__ = ("concurrency", "delay_rounds", "disallow")
+
+    def __init__(self, concurrency: int, delay_ms: int, disallow: tuple[str, ...],
+                 tick_ms: int):
+        self.concurrency = max(1, int(concurrency))
+        self.delay_rounds = max(1, math.ceil(int(delay_ms) / tick_ms))
+        self.disallow = tuple(disallow)
+
+
+class FrontierPartition:
+    """One hash-range partition of the frontier (host-keyed).
+
+    Usable directly (unit tests, simulator comparisons) or as a Ray
+    actor via ``ray.remote(FrontierPartition)``.
+    """
+
+    def __init__(self, part_id: int, num_partitions: int,
+                 politeness_rows: list[dict] | None = None,
+                 capacity: int = 1 << 17, tick_ms: int = DEFAULT_TICK_MS,
+                 default_concurrency: int = DEFAULT_CONCURRENCY,
+                 default_delay_ms: int = DEFAULT_DELAY_MS,
+                 salted_hosts: dict[str, int] | None = None):
+        self.part_id = part_id
+        self.num_partitions = num_partitions
+        self.tick_ms = tick_ms
+        self.default_budget = (default_concurrency, default_delay_ms)
+        self.budgets: dict[str, HostBudget] = {}
+        for row in politeness_rows or []:
+            self.budgets[row["host"]] = HostBudget(
+                row["max_concurrency"], row["min_delay_ms"],
+                tuple(row.get("robots_disallow") or ()), tick_ms)
+        self.salted_hosts = dict(salted_hosts or {})
+        self.seen = SeenSet(capacity=capacity)
+        self._buffer: list[pa.Table] = []
+        # per host-key: dict with sorted column arrays + cursor
+        self.queues: dict[str, dict] = {}
+        self.next_round: dict[str, int] = {}
+        self.cur_round = 0
+        self.metrics = {
+            "offered": 0, "dropped_robots": 0, "dropped_dup": 0,
+            "admitted_to_queue": 0, "drained": 0, "seal_batches": 0,
+        }
+
+    # -- budget lookup ------------------------------------------------------
+
+    def _budget_for(self, host: str) -> HostBudget:
+        b = self.budgets.get(host)
+        if b is None:
+            b = HostBudget(self.default_budget[0], self.default_budget[1],
+                           (), self.tick_ms)
+            self.budgets[host] = b
+        return b
+
+    def _queue_key_and_share(self, host: str, url_hash: int) -> tuple[str, int]:
+        """Sub-partition key + concurrency share for (possibly salted) host."""
+        k = self.salted_hosts.get(host, 0)
+        if k <= 1:
+            return host, self._budget_for(host).concurrency
+        sub = int(url_hash) % k
+        c = self._budget_for(host).concurrency
+        share = c // k + (1 if sub < c % k else 0)
+        return f"{host}#{sub}", max(1, share)
+
+    # -- offer / seal --------------------------------------------------------
+
+    def offer(self, table: pa.Table) -> int:
+        """Buffer candidate rows (OFFER_SCHEMA).  Order-independent."""
+        if table.num_rows:
+            self._buffer.append(table)
+        return table.num_rows
+
+    def seal(self) -> dict:
+        """Sort buffered offers by seq, apply robots + crawl-once rules,
+        append survivors to the per-host sorted queues."""
+        if not self._buffer:
+            return dict(self.metrics)
+        t = pa.concat_tables(self._buffer)
+        self._buffer = []
+        t = t.sort_by("seq")
+        self.metrics["offered"] += t.num_rows
+        self.metrics["seal_batches"] += 1
+
+        hosts = t.column("host").to_pylist()
+        paths = t.column("path").to_pylist()
+
+        # robots filter (vectorized per distinct host)
+        keep = np.ones(t.num_rows, dtype=bool)
+        host_arr = np.asarray(hosts, dtype=object)
+        for host in set(hosts):
+            dis = self._budget_for(host).disallow
+            if not dis:
+                continue
+            m = host_arr == host
+            pv = np.asarray(paths, dtype=object)[m]
+            blocked = np.zeros(len(pv), dtype=bool)
+            for pref in dis:
+                blocked |= np.array([p.startswith(pref) for p in pv])
+            sub = np.nonzero(m)[0][blocked]
+            keep[sub] = False
+        self.metrics["dropped_robots"] += int((~keep).sum())
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+
+        # crawl-once admission (vectorized; row order == seq order)
+        hashes = t.column("url_hash").to_numpy()
+        mtimes = t.column("mtime").to_numpy()
+        admit = self.seen.admit_many(hashes, mtimes)
+        self.metrics["dropped_dup"] += int((~admit).sum())
+        if not admit.all():
+            t = t.filter(pa.array(admit))
+        self.metrics["admitted_to_queue"] += t.num_rows
+        if t.num_rows == 0:
+            return dict(self.metrics)
+
+        # append to per-queue sorted arrays
+        q_hosts = t.column("host").to_pylist()
+        q_hash = t.column("url_hash").to_numpy()
+        qkeys = [self._queue_key_and_share(h, uh)[0]
+                 for h, uh in zip(q_hosts, q_hash)]
+        t = t.append_column("_qkey", pa.array(qkeys))
+        for qkey in sorted(set(qkeys)):
+            rows = t.filter(pc.equal(t.column("_qkey"), qkey)).drop(["_qkey"])
+            self._enqueue(qkey, rows)
+        return dict(self.metrics)
+
+    def _enqueue(self, qkey: str, rows: pa.Table) -> None:
+        """Merge rows into the queue, keeping (-priority, seq) sort."""
+        q = self.queues.get(qkey)
+        if q is not None and q["cursor"] < q["rows"].num_rows:
+            remainder = q["rows"].slice(q["cursor"])
+            rows = pa.concat_tables([remainder, rows])
+        neg_p = pc.negate(rows.column("priority"))
+        rows = rows.append_column("_negp", neg_p)
+        rows = rows.sort_by([("_negp", "ascending"), ("seq", "ascending")])
+        rows = rows.drop(["_negp"])
+        host = qkey.split("#", 1)[0]
+        self.queues[qkey] = {"rows": rows, "cursor": 0, "host": host}
+        self.next_round.setdefault(qkey, self.cur_round)
+
+    # -- drain ----------------------------------------------------------------
+
+    def pending(self) -> int:
+        return sum(q["rows"].num_rows - q["cursor"] for q in self.queues.values())
+
+    def drain(self, max_rounds: int | None = None) -> pa.Table:
+        """Admit URLs round by round until queues empty (or max_rounds).
+
+        Returns ADMIT_SCHEMA rows.  Politeness is virtual-time: rounds
+        are aligned across partitions by construction (everyone starts
+        at the same ``cur_round``), so no coordination is needed.
+        """
+        take_idx: list[np.ndarray] = []
+        rounds_out: list[np.ndarray] = []
+        pops_out: list[np.ndarray] = []
+        qorder_out: list[pa.Table] = []
+        r = self.cur_round
+        end = None if max_rounds is None else self.cur_round + max_rounds
+        while self.pending() > 0 and (end is None or r < end):
+            for qkey in sorted(k for k, q in self.queues.items()
+                               if q["cursor"] < q["rows"].num_rows):
+                if r < self.next_round[qkey]:
+                    continue
+                q = self.queues[qkey]
+                host = q["host"]
+                k = self.salted_hosts.get(host, 0)
+                if k > 1 and "#" in qkey:
+                    sub = int(qkey.split("#", 1)[1])
+                    c = self._budget_for(host).concurrency
+                    share = max(1, c // k + (1 if sub < c % k else 0))
+                else:
+                    share = self._budget_for(host).concurrency
+                n = min(share, q["rows"].num_rows - q["cursor"])
+                if n <= 0:
+                    continue
+                sl = q["rows"].slice(q["cursor"], n)
+                q["cursor"] += n
+                qorder_out.append(sl)
+                rounds_out.append(np.full(n, r, dtype=np.int32))
+                pops_out.append(np.arange(n, dtype=np.int32))
+                self.next_round[qkey] = r + self._budget_for(host).delay_rounds
+            r += 1
+        self.cur_round = r
+        if not qorder_out:
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in ADMIT_SCHEMA})
+        body = pa.concat_tables(qorder_out)
+        n = body.num_rows
+        self.metrics["drained"] += n
+        out = pa.table({
+            "round": np.concatenate(rounds_out),
+            "host": body.column("host"),
+            "url": body.column("url"),
+            "url_hash": body.column("url_hash"),
+            "seq": body.column("seq"),
+            "priority": body.column("priority"),
+            "mtime": body.column("mtime"),
+            "set_id": body.column("set_id"),
+            "pop_idx": np.concatenate(pops_out),
+            "partition": np.full(n, self.part_id, dtype=np.int32),
+        }, schema=ADMIT_SCHEMA)
+        return out
+
+    def seen_hashes(self) -> np.ndarray:
+        return self.seen.seen_keys()
+
+    def get_metrics(self) -> dict:
+        return {**self.metrics, "pending": self.pending(),
+                "seen": len(self.seen), "partition": self.part_id,
+                "cur_round": self.cur_round}
+
+    # -- checkpoint / restore --------------------------------------------------
+
+    def checkpoint(self, root: str) -> str:
+        """Atomic per-partition snapshot -> ``root/part=<id>/state.pkl``."""
+        d = os.path.join(root, f"part={self.part_id}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".state.pkl.tmp")
+        state = {
+            "part_id": self.part_id,
+            "num_partitions": self.num_partitions,
+            "tick_ms": self.tick_ms,
+            "default_budget": self.default_budget,
+            "budgets": {h: (b.concurrency, b.delay_rounds, b.disallow)
+                        for h, b in self.budgets.items()},
+            "salted_hosts": self.salted_hosts,
+            "seen": self.seen.to_bytes(),
+            "queues": {k: {"rows": _table_to_bytes(q["rows"].slice(q["cursor"])),
+                           "host": q["host"]}
+                       for k, q in self.queues.items()},
+            "next_round": self.next_round,
+            "cur_round": self.cur_round,
+            "metrics": self.metrics,
+        }
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+        final = os.path.join(d, "state.pkl")
+        os.replace(tmp, final)
+        return final
+
+    @classmethod
+    def restore(cls, root: str, part_id: int) -> "FrontierPartition":
+        with open(os.path.join(root, f"part={part_id}", "state.pkl"), "rb") as f:
+            state = pickle.load(f)
+        self = cls.__new__(cls)
+        self.part_id = state["part_id"]
+        self.num_partitions = state["num_partitions"]
+        self.tick_ms = state["tick_ms"]
+        self.default_budget = tuple(state["default_budget"])
+        self.budgets = {}
+        for h, (c, dr, dis) in state["budgets"].items():
+            b = HostBudget.__new__(HostBudget)
+            b.concurrency, b.delay_rounds, b.disallow = c, dr, tuple(dis)
+            self.budgets[h] = b
+        self.salted_hosts = state["salted_hosts"]
+        self.seen = SeenSet.from_bytes(state["seen"])
+        self._buffer = []
+        self.queues = {k: {"rows": _table_from_bytes(v["rows"]), "cursor": 0,
+                           "host": v["host"]}
+                       for k, v in state["queues"].items()}
+        self.next_round = state["next_round"]
+        self.cur_round = state["cur_round"]
+        self.metrics = state["metrics"]
+        return self
+
+
+def _table_to_bytes(t: pa.Table) -> bytes:
+    import io
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def _table_from_bytes(b: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_all()

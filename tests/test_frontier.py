@@ -1,0 +1,175 @@
+"""Frontier vs. reference-simulator equivalence (the ordering oracle).
+
+Mirrors the reference's golden-fixture strategy
+(reference: tests/functional/arxiv/test_arxiv.py:36-127 compares crawl
+output to expected JSON): same seed list + politeness budget into both
+the pure-Python simulator (the spec) and the partitioned engine; the
+full admission order and the final URL-seen set must match exactly.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hepcrawl_ray import synth, urlkit
+from hepcrawl_ray.frontier import FrontierPartition, canonicalize_batch
+from hepcrawl_ray.sim import simulate
+
+
+def run_engine(seeds: pa.Table, politeness: pa.Table, num_partitions: int,
+               salted_hosts=None, checkpoint_after_rounds=None,
+               checkpoint_dir=None):
+    """Drive FrontierPartition objects directly (no Ray — the actor layer
+    adds no semantics; crawl_pipeline tests cover the Ray path)."""
+    pol_rows = politeness.to_pylist()
+    parts = [FrontierPartition(i, num_partitions, pol_rows,
+                               salted_hosts=salted_hosts)
+             for i in range(num_partitions)]
+    offers = canonicalize_batch(seeds)
+    part_ids = np.array([urlkit.partition_of_host(h, num_partitions)
+                         for h in offers.column("host").to_pylist()])
+    for i, p in enumerate(parts):
+        p.offer(offers.filter(pa.array(part_ids == i)))
+        p.seal()
+    admitted = []
+    if checkpoint_after_rounds is not None:
+        for p in parts:
+            admitted.append(p.drain(max_rounds=checkpoint_after_rounds))
+            p.checkpoint(checkpoint_dir)
+        parts = [FrontierPartition.restore(checkpoint_dir, i)
+                 for i in range(num_partitions)]
+    for p in parts:
+        admitted.append(p.drain())
+    table = pa.concat_tables(admitted)
+    order = table.sort_by([("round", "ascending"), ("host", "ascending"),
+                           ("pop_idx", "ascending")])
+    seen = np.concatenate([p.seen_hashes() for p in parts])
+    return order, set(seen.tolist()), parts
+
+
+@pytest.fixture(scope="module")
+def fixture_tables():
+    images, _ = synth.generate_corpus(150)
+    seeds = synth.generate_seeds(images)
+    politeness = synth.generate_politeness()
+    return images, seeds, politeness
+
+
+def sim_result(seeds, politeness):
+    return simulate(seeds.to_pylist(), politeness.to_pylist())
+
+
+class TestOrderingEquivalence:
+    @pytest.mark.parametrize("num_partitions", [1, 2, 4, 7])
+    def test_order_and_seen_match_sim(self, fixture_tables, num_partitions):
+        _, seeds, politeness = fixture_tables
+        ref = sim_result(seeds, politeness)
+        order, seen, parts = run_engine(seeds, politeness, num_partitions)
+
+        got = list(zip(order.column("round").to_pylist(),
+                       order.column("host").to_pylist(),
+                       order.column("url").to_pylist(),
+                       order.column("seq").to_pylist()))
+        want = [(r, h, u, s) for (r, h, u, s, _p, _m) in ref.admissions]
+        assert got == want, (
+            f"admission order diverged at P={num_partitions}: "
+            f"first diff {next((i for i, (a, b) in enumerate(zip(got, want)) if a != b), '?')}")
+        assert seen == ref.seen_hashes
+
+    def test_drop_metrics_match_sim(self, fixture_tables):
+        _, seeds, politeness = fixture_tables
+        ref = sim_result(seeds, politeness)
+        _, _, parts = run_engine(seeds, politeness, 4)
+        robots = sum(p.metrics["dropped_robots"] for p in parts)
+        dups = sum(p.metrics["dropped_dup"] for p in parts)
+        assert robots == ref.dropped_robots
+        assert dups == ref.dropped_dup
+
+    def test_recrawl_admits_twice(self, fixture_tables):
+        _, seeds, politeness = fixture_tables
+        order, _, _ = run_engine(seeds, politeness, 2)
+        urls = order.column("url").to_pylist()
+        # re-crawl rows (newer mtime) make some canonical URLs appear twice
+        assert len(urls) > len(set(urls))
+
+    def test_dirty_variants_deduped(self, fixture_tables):
+        _, seeds, politeness = fixture_tables
+        order, seen, _ = run_engine(seeds, politeness, 2)
+        # every admitted URL is canonical
+        for u in order.column("url").to_pylist()[:50]:
+            assert urlkit.canonicalize_url(u) == u
+        # seen set is over canonical hashes: dirty variants collapsed
+        n_canon = len({urlkit.canonicalize_url(u)
+                       for u in seeds.column("url").to_pylist()})
+        assert len(seen) <= n_canon
+
+
+class TestResume:
+    def test_kill_and_resume_exact(self, fixture_tables, tmp_path):
+        _, seeds, politeness = fixture_tables
+        full, seen_full, _ = run_engine(seeds, politeness, 3)
+        resumed, seen_resumed, _ = run_engine(
+            seeds, politeness, 3,
+            checkpoint_after_rounds=2, checkpoint_dir=str(tmp_path))
+        assert full.equals(resumed), "resume-from-checkpoint diverged"
+        assert seen_full == seen_resumed
+
+
+class TestPoliteness:
+    def test_budget_respected(self, fixture_tables):
+        _, seeds, politeness = fixture_tables
+        order, _, _ = run_engine(seeds, politeness, 2)
+        import collections
+
+        budget = {r["host"]: (r["max_concurrency"], r["min_delay_ms"])
+                  for r in politeness.to_pylist()}
+        per_round = collections.Counter(
+            zip(order.column("host").to_pylist(),
+                order.column("round").to_pylist()))
+        last_admit: dict[str, int] = {}
+        for (host, rnd), count in sorted(per_round.items(), key=lambda kv: kv[0][1]):
+            c, delay = budget[host]
+            assert count <= c, f"{host} exceeded concurrency in round {rnd}"
+            if host in last_admit:
+                gap = rnd - last_admit[host]
+                assert gap >= max(1, -(-delay // 100)), \
+                    f"{host} violated min_delay at round {rnd}"
+            last_admit[host] = rnd
+
+    def test_salted_hot_host_budget_preserved(self, fixture_tables):
+        """Salting splits a hot host across queues but the global
+        per-round budget must still hold."""
+        _, seeds, politeness = fixture_tables
+        import collections
+
+        order, seen, _ = run_engine(seeds, politeness, 2,
+                                    salted_hosts={"host0.example.org": 3})
+        ref = sim_result(seeds, politeness)
+        assert seen == ref.seen_hashes  # seen-set unaffected by salting
+        budget = {r["host"]: r["max_concurrency"] for r in politeness.to_pylist()}
+        per_round = collections.Counter(
+            zip(order.column("host").to_pylist(),
+                order.column("round").to_pylist()))
+        for (host, rnd), count in per_round.items():
+            assert count <= budget[host]
+
+
+class TestPriorities:
+    def test_higher_priority_first_fifo_ties(self):
+        politeness = pa.table({
+            "host": ["h.org"], "max_concurrency": [1],
+            "min_delay_ms": [0], "robots_disallow": [[]],
+        }, schema=synth.POLITENESS_SCHEMA)
+        seeds = pa.table({
+            "url": [f"http://h.org/s/i{k}" for k in range(4)],
+            "host": ["h.org"] * 4,
+            "set_id": ["s"] * 4,
+            "priority": [0.0, 1.0, 0.0, 1.0],
+            "seq": [0, 1, 2, 3],
+            "mtime": [1000] * 4,
+            "dup_of": [None] * 4,
+        }, schema=synth.SEEDS_SCHEMA)
+        order, _, _ = run_engine(seeds, politeness, 1)
+        assert order.column("seq").to_pylist() == [1, 3, 0, 2]
+        ref = simulate(seeds.to_pylist(), politeness.to_pylist())
+        assert [s for (_, _, _, s, _, _) in ref.admissions] == [1, 3, 0, 2]
