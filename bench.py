@@ -1,0 +1,187 @@
+"""Benchmark harness (driver contract).
+
+Headline: frontier throughput — URLs scheduled + fetched + parsed per
+second on a large synthetic seed frontier over the image+caption
+corpus (BASELINE.json metric), plus per-query timings over
+$GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": "frontier_crawl_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "urls_per_sec": ...}
+
+--scaling: runs the headline crawl in fresh processes at 8 and 32
+CPUs on the same input and reports both throughputs + scaling
+efficiency (the sandbox evidence for the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench corpus knobs (deterministic; cached on disk after first build)
+BENCH_IMAGES = int(os.environ.get("BENCH_IMAGES", "4000"))
+BENCH_SEED_MULT = int(os.environ.get("BENCH_SEED_MULT", "60"))  # URLs ~= imgs*mult
+BENCH_CACHE = os.environ.get("BENCH_CACHE", "/tmp/hepcrawl_ray_bench")
+
+QUERY_NAMES = [
+    "agg_lineitem_pricing", "join_revenue_by_nation", "window_tumbling_events",
+    "dedup_exact_docs", "dedup_ngram_jaccard", "knn_bruteforce",
+    "text_token_stats", "dedup_embedding_cosine",
+]
+
+
+def build_bench_corpus():
+    """Deterministic large corpus + seed frontier, cached to parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(BENCH_CACHE, exist_ok=True)
+    img_path = os.path.join(BENCH_CACHE, f"images_{BENCH_IMAGES}.parquet")
+    seed_path = os.path.join(
+        BENCH_CACHE, f"seeds_{BENCH_IMAGES}x{BENCH_SEED_MULT}.parquet")
+    if not os.path.exists(img_path):
+        from hepcrawl_ray import synth
+
+        images, _ = synth.generate_corpus(BENCH_IMAGES, size_range=(16, 24))
+        pq.write_table(images, img_path)
+    images = pq.read_table(img_path)
+    if not os.path.exists(seed_path):
+        import numpy as np
+
+        from hepcrawl_ray.synth import SEEDS_SCHEMA
+
+        # vectorized big seed stream: many URL routes per image across
+        # hosts/sets; ~10% exact dups; skewed host distribution
+        rng = np.random.default_rng(7)
+        n = BENCH_IMAGES * BENCH_SEED_MULT
+        img_ids = images.column("image_id").to_pylist()
+        pick = rng.integers(0, len(img_ids), size=n)
+        hosts_pool = np.array([f"host{k:02d}.bench.org" for k in range(32)])
+        hw = np.ones(32)
+        hw[0] = 16  # hot host
+        hw = hw / hw.sum()
+        hosts = hosts_pool[rng.choice(32, size=n, p=hw)]
+        sets = np.char.add("set", rng.integers(0, 8, size=n).astype(str))
+        urls = [f"http://{h}/{s}/{img_ids[i]}/r{j}"
+                for j, (h, s, i) in enumerate(zip(hosts, sets, pick))]
+        # exact duplicates: rewrite 10% of rows to copy an earlier url
+        ndup = n // 10
+        dup_pos = rng.integers(n // 2, n, size=ndup)
+        dup_src = rng.integers(0, n // 2, size=ndup)
+        ua = np.array(urls, dtype=object)
+        ua[dup_pos] = ua[dup_src]
+        seeds = pa.table({
+            "url": ua.tolist(),
+            "host": hosts.tolist(),
+            "set_id": sets.tolist(),
+            "priority": np.zeros(n),
+            "seq": np.arange(n, dtype=np.int64),
+            "mtime": np.full(n, 1000, dtype=np.int64),
+            "dup_of": [None] * n,
+        }, schema=SEEDS_SCHEMA)
+        pq.write_table(seeds, seed_path)
+    seeds = pq.read_table(seed_path)
+    import pyarrow as pa
+
+    politeness = pa.table({
+        "host": [f"host{k:02d}.bench.org" for k in range(32)],
+        "max_concurrency": [64] * 32,
+        "min_delay_ms": [0] * 32,
+        "robots_disallow": [["/private/"]] * 32,
+    })
+    return images, seeds, politeness
+
+
+def run_crawl_bench(num_partitions: int):
+    from hepcrawl_ray.pipelines import crawl as cp
+
+    images, seeds, politeness = build_bench_corpus()
+    t0 = time.time()
+    out = cp.run_crawl(
+        images, seeds, politeness,
+        num_partitions=num_partitions,
+        salted_hosts={"host00.bench.org": max(2, num_partitions // 2)},
+        fetch_concurrency=max(2, NUM_CPUS // 4),
+        parse_concurrency=max(2, NUM_CPUS // 2),
+        batch_size=2048, verify_pixels=True)
+    n = out["records"].count()
+    wall = time.time() - t0
+    return {"crawl_sec": round(wall, 3), "urls": int(n),
+            "urls_per_sec": round(n / wall, 1),
+            "offered": out["offered"]}
+
+
+def run_queries():
+    from hepcrawl_ray.pipelines.queries import QUERIES
+
+    import ray
+
+    timings = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # consume the stream
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    crawl = run_crawl_bench(num_partitions=max(4, NUM_CPUS // 2))
+    queries = run_queries() if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
+    out = {
+        "metric": "frontier_crawl_sec",
+        "value": crawl["crawl_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "urls": crawl["urls"],
+        "urls_per_sec": crawl["urls_per_sec"],
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def scaling():
+    import subprocess
+
+    build_bench_corpus()  # warm the disk cache so both runs see warm input
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_SKIP_QUERIES="1")
+        out = subprocess.run([sys.executable, "bench.py"], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tput8 = results[8]["urls_per_sec"]
+    tput32 = results[32]["urls_per_sec"]
+    eff = (tput32 / tput8) / (32 / 8)
+    print(json.dumps({
+        "urls_per_sec_8": tput8, "urls_per_sec_32": tput32,
+        "sec_8": results[8]["value"], "sec_32": results[32]["value"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

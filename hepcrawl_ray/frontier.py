@@ -350,6 +350,14 @@ class FrontierPartition:
         os.replace(tmp, final)
         return final
 
+    def load_checkpoint(self, root: str, part_id: int | None = None) -> dict:
+        """Replace this instance's state from a checkpoint (actor-friendly
+        restore: create the actor, then call this)."""
+        other = FrontierPartition.restore(
+            root, self.part_id if part_id is None else part_id)
+        self.__dict__.update(other.__dict__)
+        return self.get_metrics()
+
     @classmethod
     def restore(cls, root: str, part_id: int) -> "FrontierPartition":
         with open(os.path.join(root, f"part={part_id}", "state.pkl"), "rb") as f:

@@ -1,0 +1,277 @@
+"""Deduplication operators over a documents Dataset.
+
+Five flavors, each a Ray-Data composition (SURVEY.md §2.6 maps the
+reference's dedup layer; these generalize it for training-data scale):
+
+- exact:       content-hash -> groupby(hash) -> keep first (min id)
+- minhash-LSH: shingle -> minhash -> band rows -> groupby(band,value)
+               -> candidate pairs -> exact-Jaccard verify
+- simhash:     64-bit signature column (+ near-pair scan by Hamming)
+- n-gram Jaccard: exact blocked all-pairs via shared-shingle join
+- embedding cosine: near-dup pairs over an embedding column
+
+Scale notes: every pairing step is keyed (hash/band/shingle) so it
+shuffles by key instead of forming a cross product; partial
+aggregation happens inside map_batches before any groupby; candidate
+verification is row-local.  Hot keys (a shingle shared by thousands of
+docs) are capped with a per-key candidate limit — at 100 TB you salt
+or drop top-frequency shingles (document-frequency cut), which is the
+standard recall/cost trade.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from hepcrawl_ray.ops import text as T
+
+
+# ---------------------------------------------------------------- exact ----
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One row per distinct text, keeping the smallest id
+    (deterministic winner).  Returns columns (id_col, text_col)."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = T.content_hash64(batch.column(text_col).to_pylist())
+        return batch.append_column("_h", pa.array(h))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        i = g[id_col].idxmin()
+        return g.loc[[i], [id_col, text_col]]
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------- minhash LSH ----
+
+class MinHashStage:
+    """Actor-pool UDF: minhash signatures + banded LSH keys per doc."""
+
+    def __init__(self, num_perm=64, bands=16, k_shingle=3,
+                 id_col="doc_id", text_col="text"):
+        self.a, self.b = T.minhash_params(num_perm)
+        self.num_perm, self.bands = num_perm, bands
+        self.rows_per_band = num_perm // bands
+        self.k = k_shingle
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        from hashlib import blake2b
+
+        out_id, out_band, out_val = [], [], []
+        for i, t in zip(ids, texts):
+            sig = T.minhash_signature(t, self.a, self.b, self.k)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                # band value: stable 64-bit digest of the band's slots
+                val = int.from_bytes(
+                    blake2b(np.ascontiguousarray(chunk).tobytes(),
+                            digest_size=8).digest(), "little")
+                out_id.append(i)
+                out_band.append(b)
+                out_val.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pa.table({"doc_id": out_id, "band": out_band,
+                         "band_val": out_val})
+
+
+def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
+                      threshold=0.5, id_col="doc_id", text_col="text",
+                      max_bucket=64, concurrency=4):
+    """Candidate pairs from banded MinHash, verified by exact Jaccard.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b and token-shingle
+    Jaccard >= threshold.  ``max_bucket`` caps pathological buckets
+    (hot-key guard; see module docstring).
+    """
+    import ray
+
+    texts_ref = ray.put(
+        {r[id_col]: r[text_col]
+         for r in ds.select_columns([id_col, text_col]).take_all()})
+
+    band_rows = ds.select_columns([id_col, text_col]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                   k_shingle=k_shingle, id_col=id_col,
+                                   text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())[:max_bucket]
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        if not pairs:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    cands = (band_rows.groupby(["band", "band_val"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+
+    class VerifyJaccard:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return batch
+            batch = batch.drop_duplicates()
+            jac = [T.jaccard_tokens(self.texts[a], self.texts[b], k_shingle)
+                   for a, b in zip(batch["doc_a"], batch["doc_b"])]
+            batch = batch.assign(jaccard=jac)
+            return batch[batch["jaccard"] >= threshold]
+
+    verified = cands.map_batches(VerifyJaccard, batch_format="pandas",
+                                 concurrency=(1, concurrency), num_cpus=0.5)
+    # cross-band duplicates of the same pair: final exact dedup
+    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (verified.groupby(["doc_a", "doc_b"])
+            .map_groups(dedup_pair, batch_format="pandas"))
+
+
+# -------------------------------------------------------------- simhash ----
+
+def simhash_signatures(ds, id_col="doc_id", text_col="text", concurrency=4):
+    """(id, simhash:int64) per document."""
+    def sig(batch: pa.Table) -> pa.Table:
+        s = T.simhash64(batch.column(text_col).to_pylist())
+        return pa.table({id_col: batch.column(id_col),
+                         "simhash": pa.array(s, type=pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        sig, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- n-gram Jaccard ----
+
+def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
+                        id_col="doc_id", text_col="text",
+                        max_shingle_df=256, concurrency=4):
+    """EXACT Jaccard >= threshold pairs via shared-shingle blocking.
+
+    Identical result to all-pairs Jaccard (any pair with J >= t > 0
+    shares >= 1 shingle, so blocking loses nothing); cost is bounded by
+    dropping shingles with document frequency > ``max_shingle_df``
+    (a pair blocked *only* by ultra-common shingles can be missed —
+    the documented recall trade; set it high enough for the corpus).
+    SQL-expressible -> has a DuckDB oracle.
+    """
+    import ray
+
+    doc_rows = ds.select_columns([id_col, text_col]).take_all()
+    texts = {r[id_col]: r[text_col] for r in doc_rows}
+    nsh = {r[id_col]: len(set(T.shingles(r[text_col], k_shingle)))
+           for r in doc_rows}
+    texts_ref = ray.put((texts, nsh))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, vals = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for s in set(T.shingles(t, k_shingle)):
+                ids.append(i)
+                vals.append(s)
+        return pa.table({"doc_id": ids, "shingle": vals})
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) > max_shingle_df or len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    blocked = exploded.groupby("shingle").map_groups(
+        pairs_in_block, batch_format="pandas")
+    # one row per (pair, shared shingle) -> count shared shingles per pair
+    counted = (blocked
+               .groupby(["doc_a", "doc_b"])
+               .map_groups(lambda g: g.assign(n=len(g)).head(1),
+                           batch_format="pandas"))
+
+    class Finalize:
+        def __init__(self):
+            self.texts, self.nsh = ray.get(texts_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                     "doc_b": pd.Series([], dtype="int64")})
+            keep = []
+            for a, b, n_common in zip(batch["doc_a"], batch["doc_b"], batch["n"]):
+                den = self.nsh[a] + self.nsh[b] - n_common
+                if den > 0 and n_common / den >= threshold:
+                    keep.append((a, b))
+            return pd.DataFrame(keep, columns=["doc_a", "doc_b"]) if keep \
+                else pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                   "doc_b": pd.Series([], dtype="int64")})
+
+    return counted.map_batches(Finalize, batch_format="pandas",
+                               concurrency=(1, concurrency), num_cpus=0.5)
+
+
+# ---------------------------------------------------- embedding cosine ----
+
+def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",
+                            vec_col="embedding", block_col=None,
+                            max_ids=None, concurrency=4):
+    """Near-duplicate pairs by cosine similarity.
+
+    Baseline: broadcast the (optionally truncated) normalized matrix,
+    compare each batch against it with one matmul (numpy), emit pairs
+    (a < b, cos >= threshold).  The scale path buckets by ``block_col``
+    (or an LSH sign-bucket) first; here the broadcast matrix IS the
+    documented partitioning assumption for the sandbox sizes.
+    """
+    import ray
+
+    src = ds.select_columns([c for c in (id_col, vec_col, block_col) if c])
+    if max_ids is not None:
+        src = src.map_batches(
+            lambda t: t.filter(pa.compute.less(t.column(id_col), max_ids)),
+            batch_format="pyarrow")
+    rows = src.take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+            self.pos = {int(i): p for p, i in enumerate(self.ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch.column(id_col).to_pylist()
+            vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(vecs, axis=1)
+            n[n == 0] = 1.0
+            vecs = vecs / n[:, None]
+            sims = vecs @ self.mat.T
+            out_a, out_b = [], []
+            for r, i in enumerate(bids):
+                if int(i) not in self.pos:
+                    continue
+                hits = np.nonzero(sims[r] >= threshold)[0]
+                for c in hits:
+                    j = int(self.ids[c])
+                    if int(i) < j:
+                        out_a.append(int(i))
+                        out_b.append(j)
+            return pa.table({"vec_a": pa.array(out_a, type=pa.int64()),
+                             "vec_b": pa.array(out_b, type=pa.int64())})
+
+    return src.map_batches(PairFinder, batch_format="pyarrow",
+                           concurrency=(1, concurrency), num_cpus=0.5)

@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k.  The query matrix is small
+  and broadcast once (``ray.put``); each data batch does ONE matmul
+  against it (numpy), emits its local top-k per query (partial
+  results), and a final tiny groupby keeps the global top-k — the
+  partial-aggregate-then-combine pattern, so the wide data never
+  shuffles.
+- ``knn_ivf``: IVF-style scale path — k-means-lite coarse centroids
+  (deterministic seeding), each vector assigned to its nearest
+  centroid; queries probe only ``nprobe`` closest buckets.  Approximate
+  by construction; documented partitioning assumption: recall depends
+  on nprobe/centroid fit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None]
+
+
+def knn_bruteforce(ds, query_ids, *, k=10, id_col="vec_id",
+                   vec_col="embedding", concurrency=4):
+    """Exact top-k cosine neighbors for each query id.
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k by descending
+    cosine, ties broken by ascending neighbor id (deterministic — and
+    replicable in SQL).  Self-matches are excluded.
+    """
+    import ray
+
+    qset = pa.array(sorted(set(int(q) for q in query_ids)), type=pa.int64())
+    q_rows = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column(id_col), value_set=qset)),
+        batch_format="pyarrow").take_all()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    q_ref = ray.put((q_ids, q_mat))
+
+    class LocalTopK:
+        def __init__(self):
+            self.q_ids, self.q_mat = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+            mat = _normalize(np.array(batch.column(vec_col).to_pylist(),
+                                      dtype=np.float64))
+            sims = self.q_mat @ mat.T          # (nq, nbatch)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                s = sims[qi]
+                mask = ids != self.q_ids[qi]   # exclude self
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                sc = s[cand_idx]
+                top = min(k, len(cand_idx))
+                # local top-k: order by (-sim, id)
+                order = np.lexsort((ids[cand_idx], -sc))[:top]
+                sel = cand_idx[order]
+                out_q.extend([int(self.q_ids[qi])] * len(sel))
+                out_n.extend(int(x) for x in ids[sel])
+                out_s.extend(float(x) for x in s[sel])
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        LocalTopK, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas")
+
+
+def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
+            id_col="vec_id", vec_col="embedding", concurrency=4, seed=42):
+    """Approximate top-k via IVF bucketing (scale path; see module doc)."""
+    import ray
+
+    sample = ds.select_columns([id_col, vec_col]).take(2048)
+    mat = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
+                          replace=False)]
+    for _ in range(5):  # lite Lloyd iterations, deterministic
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    cent_ref = ray.put(cent)
+
+    qset = pa.array(sorted(set(int(q) for q in query_ids)), type=pa.int64())
+    q_rows = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column(id_col), value_set=qset)),
+        batch_format="pyarrow").take_all()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    q_ref = ray.put((q_ids, q_mat, q_probe))
+
+    class BucketTopK:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q_ids, self.q_mat, self.q_probe = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
+            mat = _normalize(np.array(batch.column(vec_col).to_pylist(),
+                                      dtype=np.float64))
+            bucket = np.argmax(mat @ self.cent.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                probes = set(int(p) for p in self.q_probe[qi])
+                mask = np.isin(bucket, list(probes)) & (ids != self.q_ids[qi])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                s = mat[cand] @ self.q_mat[qi]
+                top = min(k, len(cand))
+                order = np.lexsort((ids[cand], -s))[:top]
+                sel = cand[order]
+                out_q.extend([int(self.q_ids[qi])] * len(sel))
+                out_n.extend(int(x) for x in ids[sel])
+                out_s.extend(float(x) for x in s[order])
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        BucketTopK, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas")

@@ -1,0 +1,159 @@
+"""Text analysis kernels: tokens, quality, language-ID, fingerprints,
+minhash/simhash signatures.
+
+All kernels are batch-oriented (operate on a list/array of documents
+and return numpy arrays / python lists ready for Arrow), designed as
+``map_batches`` bodies.  Definitions that have a SQL oracle use
+*whitespace tokenization* (``\\s+`` split of the trimmed text) so DuckDB
+can replicate them exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import blake2b
+
+import numpy as np
+
+_WS = re.compile(r"\s+")
+
+# small fixed stopword list — shared with the SQL oracle
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+# per-language marker words for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is"},
+    "de": {"der", "die", "das", "und", "ist", "nicht"},
+    "es": {"el", "la", "los", "que", "y", "es"},
+    "fr": {"le", "la", "les", "et", "est", "une"},
+}
+
+
+def tokenize_ws(text: str) -> list[str]:
+    """Whitespace tokens of the trimmed text (SQL-replicable)."""
+    text = text.strip()
+    return _WS.split(text) if text else []
+
+
+def token_stats(texts) -> dict[str, np.ndarray]:
+    """(n_tokens, chars_no_ws, n_stopwords, has_digits) per text —
+    integer-valued so the DuckDB oracle hashes identically."""
+    n = len(texts)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    chars_no_ws = np.zeros(n, dtype=np.int64)
+    n_stop = np.zeros(n, dtype=np.int64)
+    has_digits = np.zeros(n, dtype=bool)
+    stop = set(STOPWORDS)
+    for i, t in enumerate(texts):
+        toks = tokenize_ws(t)
+        n_tokens[i] = len(toks)
+        chars_no_ws[i] = sum(len(tok) for tok in toks)
+        n_stop[i] = sum(1 for tok in toks if tok.lower() in stop)
+        has_digits[i] = any(ch.isdigit() for ch in t)
+    return {"n_tokens": n_tokens, "chars_no_ws": chars_no_ws,
+            "n_stopwords": n_stop, "has_digits": has_digits}
+
+
+def langid(texts) -> list[str]:
+    """Marker-word language heuristic; 'und' when nothing matches."""
+    out = []
+    for t in texts:
+        toks = set(tok.lower() for tok in tokenize_ws(t))
+        best, best_n = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            k = len(toks & markers)
+            if k > best_n:
+                best, best_n = lang, k
+        out.append(best)
+    return out
+
+
+def fingerprint64(texts) -> np.ndarray:
+    """Rolling polynomial fingerprint of the whole text (mod 2^61-1),
+    returned as int64 — the document-identity hash for exact dedup."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * BASE + b) % MOD
+        out[i] = h
+    return out
+
+
+def content_hash64(texts) -> np.ndarray:
+    """Stable blake2b-64 of the exact text (dedup key)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = int.from_bytes(
+            blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
+    return out.view(np.int64)
+
+
+def shingles(text: str, k: int = 3) -> list[str]:
+    """k-token shingles (space-joined) of the whitespace tokens."""
+    toks = tokenize_ws(text)
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+
+
+def _hash_str_u64(s: str) -> int:
+    return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                          "little")
+
+
+# 31-bit hash universe so (a*h + b) fits in uint64 without overflow
+_MERSENNE31 = np.uint64((1 << 31) - 1)
+
+
+def minhash_params(num_perm: int = 64, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE31), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE31), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
+                      k: int = 3) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) over k-token shingles."""
+    sh = shingles(text, k)
+    if not sh:
+        return np.full(len(a), _MERSENNE31)
+    hv = np.array([_hash_str_u64(s) >> 33 for s in sh], dtype=np.uint64)
+    # (a*h + b) mod p with h, a < 2^31 -> product < 2^62, no overflow
+    prod = (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE31
+    return prod.min(axis=0)
+
+
+def simhash64(texts, k: int = 1) -> np.ndarray:
+    """64-bit SimHash over token (k=1) features, count-weighted."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        feats = shingles(t, k) if k > 1 else tokenize_ws(t)
+        for f in feats:
+            h = _hash_str_u64(f)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        bitsv = (acc > 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(bitsv << np.arange(64, dtype=np.uint64))
+    return out.view(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distance of two int64 vectors."""
+    x = (np.asarray(a).view(np.uint64) ^ np.asarray(b).view(np.uint64))
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def jaccard_tokens(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(shingles(a, k)), set(shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

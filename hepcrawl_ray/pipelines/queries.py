@@ -1,0 +1,672 @@
+"""The queries surface: one entry per operator family (SURVEY.md §2).
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pandas
+DataFrame / pyarrow Table; ``ORACLE_SQL`` holds the DuckDB-equivalent
+SQL for the SQL-expressible ones (same column names, deterministic
+values — float aggregates are done as per-row integer cents
+``floor(x*100 + 0.5)`` then integer sums on BOTH sides so the
+value-hash comparison cannot drift on addition order).
+
+Reference-operator mapping (docstrings cite the analog).  Crawl-engine
+queries (ordering, seen set, pixel verify) are non-SQL and run on the
+deterministic synthetic corpus; they get rows-only checks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hepcrawl_ray.functions import range_as_string
+from hepcrawl_ray.ops import dedup as D
+from hepcrawl_ray.ops import knn as K
+from hepcrawl_ray.ops import text as T
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _cents(arr) -> np.ndarray:
+    """Deterministic money->int: floor(x*100 + 0.5) (same formula in SQL)."""
+    return np.floor(np.asarray(arr, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# filters (SURVEY §2.5 — article-type / pub-status allowlists)
+# ---------------------------------------------------------------------------
+
+def q_filter_event_types(sf_dir: str):
+    """Allowlist filter (analog: WSP article-type allowlist,
+    reference: hepcrawl/spiders/wsp_spider.py:82-92)."""
+    allowed = pa.array(["click", "view", "purchase"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("event_type"), value_set=allowed))
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_filter_docs_lang(sf_dir: str):
+    """Drop-list filter (analog: IOP pub-status drop,
+    reference: hepcrawl/spiders/iop_spider.py:170-172)."""
+    allowed = pa.array(["en", "de"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("lang"), value_set=allowed))
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang", "source"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# aggregations (SURVEY §2.7 — result/error accumulation, close-log metrics)
+# ---------------------------------------------------------------------------
+
+def q_agg_errors_by_user(sf_dir: str):
+    """Error-channel accumulation (analog: spider.state['errors'],
+    reference: hepcrawl/pipelines.py:194-227). Partial count inside
+    map_batches, then a small groupby -> no wide shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("event_type"), "error"))
+        df = m.group_by("user_id").aggregate([("event_id", "count")])
+        return df.rename_columns(["user_id", "partial_n"])
+
+    from ray.data.aggregate import Sum
+
+    ds = (_read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("user_id").aggregate(Sum("partial_n", alias_name="n_errors")))
+    return ds
+
+
+def q_agg_docs_by_source(sf_dir: str):
+    """Close-log metrics rollup (analog: per-run counts,
+    reference: hepcrawl/pipelines.py:105-153)."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_chars", "sum"),
+                                            ("doc_id", "count")])
+        return g.rename_columns(["source", "p_chars", "p_docs"])
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("p_chars", alias_name="sum_chars"),
+                       Sum("p_docs", alias_name="n_docs")))
+
+
+def q_agg_lineitem_pricing(sf_dir: str):
+    """Q1-style wide aggregate with per-row integer cents (see module doc)."""
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(cutoff)))
+        if t.num_rows == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "l_linestatus": pa.array([], pa.string()),
+                             "p_qty": pa.array([], pa.int64()),
+                             "p_price_cents": pa.array([], pa.int64()),
+                             "p_rev_cents": pa.array([], pa.int64()),
+                             "p_rows": pa.array([], pa.int64())})
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        price_c = _cents(t.column("l_extendedprice").to_numpy())
+        rev_c = _cents(t.column("l_extendedprice").to_numpy()
+                       * (1.0 - t.column("l_discount").to_numpy()))
+        tmp = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": qty, "price_c": price_c, "rev_c": rev_c,
+            "one": np.ones(t.num_rows, dtype=np.int64),
+        })
+        g = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("rev_c", "sum"),
+             ("one", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty",
+                                 "p_price_cents", "p_rev_cents", "p_rows"])
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                       "l_quantity", "l_extendedprice",
+                                       "l_discount", "l_shipdate"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("p_qty", alias_name="sum_qty"),
+                       Sum("p_price_cents", alias_name="sum_price_cents"),
+                       Sum("p_rev_cents", alias_name="sum_rev_cents"),
+                       Sum("p_rows", alias_name="n_rows")))
+
+
+# ---------------------------------------------------------------------------
+# joins & lookups (SURVEY §2.6 — broadcast small side, no shuffle join)
+# ---------------------------------------------------------------------------
+
+def q_join_revenue_by_nation(sf_dir: str):
+    """Dimension join via broadcast lookup (analog: affiliation-by-id /
+    downloaded-file joins are broadcast-style row-local lookups,
+    reference: hepcrawl/tohep.py:38-67, utils.py:210-217)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    cust_nation = dict(zip(cust["c_custkey"],
+                           cust["c_nationkey"].map(
+                               dict(zip(nation["n_nationkey"], nation["n_name"])))))
+    order_nation = {int(o): cust_nation.get(int(c))
+                    for o, c in zip(orders["o_orderkey"], orders["o_custkey"])}
+    lookup_ref = ray.put(order_nation)
+
+    class JoinRev:
+        def __init__(self):
+            self.order_nation = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("l_orderkey").to_numpy()
+            nat = [self.order_nation.get(int(k)) for k in keys]
+            rev_c = _cents(t.column("l_extendedprice").to_numpy()
+                           * (1.0 - t.column("l_discount").to_numpy()))
+            tmp = pa.table({"n_name": pa.array(nat, pa.string()),
+                            "rev_c": rev_c,
+                            "one": np.ones(t.num_rows, dtype=np.int64)})
+            g = tmp.group_by("n_name").aggregate([("rev_c", "sum"),
+                                                  ("one", "sum")])
+            return g.rename_columns(["n_name", "p_rev", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                       "l_discount"])
+            .map_batches(JoinRev, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5)
+            .groupby("n_name")
+            .aggregate(Sum("p_rev", alias_name="revenue_cents"),
+                       Sum("p_n", alias_name="n_lineitems")))
+
+
+def q_anti_join_inactive_customers(sf_dir: str):
+    """Anti-join against a manifest (analog: FTP list_missing_files /
+    DESY processed-bucket skip, reference: hepcrawl/utils.py:139-147,
+    desy_spider.py:139-150): customers with no events, via a broadcast
+    key set filter inside map_batches."""
+    import ray
+
+    users = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    seen = pa.array(sorted(int(u) for u in users), type=pa.int64())
+    seen_ref = ray.put(seen)
+
+    class AntiJoin:
+        def __init__(self):
+            self.seen = ray.get(seen_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.invert(pc.is_in(t.column("c_custkey"), value_set=self.seen))
+            return t.filter(m)
+
+    return (_read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5))
+
+
+def q_dedup_crawl_once_events(sf_dir: str):
+    """Crawl-once/first-seen dedup (analog: crawl-once middleware skip,
+    reference: hepcrawl/middlewares.py:134-155): first event per
+    (user_id, event_type) with min event_id as the deterministic winner."""
+    from ray.data.aggregate import Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_id", "min")])
+        return g.rename_columns(["user_id", "event_type", "p_min"])
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["user_id", "event_type"])
+            .aggregate(Min("p_min", alias_name="first_event_id")))
+
+
+def q_topk_parts(sf_dir: str):
+    """Deterministic top-k (sort + limit), price in cents."""
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t.column("p_partkey"),
+                         "price_cents": _cents(t.column("p_retailprice").to_numpy())})
+
+    import ray
+
+    ds = (_read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+          .map_batches(prep, batch_format="pyarrow")
+          .sort(["price_cents", "p_partkey"], descending=[True, False])
+          .limit(10))
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# scalar-function queries (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q_fn_range_years(sf_dir: str):
+    """range_as_string over each customer's distinct order years
+    (reference: hepcrawl/utils.py:232-248)."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        years = sorted(g["year"].unique())
+        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]],
+                             "year_ranges": [range_as_string(years)]})
+
+    def prep(t: pa.Table) -> pa.Table:
+        years = pc.year(t.column("o_orderdate"))
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "year": years})
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .map_groups(per_group, batch_format="pandas"))
+
+
+def q_fn_date_normalize(sf_dir: str):
+    """Multi-format date -> ISO day + counts (analog: dateutils kit,
+    reference: hepcrawl/dateutils.py:127-206)."""
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        tmp = pa.table({"day": days,
+                        "one": np.ones(t.num_rows, dtype=np.int64)})
+        g = tmp.group_by("day").aggregate([("one", "sum")])
+        return g.rename_columns(["day", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "events", ["ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("p_n", alias_name="n_events")))
+
+
+def q_json_extract_events(sf_dir: str):
+    """JSONL field extraction with error rows (analog: DESY S3 JSONL
+    parse, reference: hepcrawl/spiders/desy_spider.py:185-210)."""
+    def f(t: pa.Table) -> pa.Table:
+        ks = []
+        for s in t.column("props").to_pylist():
+            try:
+                ks.append(int(json.loads(s)["k"]))
+            except Exception:
+                ks.append(None)
+        return pa.table({"event_id": t.column("event_id"),
+                         "k": pa.array(ks, pa.int64())})
+
+    return (_read(sf_dir, "events", ["event_id", "props"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_window_tumbling_events(sf_dir: str):
+    """Tumbling 1-hour window per user (streaming-shaped aggregate;
+    the reference has only batch windows via from/until dates,
+    reference: hepcrawl/spiders/common/oaipmh_spider.py:51-71)."""
+    def partial(t: pa.Table) -> pa.Table:
+        hours = pc.strftime(t.column("ts"), format="%Y-%m-%d %H")
+        val_c = _cents(t.column("value").to_numpy())
+        tmp = pa.table({"user_id": t.column("user_id"), "hour": hours,
+                        "val_c": val_c,
+                        "one": np.ones(t.num_rows, dtype=np.int64)})
+        g = tmp.group_by(["user_id", "hour"]).aggregate(
+            [("val_c", "sum"), ("one", "sum")])
+        return g.rename_columns(["user_id", "hour", "p_val", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["user_id", "hour"])
+            .aggregate(Sum("p_val", alias_name="sum_value_cents"),
+                       Sum("p_n", alias_name="n_events")))
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data ops; SURVEY §2.6 generalized)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact dedup keyed on content hash, min doc_id wins."""
+    return D.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """Exact 3-token-shingle Jaccard >= 0.3 pairs (blocked join)."""
+    return D.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k_shingle=3, threshold=0.3, max_shingle_df=256)
+
+
+def q_dedup_minhash_lsh(sf_dir: str):
+    """MinHash-LSH near-dup pairs, Jaccard-verified at 0.3 (rows-only:
+    LSH recall is probabilistic; the exact-oracle twin is
+    q_dedup_ngram_jaccard)."""
+    return D.minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_perm=64, bands=16, threshold=0.3)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash signatures per doc (rows-only; signature is engine-defined)."""
+    return D.simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_embedding_cosine(sf_dir: str):
+    """Embedding near-dup pairs, cosine >= 0.4."""
+    return D.embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.4, max_ids=2000)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_QUERIES = (0, 1, 2, 3, 4)
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-10 for 5 query vectors (partial top-k per batch
+    + tiny global combine)."""
+    return K.knn_bruteforce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _KNN_QUERIES, k=10)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (rows-only; approximate by design)."""
+    return K.knn_ivf(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _KNN_QUERIES, k=10, n_centroids=16, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_token_stats(sf_dir: str):
+    """Whitespace token stats (SQL-replicable integer metrics)."""
+    def f(t: pa.Table) -> pa.Table:
+        s = T.token_stats(t.column("text").to_pylist())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": s["n_tokens"],
+                         "chars_no_ws": s["chars_no_ws"],
+                         "n_stopwords": s["n_stopwords"],
+                         "has_digits": s["has_digits"].astype(np.int64)})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_text_langid(sf_dir: str):
+    """Marker-word language ID (rows-only; heuristic is engine-defined)."""
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang_pred": pa.array(
+                             T.langid(t.column("text").to_pylist()))})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_text_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only)."""
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(
+                             T.fingerprint64(t.column("text").to_pylist()))})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine queries (non-SQL; deterministic synthetic corpus)
+# ---------------------------------------------------------------------------
+
+_CRAWL_N = 150
+
+
+def _crawl_tables():
+    from hepcrawl_ray import synth
+
+    images, golden = synth.generate_corpus(_CRAWL_N)
+    seeds = synth.generate_seeds(images)
+    politeness = synth.generate_politeness()
+    return images, golden, seeds, politeness
+
+
+def q_crawl_admissions(sf_dir: str):
+    """Full admission schedule of the flagship crawl (ordering oracle
+    lives in tests vs the pure-Python simulator)."""
+    import ray
+
+    from hepcrawl_ray.pipelines import crawl as cp
+
+    images, _, seeds, politeness = _crawl_tables()
+    actors = cp.start_frontier(politeness.to_pylist(), num_partitions=2)
+    cp.offer_seeds(actors, seeds, 2)
+    admissions = pa.concat_tables(
+        ray.get([a.drain.remote(None) for a in actors]))
+    for a in actors:
+        ray.kill(a)
+    return admissions.sort_by([("round", "ascending"), ("host", "ascending"),
+                               ("pop_idx", "ascending")])
+
+
+def q_crawl_records(sf_dir: str):
+    """Flagship crawl end-to-end: records with parse + verify columns."""
+    from hepcrawl_ray.pipelines import crawl as cp
+
+    images, _, seeds, politeness = _crawl_tables()
+    out = cp.run_crawl(images, seeds, politeness, num_partitions=2,
+                       fetch_concurrency=2, parse_concurrency=2)
+    return out["records"].drop_columns(["bytes"])
+
+
+def q_multimodal_image_verify(sf_dir: str):
+    """Multimodal decode/verify stage over the binary image column:
+    decode, re-derive (w, h, phash), compare with declared metadata.
+    Real decode for png and the lossy stand-in codec (see
+    hepcrawl_ray.codecs; real JPEG decode would slot in here)."""
+    import ray
+
+    from hepcrawl_ray import codecs, synth
+
+    images, _, _, _ = _crawl_tables()
+
+    def verify(t: pa.Table) -> pa.Table:
+        ok, w_ok, ph_match = [], [], []
+        for blob, fmt, w, h, ph in zip(t.column("bytes").to_pylist(),
+                                       t.column("fmt").to_pylist(),
+                                       t.column("w").to_pylist(),
+                                       t.column("h").to_pylist(),
+                                       t.column("phash").to_pylist()):
+            try:
+                px = codecs.decode(blob, fmt)
+                ok.append(True)
+                w_ok.append(px.shape[1] == w and px.shape[0] == h)
+                ph_match.append(codecs.phash64(px) == ph)
+            except Exception:
+                ok.append(False)
+                w_ok.append(False)
+                ph_match.append(False)
+        return pa.table({"image_id": t.column("image_id"),
+                         "decoded": pa.array(ok),
+                         "dims_match": pa.array(w_ok),
+                         "phash_match": pa.array(ph_match)})
+
+    return ray.data.from_arrow(images).map_batches(
+        verify, batch_format="pyarrow", batch_size=64)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "filter_event_types": q_filter_event_types,
+    "filter_docs_lang": q_filter_docs_lang,
+    "agg_errors_by_user": q_agg_errors_by_user,
+    "agg_docs_by_source": q_agg_docs_by_source,
+    "agg_lineitem_pricing": q_agg_lineitem_pricing,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "dedup_crawl_once_events": q_dedup_crawl_once_events,
+    "topk_parts": q_topk_parts,
+    "fn_range_years": q_fn_range_years,
+    "fn_date_normalize": q_fn_date_normalize,
+    "json_extract_events": q_json_extract_events,
+    "window_tumbling_events": q_window_tumbling_events,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf": q_knn_ivf,
+    "text_token_stats": q_text_token_stats,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "crawl_admissions": q_crawl_admissions,
+    "crawl_records": q_crawl_records,
+    "multimodal_image_verify": q_multimodal_image_verify,
+}
+
+_STOP_SQL = "', '".join(T.STOPWORDS)
+
+ORACLE_SQL = {
+    "filter_event_types": """
+        SELECT event_id, user_id, event_type FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    """,
+    "filter_docs_lang": """
+        SELECT doc_id, lang, source FROM documents WHERE lang IN ('en', 'de')
+    """,
+    "agg_errors_by_user": """
+        SELECT user_id, count(*) AS n_errors FROM events
+        WHERE event_type = 'error' GROUP BY user_id
+    """,
+    "agg_docs_by_source": """
+        SELECT source, sum(n_chars) AS sum_chars, count(*) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "agg_lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_rev_cents,
+               count(*) AS n_rows
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_revenue_by_nation": """
+        SELECT n_name,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "anti_join_inactive_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+    """,
+    "dedup_crawl_once_events": """
+        SELECT user_id, event_type, min(event_id) AS first_event_id
+        FROM events GROUP BY user_id, event_type
+    """,
+    "topk_parts": """
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10
+    """,
+    "fn_range_years": """
+        WITH y AS (SELECT DISTINCT o_custkey, year(o_orderdate) AS yr FROM orders),
+        g AS (SELECT o_custkey, yr,
+                     yr - row_number() OVER (PARTITION BY o_custkey ORDER BY yr) AS grp
+              FROM y),
+        r AS (SELECT o_custkey,
+                     CASE WHEN min(yr) = max(yr) THEN CAST(min(yr) AS VARCHAR)
+                          ELSE CAST(min(yr) AS VARCHAR) || '-' || CAST(max(yr) AS VARCHAR)
+                     END AS part, min(yr) AS mn
+              FROM g GROUP BY o_custkey, grp)
+        SELECT o_custkey, string_agg(part, ', ' ORDER BY mn) AS year_ranges
+        FROM r GROUP BY o_custkey
+    """,
+    "fn_date_normalize": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "json_extract_events": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    "window_tumbling_events": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d %H') AS hour,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
+               count(*) AS n_events
+        FROM events GROUP BY user_id, hour
+    """,
+    "dedup_exact_docs": """
+        SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+    "dedup_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+        nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
+        pairs AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            JOIN keep k ON k.s = x.s
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN nsh na ON na.doc_id = doc_a
+        JOIN nsh nb ON nb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.3
+    """,
+    "dedup_embedding_cosine": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 2000 AND b.vec_id < 2000
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "knn_bruteforce": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        s AS (SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.e, CAST(v.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.qid)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM s QUALIFY rank <= 10
+    """,
+    "text_token_stats": f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '\\s', '', 'g')) AS chars_no_ws,
+               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x IN ('{_STOP_SQL}'))) AS n_stopwords,
+               CAST(regexp_matches(text, '[0-9]') AS BIGINT) AS has_digits
+        FROM documents
+    """,
+}

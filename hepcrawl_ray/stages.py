@@ -1,0 +1,119 @@
+"""map_batches stages: fetch, parse, verify — the dataflow after the frontier.
+
+Each stage is a callable class (Ray actor-pool UDF): expensive setup in
+``__init__`` (once per actor), vectorized work in ``__call__`` (per
+Arrow batch) — the pattern the reference approximates with
+process-lifetime state (LaTeX context DB built once,
+reference: hepcrawl/parsers/arxiv.py:84-91; spider-lifetime S3/FTP
+sessions, reference: hepcrawl/spiders/desy_spider.py:94-122).
+
+- FetchStage: admitted URL rows -> image rows.  In this sandbox the
+  "network" is the corpus table itself: a lookup of the URL's terminal
+  path segment (image_id) against a broadcast index (``ray.put`` once,
+  ``ray.get`` in ``__init__`` — never re-shipped per batch).  At 100 TB
+  the same stage shape does batched key lookups against the storage
+  layer (Lance take / HTTP fetch with a connection pool in __init__);
+  only this stage touches image bytes.  Missing keys become error ROWS
+  (reference: error ParsedItem, hepcrawl/utils.py:492-502), never
+  exceptions.
+- ParseStage: caption -> record struct columns (hepcrawl_ray.caption)
+  + image decode verification (decoded w/h vs declared, recomputed
+  phash) — the per-row invariant of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hepcrawl_ray import codecs, urlkit
+from hepcrawl_ray.caption import parse_caption
+from hepcrawl_ray.synth import GOLDEN_SCHEMA
+
+FETCH_ERROR_NOT_FOUND = "fetch failed: image not found"
+
+RECORD_FIELDS = ("title", "abstract", "authors", "collaborations", "dois",
+                 "date_published", "document_type")
+
+
+class FetchStage:
+    """Resolve admitted URLs to corpus rows via a broadcast index."""
+
+    def __init__(self, images_ref):
+        import ray
+
+        images: pa.Table = ray.get(images_ref) if not isinstance(images_ref, pa.Table) \
+            else images_ref
+        self.images = images
+        ids = images.column("image_id").to_pylist()
+        self.index = {i: n for n, i in enumerate(ids)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        image_ids = [urlkit.image_id_of(u) for u in urls]
+        rows = np.array([self.index.get(i, -1) for i in image_ids], dtype=np.int64)
+        found = rows >= 0
+        # gather found rows from the corpus in one take()
+        taken = self.images.take(pa.array(np.where(found, rows, 0)))
+        null_mask = pa.array(~found)
+
+        def col(name):
+            c = taken.column(name)
+            if found.all():
+                return c
+            return pa.compute.if_else(null_mask, pa.nulls(len(urls), c.type), c)
+
+        out = batch.append_column("image_id", pa.array(image_ids))
+        for name in ("bytes", "w", "h", "fmt", "caption", "phash"):
+            out = out.append_column(name, col(name))
+        error = pa.array([None if ok else FETCH_ERROR_NOT_FOUND for ok in found],
+                         type=pa.string())
+        return out.append_column("fetch_error", error)
+
+
+class ParseStage:
+    """Parse captions into record columns + verify decoded pixels."""
+
+    def __init__(self, verify_pixels: bool = True):
+        self.verify_pixels = verify_pixels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        captions = batch.column("caption").to_pylist()
+        fetch_err = batch.column("fetch_error").to_pylist()
+        records = []
+        for cap, ferr in zip(captions, fetch_err):
+            if ferr is not None:
+                records.append({k: None if k not in ("authors", "collaborations", "dois")
+                                else [] for k in RECORD_FIELDS} | {"error": ferr})
+            else:
+                records.append(parse_caption(cap))
+
+        verify_ok = np.ones(len(captions), dtype=bool)
+        phash_decoded = np.zeros(len(captions), dtype=np.int64)
+        if self.verify_pixels:
+            blobs = batch.column("bytes").to_pylist()
+            fmts = batch.column("fmt").to_pylist()
+            ws = batch.column("w").to_pylist()
+            hs = batch.column("h").to_pylist()
+            for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+                if blob is None:
+                    verify_ok[i] = False
+                    continue
+                try:
+                    px = codecs.decode(blob, fmt)
+                except Exception:
+                    verify_ok[i] = False
+                    continue
+                phash_decoded[i] = codecs.phash64(px)
+                verify_ok[i] = (px.shape[0] == hs[i] and px.shape[1] == ws[i])
+
+        out = batch
+        for name, typ in zip(
+            RECORD_FIELDS + ("error",),
+            [GOLDEN_SCHEMA.field(f).type for f in RECORD_FIELDS] + [pa.string()],
+        ):
+            vals = [r.get(name) for r in records]
+            out = out.append_column(name, pa.array(vals, type=typ))
+        out = out.append_column("pixels_verified", pa.array(verify_ok))
+        out = out.append_column("phash_decoded", pa.array(phash_decoded))
+        return out

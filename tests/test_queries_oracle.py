@@ -1,0 +1,80 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry at sf0.001 and compare row-count + sorted-column value content
+against oracle_sql() via DuckDB.  Non-SQL queries get a rows/schema
+smoke check."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(SF_DIR, t)}.parquet')")
+    return con
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    # unify integer widths
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df
+
+
+SQL_QUERIES = sorted(entry_mod.oracle_sql())
+ALL_QUERIES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(ray_session, duck, name):
+    q = entry_mod.queries()[name]
+    got = normalize(to_pandas(q(SF_DIR)))
+    want = normalize(duck.sql(entry_mod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True, obj=name)
+
+
+@pytest.mark.parametrize("name", [n for n in ALL_QUERIES if n not in SQL_QUERIES])
+def test_rows_only_queries_run(ray_session, name):
+    q = entry_mod.queries()[name]
+    got = to_pandas(q(SF_DIR))
+    assert got is not None
+    assert len(got.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    res = entry_mod.entry()
+    df = to_pandas(res)
+    assert len(df) > 0
