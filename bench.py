@@ -25,8 +25,8 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench corpus knobs (deterministic; cached on disk after first build)
-BENCH_IMAGES = int(os.environ.get("BENCH_IMAGES", "4000"))
-BENCH_SEED_MULT = int(os.environ.get("BENCH_SEED_MULT", "60"))  # URLs ~= imgs*mult
+BENCH_IMAGES = int(os.environ.get("BENCH_IMAGES", "2000"))
+BENCH_SEED_MULT = int(os.environ.get("BENCH_SEED_MULT", "500"))  # URLs ~= imgs*mult
 BENCH_CACHE = os.environ.get("BENCH_CACHE", "/tmp/hepcrawl_ray_bench")
 
 QUERY_NAMES = [
@@ -44,11 +44,11 @@ def build_bench_corpus():
     os.makedirs(BENCH_CACHE, exist_ok=True)
     img_path = os.path.join(BENCH_CACHE, f"images_{BENCH_IMAGES}.parquet")
     seed_path = os.path.join(
-        BENCH_CACHE, f"seeds_{BENCH_IMAGES}x{BENCH_SEED_MULT}.parquet")
+        BENCH_CACHE, f"seeds_{BENCH_IMAGES}x{BENCH_SEED_MULT}")
     if not os.path.exists(img_path):
         from hepcrawl_ray import synth
 
-        images, _ = synth.generate_corpus(BENCH_IMAGES, size_range=(16, 24))
+        images, _ = synth.generate_corpus(BENCH_IMAGES, size_range=(48, 96))
         pq.write_table(images, img_path)
     images = pq.read_table(img_path)
     if not os.path.exists(seed_path):
@@ -68,7 +68,9 @@ def build_bench_corpus():
         hw = hw / hw.sum()
         hosts = hosts_pool[rng.choice(32, size=n, p=hw)]
         sets = np.char.add("set", rng.integers(0, 8, size=n).astype(str))
-        urls = [f"http://{h}/{s}/{img_ids[i]}/r{j}"
+        # terminal path segment IS the corpus key (urlkit.image_id_of);
+        # the uniquifier goes in a middle segment
+        urls = [f"http://{h}/{s}/r{j}/{img_ids[i]}"
                 for j, (h, s, i) in enumerate(zip(hosts, sets, pick))]
         # exact duplicates: rewrite 10% of rows to copy an earlier url
         ndup = n // 10
@@ -85,8 +87,13 @@ def build_bench_corpus():
             "mtime": np.full(n, 1000, dtype=np.int64),
             "dup_of": [None] * n,
         }, schema=SEEDS_SCHEMA)
-        pq.write_table(seeds, seed_path)
-    seeds = pq.read_table(seed_path)
+        # many files -> many read tasks -> parallel canonicalize/route
+        os.makedirs(seed_path, exist_ok=True)
+        n_files = 40
+        step = -(-seeds.num_rows // n_files)
+        for i in range(n_files):
+            pq.write_table(seeds.slice(i * step, step),
+                           os.path.join(seed_path, f"part-{i:03d}.parquet"))
     import pyarrow as pa
 
     politeness = pa.table({
@@ -95,26 +102,55 @@ def build_bench_corpus():
         "min_delay_ms": [0] * 32,
         "robots_disallow": [["/private/"]] * 32,
     })
-    return images, seeds, politeness
+    return images, seed_path, politeness
 
 
-def run_crawl_bench(num_partitions: int):
+def run_crawl_bench(num_partitions: int = 16):
+    """num_partitions is a DATA-LAYOUT choice (like a cluster's shard
+    count) and is held constant across CPU levels so the scaling
+    experiment varies only compute."""
     from hepcrawl_ray.pipelines import crawl as cp
 
-    images, seeds, politeness = build_bench_corpus()
+    images, seed_path, politeness = build_bench_corpus()
     t0 = time.time()
     out = cp.run_crawl(
-        images, seeds, politeness,
+        images, seed_path, politeness,
         num_partitions=num_partitions,
         salted_hosts={"host00.bench.org": max(2, num_partitions // 2)},
-        fetch_concurrency=max(2, NUM_CPUS // 4),
-        parse_concurrency=max(2, NUM_CPUS // 2),
-        batch_size=2048, verify_pixels=True)
-    n = out["records"].count()
+        fetch_concurrency=max(2, NUM_CPUS // 2),
+        parse_concurrency=max(2, NUM_CPUS),
+        batch_size=2048, verify_pixels=True,
+        num_blocks=max(8, 2 * NUM_CPUS), drop_bytes=True,
+        frontier_capacity=1 << 19)
+    recs = out["records"]
+    from ray.data.aggregate import Sum
+
+    def agg_ok(t):
+        import pyarrow as pa
+        import numpy as np
+        ok = t.column("pixels_verified").to_numpy(zero_copy_only=False)
+        fe = t.column("fetch_error").null_count
+        return pa.table({"n": [t.num_rows], "n_ok": [int(ok.sum())],
+                         "n_fetched": [int(fe)]})
+
+    stats = (recs.map_batches(agg_ok, batch_format="pyarrow")
+             .groupby(None)  # placeholder; replaced below
+             ) if False else None
+    import pyarrow as pa
+    parts = [b for b in recs.map_batches(agg_ok, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    tot = pa.concat_tables(parts)
+    n = int(sum(tot.column("n").to_pylist()))
+    n_ok = int(sum(tot.column("n_ok").to_pylist()))
+    n_fetched = int(sum(tot.column("n_fetched").to_pylist()))
     wall = time.time() - t0
+    assert n_ok > 0.95 * n, (
+        f"pixel verification failed for most rows ({n_ok}/{n}) — "
+        "the bench is not measuring a real fetch+parse")
     return {"crawl_sec": round(wall, 3), "urls": int(n),
             "urls_per_sec": round(n / wall, 1),
-            "offered": out["offered"]}
+            "offered": out["offered"], "verified": n_ok,
+            "fetched": n_fetched}
 
 
 def run_queries():
@@ -143,7 +179,8 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    crawl = run_crawl_bench(num_partitions=max(4, NUM_CPUS // 2))
+    run_crawl_bench(num_partitions=16)   # warm-up: workers, caches
+    crawl = run_crawl_bench(num_partitions=16)  # reported: steady state
     queries = run_queries() if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
     out = {
         "metric": "frontier_crawl_sec",
@@ -154,12 +191,22 @@ def main():
         "num_cpus": NUM_CPUS,
         "urls": crawl["urls"],
         "urls_per_sec": crawl["urls_per_sec"],
+        "verified": crawl["verified"],
     }
     print(json.dumps(out))
     ray.shutdown()
 
 
 def scaling():
+    """N vs 4N parallelism in fresh processes on the SAME input.
+
+    Sandbox evidence for the cluster-size criterion (no real multi-node
+    cluster here).  Note the structural caveat recorded in BASELINE.md:
+    both levels share ONE machine's DRAM bandwidth, so memory-streaming
+    stages stop scaling once a few cores saturate the channels — a real
+    N -> 4N *node* cluster multiplies bandwidth with nodes.  The number
+    below therefore under-reports multi-node scaling.
+    """
     import subprocess
 
     build_bench_corpus()  # warm the disk cache so both runs see warm input
@@ -177,6 +224,8 @@ def scaling():
         "urls_per_sec_8": tput8, "urls_per_sec_32": tput32,
         "sec_8": results[8]["value"], "sec_32": results[32]["value"],
         "scaling_efficiency": round(eff, 3),
+        "note": "same-box CPU pair; DRAM bandwidth shared across levels"
+                " - see BASELINE.md scaling section",
     }))
 
 

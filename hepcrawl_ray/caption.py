@@ -36,13 +36,10 @@ from hepcrawl_ray.functions import (
     remove_tags,
 )
 
-_SECTIONS_RE = re.compile(
-    r"^(?P<head>.*?)\s*Authors:\s*(?P<authors>.*?)\s*"
-    r"(?:DOI:\s*(?P<dois>.*?)\s*)?"
-    r"Published:\s*(?P<date>.*?)\s*Type:\s*(?P<type>.*?)\.?\s*$"
-)
-
 MALFORMED_MSG = "malformed caption: unparseable authors section"
+
+_FOR_THE_RE = re.compile(r"\bfor\s+the\b", flags=re.I)
+_HAS_ALPHA_RE = re.compile(r"[A-Za-z]")
 
 EMPTY_RECORD = {
     "title": None, "abstract": None, "authors": [], "collaborations": [],
@@ -62,28 +59,43 @@ def classify_document_type(type_text: str) -> str:
 
 def parse_caption(caption: str) -> dict:
     """Parse one caption into the golden-record struct (+ ``error``)."""
-    cleaned = remove_tags(caption, which_ones=("i", "b"))
-    cleaned = convert_html_subscripts_to_latex(cleaned)
+    if "<" in caption:  # fast path: tag cleanup only when tags present
+        cleaned = remove_tags(caption, which_ones=("i", "b"))
+        cleaned = convert_html_subscripts_to_latex(cleaned)
+    else:
+        cleaned = caption
     cleaned = clean_whitespace_characters(cleaned)
 
-    m = _SECTIONS_RE.match(cleaned)
-    if not m:
+    # section split by marker indices (order: Authors [DOI] Published Type)
+    ia = cleaned.find("Authors:")
+    ip = cleaned.find("Published:", ia + 1) if ia >= 0 else -1
+    it = cleaned.find("Type:", ip + 1) if ip >= 0 else -1
+    if ia < 0 or ip < 0 or it < 0:
         return {**EMPTY_RECORD, "error": MALFORMED_MSG}
+    idoi = cleaned.find("DOI:", ia)
+    if idoi >= ip:
+        idoi = -1
+    sec_authors = cleaned[ia + 8:idoi if idoi >= 0 else ip].strip()
+    sec_dois = cleaned[idoi + 4:ip].strip() if idoi >= 0 else None
+    sec_date = cleaned[ip + 10:it].strip()
+    sec_type = cleaned[it + 5:].strip()
+    if sec_type.endswith("."):
+        sec_type = sec_type[:-1]
 
-    head = m.group("head").rstrip(".")
+    head = cleaned[:ia].strip().rstrip(".")
     title, _, abstract = head.partition(". ")
     title = title.strip() or None
     abstract = abstract.strip() or None
 
     authors, collaborations = [], []
-    auth_text = m.group("authors").rstrip(".").strip()
-    if not auth_text or not re.search(r"[A-Za-z]", auth_text):
+    auth_text = sec_authors.rstrip(".").strip()
+    if not auth_text or not _HAS_ALPHA_RE.search(auth_text):
         return {**EMPTY_RECORD, "error": MALFORMED_MSG}
     for piece in auth_text.split(";"):
         piece = piece.strip()
         if not piece:
             continue
-        if re.search(r"\bfor\s+the\b", piece, flags=re.I):
+        if _FOR_THE_RE.search(piece):
             coll, author_part = coll_cleanforthe(piece)
             if coll:
                 collaborations.append(coll)
@@ -92,14 +104,14 @@ def parse_caption(caption: str) -> dict:
             authors.append(parse_author_str(piece))
 
     dois = []
-    if m.group("dois"):
-        for val in m.group("dois").rstrip(".").split(","):
+    if sec_dois:
+        for val in sec_dois.rstrip(".").split(","):
             val = val.strip()
             if val:
                 dois.append({"value": val, "material": "publication"})
 
-    date_published = create_valid_date(m.group("date").rstrip("."))
-    document_type = classify_document_type(m.group("type"))
+    date_published = create_valid_date(sec_date.rstrip("."))
+    document_type = classify_document_type(sec_type)
 
     return {
         "title": title, "abstract": abstract, "authors": authors,

@@ -85,6 +85,8 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
+    if not filters.any():  # all filter-0 scanlines: no unfiltering needed
+        return np.ascontiguousarray(raw[:, 1:]).reshape(h, w, 3)
     lines = raw[:, 1:].copy()
     bpp = 3
     prev = np.zeros(w * 3, dtype=np.uint8)
@@ -177,31 +179,46 @@ def _dct_matrix(n: int) -> np.ndarray:
     return m
 
 
+# phash runs in float32 end-to-end: half the DRAM traffic of float64,
+# which is what binds when every core decodes+hashes concurrently
+
+
 _DCT_M = _dct_matrix(_DCT_N)
+
+
+_GRAY_W = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+_POOL_CACHE: dict[int, np.ndarray] = {}
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
+def _pool_matrix(n: int) -> np.ndarray:
+    """(32, n) DCT-fused mean-pooling matrix (DCT @ pool): one matmul
+    pair resamples AND transforms — cached per source size."""
+    m = _POOL_CACHE.get(n)
+    if m is None:
+        yi = np.arange(_DCT_N + 1) * n // _DCT_N
+        pool = np.zeros((_DCT_N, n))
+        for r in range(_DCT_N):
+            lo, hi = yi[r], max(yi[r + 1], yi[r] + 1)
+            pool[r, lo:hi] = 1.0 / (hi - lo)
+        m = np.ascontiguousarray((_DCT_M @ pool).astype(np.float32))
+        _POOL_CACHE[n] = m
+    return m
 
 
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual hash (DCT-based, pHash-style), deterministic.
 
-    Grayscale -> area-resample to 32x32 -> 2D DCT -> top-left 8x8 minus
-    DC -> median threshold -> 64 bits (row-major, signed int64).
+    Grayscale -> area-resample to 32x32 (cached pooling matrices) ->
+    2D DCT -> top-left 8x8 minus DC -> median threshold -> 64 bits
+    (row-major, signed int64).
     """
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    i16 = pixels.astype(np.uint16)
+    gray = ((i16[..., 0] * 77 + i16[..., 1] * 151 + i16[..., 2] * 28)
+            >> 8).astype(np.float32)  # integer Rec.601-ish luma
     h, w = gray.shape
-    # area resample to 32x32 by mean pooling (reduceat over index buckets;
-    # an empty bucket yields the single row/col at its start index)
-    yi = (np.arange(_DCT_N + 1) * h // _DCT_N)
-    xi = (np.arange(_DCT_N + 1) * w // _DCT_N)
-    ys = np.add.reduceat(gray, yi[:-1], axis=0)
-    yc = np.maximum(np.diff(yi), 1)[:, None]
-    xs = np.add.reduceat(ys, xi[:-1], axis=1)
-    xc = np.maximum(np.diff(xi), 1)[None, :]
-    small = xs / (yc * xc)
-    dct = _DCT_M @ small @ _DCT_M.T
-    block = dct[:_DCT_K, :_DCT_K].ravel()
+    dct = _pool_matrix(h) @ gray @ _pool_matrix(w).T
+    block = np.ascontiguousarray(dct[:_DCT_K, :_DCT_K]).ravel()
     med = np.median(block[1:])
-    bits = block > med
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
+    val = int(((block > med) * _BIT_WEIGHTS).sum())
     return val - (1 << 64) if val >= (1 << 63) else val

@@ -110,6 +110,39 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
     return pa.table(out, schema=OFFER_SCHEMA)
 
 
+def route_partition_ids(hosts, url_hashes, num_partitions: int,
+                        salted_hosts: dict[str, int] | None = None) -> np.ndarray:
+    """Vectorized frontier-partition assignment for a batch.
+
+    Unsalted hosts route whole to ``partition_of_host(host)``; a host
+    salted ``k`` ways routes each URL to the partition of
+    ``host#(url_hash % k)`` — the *same* sub index the receiving
+    partition derives, so the seen-shard for a URL is unique, while a
+    hot host's queue (and its budget shares) spreads over up to ``k``
+    actors.  This is the skew mitigation the single-actor-per-host
+    design needs at 10^10 URLs.
+    """
+    hosts_arr = np.asarray(hosts, dtype=object)
+    hashes = np.asarray(url_hashes, dtype=np.int64)
+    uniq, inv = np.unique(hosts_arr, return_inverse=True)
+    base = np.array([urlkit.partition_of_host(h, num_partitions)
+                     for h in uniq], dtype=np.int64)
+    parts = base[inv]
+    for h, k in (salted_hosts or {}).items():
+        if k <= 1:
+            continue
+        where = np.nonzero(uniq == h)[0]
+        if not len(where):
+            continue
+        m = inv == where[0]
+        subs = hashes[m] % k  # numpy modulo is non-negative for k > 0
+        sub_parts = np.array(
+            [urlkit.partition_of_host(f"{h}#{s}", num_partitions)
+             for s in range(k)], dtype=np.int64)
+        parts[m] = sub_parts[subs]
+    return parts
+
+
 class HostBudget:
     __slots__ = ("concurrency", "delay_rounds", "disallow")
 
@@ -182,42 +215,54 @@ class FrontierPartition:
             self._buffer.append(table)
         return table.num_rows
 
+    def buffered_rows(self) -> int:
+        """Rows delivered but not yet sealed (offer-completion probe)."""
+        return sum(t.num_rows for t in self._buffer)
+
     def seal(self) -> dict:
-        """Sort buffered offers by seq, apply robots + crawl-once rules,
-        append survivors to the per-host sorted queues."""
+        """Apply robots + crawl-once rules to the buffered offers (in
+        seq order), append survivors to the per-host sorted queues.
+
+        The table itself is never sorted: admission decisions are made
+        over a seq-ordered *view* (argsort of the int64 seq column) and
+        mapped back, avoiding a full Arrow string sort; per-queue order
+        is restored by ``_enqueue``'s (-priority, seq) sort anyway.
+        """
         if not self._buffer:
             return dict(self.metrics)
-        t = pa.concat_tables(self._buffer)
+        t = pa.concat_tables(self._buffer).combine_chunks()
         self._buffer = []
-        t = t.sort_by("seq")
         self.metrics["offered"] += t.num_rows
         self.metrics["seal_batches"] += 1
 
-        hosts = t.column("host").to_pylist()
-        paths = t.column("path").to_pylist()
-
-        # robots filter (vectorized per distinct host)
+        # robots filter (Arrow kernels; one pass per (host, prefix) rule)
+        host_col = t.column("host")
+        path_col = t.column("path")
+        distinct_hosts = pc.unique(host_col).to_pylist()
         keep = np.ones(t.num_rows, dtype=bool)
-        host_arr = np.asarray(hosts, dtype=object)
-        for host in set(hosts):
+        for host in distinct_hosts:
             dis = self._budget_for(host).disallow
             if not dis:
                 continue
-            m = host_arr == host
-            pv = np.asarray(paths, dtype=object)[m]
-            blocked = np.zeros(len(pv), dtype=bool)
+            m = pc.equal(host_col, host)
+            blocked = None
             for pref in dis:
-                blocked |= np.array([p.startswith(pref) for p in pv])
-            sub = np.nonzero(m)[0][blocked]
-            keep[sub] = False
+                b = pc.starts_with(path_col, pattern=pref)
+                blocked = b if blocked is None else pc.or_(blocked, b)
+            drop = pc.and_(m, blocked)
+            keep &= ~drop.combine_chunks().to_numpy(zero_copy_only=False)
         self.metrics["dropped_robots"] += int((~keep).sum())
         if not keep.all():
             t = t.filter(pa.array(keep))
 
-        # crawl-once admission (vectorized; row order == seq order)
+        # crawl-once admission, decided in seq order over a permuted view
         hashes = t.column("url_hash").to_numpy()
         mtimes = t.column("mtime").to_numpy()
-        admit = self.seen.admit_many(hashes, mtimes)
+        seqs = t.column("seq").to_numpy()
+        order = np.argsort(seqs, kind="stable")
+        admit_sorted = self.seen.admit_many(hashes[order], mtimes[order])
+        admit = np.empty(len(admit_sorted), dtype=bool)
+        admit[order] = admit_sorted
         self.metrics["dropped_dup"] += int((~admit).sum())
         if not admit.all():
             t = t.filter(pa.array(admit))
@@ -225,13 +270,26 @@ class FrontierPartition:
         if t.num_rows == 0:
             return dict(self.metrics)
 
-        # append to per-queue sorted arrays
-        q_hosts = t.column("host").to_pylist()
+        # append to per-queue sorted arrays.  Fast path: no salted hosts
+        # in this batch -> qkey == host, no per-row Python.
+        if not self.salted_hosts:
+            for qkey in pc.unique(t.column("host")).to_pylist():
+                rows = t.filter(pc.equal(t.column("host"), qkey))
+                self._enqueue(qkey, rows)
+            return dict(self.metrics)
+        hosts_np = np.asarray(t.column("host").to_pylist(), dtype=object)
+        qkeys = hosts_np.copy()
         q_hash = t.column("url_hash").to_numpy()
-        qkeys = [self._queue_key_and_share(h, uh)[0]
-                 for h, uh in zip(q_hosts, q_hash)]
+        for h, k in self.salted_hosts.items():
+            if k <= 1:
+                continue
+            m = hosts_np == h
+            if not m.any():
+                continue
+            labels = np.array([f"{h}#{i}" for i in range(k)], dtype=object)
+            qkeys[m] = labels[q_hash[m] % k]
         t = t.append_column("_qkey", pa.array(qkeys))
-        for qkey in sorted(set(qkeys)):
+        for qkey in sorted(set(qkeys.tolist())):
             rows = t.filter(pc.equal(t.column("_qkey"), qkey)).drop(["_qkey"])
             self._enqueue(qkey, rows)
         return dict(self.metrics)
@@ -255,44 +313,63 @@ class FrontierPartition:
     def pending(self) -> int:
         return sum(q["rows"].num_rows - q["cursor"] for q in self.queues.values())
 
-    def drain(self, max_rounds: int | None = None) -> pa.Table:
-        """Admit URLs round by round until queues empty (or max_rounds).
+    def _share_for(self, qkey: str, host: str) -> int:
+        k = self.salted_hosts.get(host, 0)
+        c = self._budget_for(host).concurrency
+        if k > 1 and "#" in qkey:
+            sub = int(qkey.split("#", 1)[1])
+            return max(1, c // k + (1 if sub < c % k else 0))
+        return c
 
-        Returns ADMIT_SCHEMA rows.  Politeness is virtual-time: rounds
-        are aligned across partitions by construction (everyone starts
-        at the same ``cur_round``), so no coordination is needed.
+    def drain(self, max_rounds: int | None = None) -> pa.Table:
+        """Admit URLs until queues empty (or ``max_rounds`` have passed).
+
+        Returns ADMIT_SCHEMA rows.  Politeness is virtual-time and each
+        queue's schedule is INDEPENDENT of every other queue (round
+        ``r0 + j*delay`` admits batch ``j`` of ``share`` rows), so the
+        whole schedule is computed in closed form per queue — no
+        per-round loop, no cross-partition coordination.  The global
+        interleave is imposed downstream by sorting on
+        ``(round, host, pop_idx)``, exactly as the per-round loop of
+        the simulator produces it.
         """
-        take_idx: list[np.ndarray] = []
         rounds_out: list[np.ndarray] = []
         pops_out: list[np.ndarray] = []
         qorder_out: list[pa.Table] = []
-        r = self.cur_round
         end = None if max_rounds is None else self.cur_round + max_rounds
-        while self.pending() > 0 and (end is None or r < end):
-            for qkey in sorted(k for k, q in self.queues.items()
-                               if q["cursor"] < q["rows"].num_rows):
-                if r < self.next_round[qkey]:
-                    continue
-                q = self.queues[qkey]
-                host = q["host"]
-                k = self.salted_hosts.get(host, 0)
-                if k > 1 and "#" in qkey:
-                    sub = int(qkey.split("#", 1)[1])
-                    c = self._budget_for(host).concurrency
-                    share = max(1, c // k + (1 if sub < c % k else 0))
-                else:
-                    share = self._budget_for(host).concurrency
-                n = min(share, q["rows"].num_rows - q["cursor"])
-                if n <= 0:
-                    continue
-                sl = q["rows"].slice(q["cursor"], n)
-                q["cursor"] += n
-                qorder_out.append(sl)
-                rounds_out.append(np.full(n, r, dtype=np.int32))
-                pops_out.append(np.arange(n, dtype=np.int32))
-                self.next_round[qkey] = r + self._budget_for(host).delay_rounds
-            r += 1
-        self.cur_round = r
+        active_end = self.cur_round
+        for qkey in sorted(self.queues):
+            q = self.queues[qkey]
+            remaining = q["rows"].num_rows - q["cursor"]
+            if remaining <= 0:
+                continue
+            host = q["host"]
+            share = self._share_for(qkey, host)
+            d = self._budget_for(host).delay_rounds
+            r0 = max(self.next_round.get(qkey, self.cur_round), self.cur_round)
+            nb_full = -(-remaining // share)
+            if end is None:
+                nb = nb_full
+            elif r0 >= end:
+                continue
+            else:
+                nb = min(nb_full, -(-(end - r0) // d))
+            if nb <= 0:
+                continue
+            n = min(remaining, nb * share)
+            sl = q["rows"].slice(q["cursor"], n)
+            q["cursor"] += n
+            rr = (r0 + d * np.repeat(np.arange(nb, dtype=np.int64), share)[:n])
+            pp = np.tile(np.arange(share, dtype=np.int32), nb)[:n]
+            qorder_out.append(sl)
+            rounds_out.append(rr.astype(np.int32))
+            pops_out.append(pp)
+            self.next_round[qkey] = r0 + d * nb
+            active_end = max(active_end, int(rr[-1]) + 1)
+        if end is None or self.pending() == 0:
+            self.cur_round = active_end
+        else:
+            self.cur_round = end
         if not qorder_out:
             return pa.table({f.name: pa.array([], type=f.type)
                              for f in ADMIT_SCHEMA})
@@ -312,6 +389,11 @@ class FrontierPartition:
             "partition": np.full(n, self.part_id, dtype=np.int32),
         }, schema=ADMIT_SCHEMA)
         return out
+
+    def seal_and_drain(self, max_rounds: int | None = None) -> pa.Table:
+        """Fused seal + drain (one actor round-trip instead of two)."""
+        self.seal()
+        return self.drain(max_rounds)
 
     def seen_hashes(self) -> np.ndarray:
         return self.seen.seen_keys()

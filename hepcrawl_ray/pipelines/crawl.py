@@ -28,23 +28,26 @@ import pyarrow as pa
 
 from hepcrawl_ray import urlkit
 from hepcrawl_ray.frontier import FrontierPartition, canonicalize_batch
-from hepcrawl_ray.stages import FetchStage, ParseStage
+from hepcrawl_ray.stages import FetchParseStage, FetchStage, ParseStage
 
 
-def _make_router(actors, num_partitions):
+def _make_router(actors, num_partitions, salted_hosts=None):
     """Stateless map_batches body: split a canonical-offer batch by host
-    partition and push each slice to its frontier actor."""
+    partition (salt-aware for hot hosts) and push each slice to its
+    frontier actor."""
     import ray
 
+    from hepcrawl_ray.frontier import route_partition_ids
+
     def route(batch: pa.Table) -> pa.Table:
-        hosts = batch.column("host").to_pylist()
-        parts = np.array([urlkit.partition_of_host(h, num_partitions)
-                          for h in hosts])
-        pending = []
+        parts = route_partition_ids(batch.column("host").to_pylist(),
+                                    batch.column("url_hash").to_numpy(),
+                                    num_partitions, salted_hosts)
         for p in np.unique(parts):
             sub = batch.filter(pa.array(parts == p))
-            pending.append(actors[int(p)].offer.remote(sub))
-        ray.get(pending)  # backpressure: batch is delivered before task ends
+            actors[int(p)].offer.remote(sub)
+        # fire-and-forget: the driver polls delivered counts before seal
+        # (duplicate delivery on task retry is safe — admission dedups)
         return pa.table({"offered": [batch.num_rows]})
 
     return route
@@ -52,7 +55,7 @@ def _make_router(actors, num_partitions):
 
 def start_frontier(politeness_rows, num_partitions=4, salted_hosts=None,
                    capacity_per_partition=1 << 17, tick_ms=100,
-                   num_cpus_per_actor=0.5):
+                   num_cpus_per_actor=0.05):
     """Create the frontier actor pool."""
     import ray
 
@@ -77,45 +80,84 @@ def restore_frontier(checkpoint_dir, num_partitions, num_cpus_per_actor=0.5):
     return actors
 
 
-def offer_seeds(actors, seeds, num_partitions, offer_batch_size=8192):
+def offer_seeds(actors, seeds, num_partitions, offer_batch_size=8192,
+                salted_hosts=None):
     """Canonicalize + route the seed stream into the frontier actors."""
     import ray
 
-    ds = (ray.data.from_arrow(seeds) if isinstance(seeds, pa.Table)
-          else ray.data.read_parquet(seeds))
-    routed = (
-        ds.map_batches(canonicalize_batch, batch_format="pyarrow",
-                       batch_size=offer_batch_size)
-        .map_batches(_make_router(actors, num_partitions),
-                     batch_format="pyarrow", batch_size=offer_batch_size)
-    )
+    if isinstance(seeds, pa.Table):
+        # from_arrow(table) is ONE block -> single-task map stages; slice
+        # into chunks (zero-copy) so the offer path parallelizes
+        n_chunks = max(1, min(64, seeds.num_rows // max(1, offer_batch_size)))
+        step = -(-seeds.num_rows // n_chunks)
+        refs = [ray.put(seeds.slice(i * step, step))
+                for i in range(n_chunks)]
+        ds = ray.data.from_arrow_refs(refs)
+    else:
+        ds = ray.data.read_parquet(seeds)
+    route = _make_router(actors, num_partitions, salted_hosts)
+
+    def canonicalize_and_route(batch: pa.Table) -> pa.Table:
+        return route(canonicalize_batch(batch))
+
+    routed = ds.map_batches(canonicalize_and_route, batch_format="pyarrow",
+                            batch_size=offer_batch_size)
+    import time as _time
+
     total = sum(row["offered"] for row in routed.take_all())
-    ray.get([a.seal.remote() for a in actors])
+    while sum(ray.get([a.buffered_rows.remote() for a in actors])) < total:
+        _time.sleep(0.02)
     return total
 
 
-def drain_admissions(actors, max_rounds=None):
+def drain_admissions(actors, max_rounds=None, seal=False):
     """Drain all partitions in parallel; returns a Dataset of admissions
-    in explicit (round, host, pop_idx) order columns."""
+    in explicit (round, host, pop_idx) order columns.  ``seal=True``
+    fuses the seal into the same actor call (offer_seeds leaves actors
+    unsealed)."""
     import ray
 
-    refs = [a.drain.remote(max_rounds) for a in actors]
+    if seal:
+        refs = [a.seal_and_drain.remote(max_rounds) for a in actors]
+    else:
+        refs = [a.drain.remote(max_rounds) for a in actors]
     return ray.data.from_arrow_refs(refs)
 
 
 def fetch_and_parse(admissions_ds, images, *, fetch_concurrency=4,
                     parse_concurrency=4, batch_size=1024,
-                    verify_pixels=True):
-    """The streaming fetch -> parse pipeline over admission rows."""
+                    verify_pixels=True, num_blocks=None, drop_bytes=False,
+                    fuse=True):
+    """The streaming fetch -> parse pipeline over admission rows.
+
+    ``num_blocks``: admissions arrive as one block per frontier
+    partition; re-split so the fetch/parse actor pools can reach their
+    full concurrency (blocks gate task parallelism)."""
     import ray
 
     images_ref = ray.put(images)
+    if num_blocks:
+        admissions_ds = admissions_ds.repartition(num_blocks)
+    if fuse:
+        # fetch+parse in ONE actor: payload bytes never transit the
+        # object store between stages (see stages.FetchParseStage).
+        # Fixed pool size (autoscaling-from-1 ramps too slowly for a
+        # CPU-bound stage), capped so the pool can't reserve every CPU
+        # and starve upstream tasks.
+        avail = ray.cluster_resources().get("CPU", 8)
+        cap = max(1, int((avail - 1.5) / 0.5))
+        n_actors = max(1, min(max(fetch_concurrency, parse_concurrency), cap))
+        return admissions_ds.map_batches(
+            FetchParseStage,
+            fn_constructor_args=(images_ref, verify_pixels, drop_bytes),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=n_actors, num_cpus=0.5)
     return (
         admissions_ds
         .map_batches(FetchStage, fn_constructor_args=(images_ref,),
                      batch_format="pyarrow", batch_size=batch_size,
                      concurrency=(1, fetch_concurrency), num_cpus=0.5)
-        .map_batches(ParseStage, fn_constructor_args=(verify_pixels,),
+        .map_batches(ParseStage, fn_constructor_args=(verify_pixels, drop_bytes),
                      batch_format="pyarrow", batch_size=batch_size,
                      concurrency=(1, parse_concurrency), num_cpus=0.5)
     )
@@ -124,21 +166,26 @@ def fetch_and_parse(admissions_ds, images, *, fetch_concurrency=4,
 def run_crawl(images, seeds, politeness, *, num_partitions=4,
               salted_hosts=None, output_dir=None, checkpoint_dir=None,
               fetch_concurrency=4, parse_concurrency=4,
-              batch_size=1024, verify_pixels=True):
+              batch_size=1024, verify_pixels=True, num_blocks=None,
+              drop_bytes=False, frontier_capacity=1 << 17):
     """Full crawl.  Returns dict with the records Dataset and metrics."""
     import ray
 
     pol_rows = politeness.to_pylist() if isinstance(politeness, pa.Table) \
         else list(politeness)
-    actors = start_frontier(pol_rows, num_partitions, salted_hosts)
-    offered = offer_seeds(actors, seeds, num_partitions)
+    actors = start_frontier(pol_rows, num_partitions, salted_hosts,
+                            capacity_per_partition=frontier_capacity)
+    offered = offer_seeds(actors, seeds, num_partitions,
+                          salted_hosts=salted_hosts)
     if checkpoint_dir:
+        ray.get([a.seal.remote() for a in actors])
         ray.get([a.checkpoint.remote(checkpoint_dir) for a in actors])
-    admissions = drain_admissions(actors)
+    admissions = drain_admissions(actors, seal=True)
     records = fetch_and_parse(
         admissions, images, fetch_concurrency=fetch_concurrency,
         parse_concurrency=parse_concurrency, batch_size=batch_size,
-        verify_pixels=verify_pixels)
+        verify_pixels=verify_pixels, num_blocks=num_blocks,
+        drop_bytes=drop_bytes)
     if output_dir:
         records.write_parquet(output_dir)
         records = ray.data.read_parquet(output_dir)

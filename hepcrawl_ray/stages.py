@@ -71,11 +71,32 @@ class FetchStage:
         return out.append_column("fetch_error", error)
 
 
+class FetchParseStage:
+    """Fused fetch + parse in one actor (the default pipeline shape).
+
+    Payload bytes are gathered AND consumed (decode/verify) inside the
+    same actor, so multi-KB blobs never transit the object store
+    between stages — at 4M URLs that hop alone is ~7 GB.  Keep the
+    split stages only when fetch and parse need different resources
+    (e.g. parse on GPU).
+    """
+
+    def __init__(self, images_ref, verify_pixels: bool = True,
+                 drop_bytes: bool = False):
+        self.fetch = FetchStage(images_ref)
+        self.parse = ParseStage(verify_pixels=verify_pixels,
+                                drop_bytes=drop_bytes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.parse(self.fetch(batch))
+
+
 class ParseStage:
     """Parse captions into record columns + verify decoded pixels."""
 
-    def __init__(self, verify_pixels: bool = True):
+    def __init__(self, verify_pixels: bool = True, drop_bytes: bool = False):
         self.verify_pixels = verify_pixels
+        self.drop_bytes = drop_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         captions = batch.column("caption").to_pylist()
@@ -107,7 +128,11 @@ class ParseStage:
                 phash_decoded[i] = codecs.phash64(px)
                 verify_ok[i] = (px.shape[0] == hs[i] and px.shape[1] == ws[i])
 
-        out = batch
+        # bytes are consumed here (decode+verify); the records table
+        # downstream carries parse + verify columns only — re-shipping
+        # multi-KB blobs through every later stage would double the
+        # object-store traffic for no reader
+        out = batch.drop_columns(["bytes"]) if self.drop_bytes else batch
         for name, typ in zip(
             RECORD_FIELDS + ("error",),
             [GOLDEN_SCHEMA.field(f).type for f in RECORD_FIELDS] + [pa.string()],

@@ -52,8 +52,7 @@ class CuckooMap:
     def _buckets(self, keys_u64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         mask = np.uint64(self.nbuckets - 1)
         h1 = _mix(keys_u64)
-        with np.errstate(over="ignore"):
-            h2 = _mix(h1 ^ _GOLDEN)
+        h2 = _mix(h1 ^ _GOLDEN)
         return (h1 & mask).astype(np.int64), (h2 & mask).astype(np.int64)
 
     # -- vectorized lookup -------------------------------------------------

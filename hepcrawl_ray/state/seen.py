@@ -25,7 +25,9 @@ from hepcrawl_ray.state.cuckoo import CuckooMap
 class SeenSet:
     def __init__(self, capacity: int = 1 << 16, fpr: float = 0.01):
         self.bloom = BloomFilter(capacity=capacity, fpr=fpr)
-        self.cuckoo = CuckooMap(capacity=max(1024, capacity // 8))
+        # cuckoo sized to full capacity: an undersized map forces a
+        # grow+rebuild in the middle of the first big seal
+        self.cuckoo = CuckooMap(capacity=max(1024, capacity))
 
     def __len__(self) -> int:
         return self.cuckoo.size
@@ -55,21 +57,41 @@ class SeenSet:
             stored_found[idx], stored_ts[idx] = f, v
 
         uniq, first_idx, counts = np.unique(keys, return_index=True, return_counts=True)
-        has_dups = (counts > 1).any()
-        if not has_dups:
+        if not (counts > 1).any():
             admit = ~stored_found | (stored_ts < timestamps)
         else:
-            # slow path only for batches containing duplicate keys
-            local_ts: dict[int, int] = {}
-            kl, tl = keys.tolist(), timestamps.tolist()
-            for i in range(n):
-                k, t = kl[i], tl[i]
-                prev = local_ts.get(k)
-                if prev is None:
-                    prev = int(stored_ts[i]) if stored_found[i] else None
-                if prev is None or prev < t:
-                    admit[i] = True
-                    local_ts[k] = t
+            # Vectorized duplicate handling: group rows by key (stable
+            # sort).  Keys whose duplicates all share one timestamp
+            # behave like uniques (only the first occurrence can admit);
+            # only keys with MIXED timestamps need the sequential rule.
+            order = np.argsort(keys, kind="stable")
+            ks, ts_sorted = keys[order], timestamps[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(ks)) + 1))
+            key_max = np.maximum.reduceat(ts_sorted, starts)
+            key_min = np.minimum.reduceat(ts_sorted, starts)
+            first_mask = np.zeros(n, dtype=bool)
+            first_mask[order[starts]] = True
+            admit = first_mask & (~stored_found | (stored_ts < timestamps))
+            hetero = key_max != key_min
+            if hetero.any():
+                # sequential crawl-once rule, only over the mixed-ts rows
+                key_is_hetero = np.zeros(len(starts), dtype=bool)
+                key_is_hetero[hetero] = True
+                row_key_idx = np.zeros(n, dtype=np.int64)
+                row_key_idx[order] = np.repeat(
+                    np.arange(len(starts)),
+                    np.diff(np.concatenate((starts, [n]))))
+                hmask = key_is_hetero[row_key_idx]
+                idxs = np.nonzero(hmask)[0]
+                local_ts: dict[int, int] = {}
+                for i in idxs.tolist():
+                    k, t = int(keys[i]), int(timestamps[i])
+                    prev = local_ts.get(k)
+                    if prev is None:
+                        prev = int(stored_ts[i]) if stored_found[i] else None
+                    admit[i] = prev is None or prev < t
+                    if admit[i]:
+                        local_ts[k] = t
         if admit.any():
             ak = keys[admit]
             self.bloom.add_many(ak)

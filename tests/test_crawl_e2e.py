@@ -119,6 +119,7 @@ class TestResumeThroughRay:
         # run 1: offer, seal, drain 2 rounds, checkpoint, kill
         actors = cp.start_frontier(pol_rows, num_partitions=2)
         cp.offer_seeds(actors, seeds, 2)
+        ray.get([a.seal.remote() for a in actors])
         part1 = ray.get([a.drain.remote(2) for a in actors])
         ray.get([a.checkpoint.remote(str(tmp_path)) for a in actors])
         for a in actors:
@@ -132,6 +133,7 @@ class TestResumeThroughRay:
         # uninterrupted reference run
         actors = cp.start_frontier(pol_rows, num_partitions=2)
         cp.offer_seeds(actors, seeds, 2)
+        ray.get([a.seal.remote() for a in actors])
         full = pa.concat_tables(ray.get([a.drain.remote(None) for a in actors]))
         for a in actors:
             ray.kill(a)

@@ -26,8 +26,11 @@ def run_engine(seeds: pa.Table, politeness: pa.Table, num_partitions: int,
                                salted_hosts=salted_hosts)
              for i in range(num_partitions)]
     offers = canonicalize_batch(seeds)
-    part_ids = np.array([urlkit.partition_of_host(h, num_partitions)
-                         for h in offers.column("host").to_pylist()])
+    from hepcrawl_ray.frontier import route_partition_ids
+
+    part_ids = route_partition_ids(offers.column("host").to_pylist(),
+                                   offers.column("url_hash").to_numpy(),
+                                   num_partitions, salted_hosts)
     for i, p in enumerate(parts):
         p.offer(offers.filter(pa.array(part_ids == i)))
         p.seal()
