@@ -366,9 +366,13 @@ class FrontierPartition:
             pops_out.append(pp)
             self.next_round[qkey] = r0 + d * nb
             active_end = max(active_end, int(rr[-1]) + 1)
-        if end is None or self.pending() == 0:
+        if end is None:
             self.cur_round = active_end
         else:
+            # bounded drains advance the virtual clock to ``end`` on
+            # EVERY partition (even empty ones) so that later offers —
+            # e.g. links discovered mid-crawl — enqueue at the current
+            # global round, keeping partitions' clocks aligned
             self.cur_round = end
         if not qorder_out:
             return pa.table({f.name: pa.array([], type=f.type)

@@ -193,3 +193,82 @@ def run_crawl(images, seeds, politeness, *, num_partitions=4,
     for a in actors:
         ray.kill(a)
     return {"records": records, "metrics": metrics, "offered": offered}
+
+
+def offer_tables(actors, offer_table, num_partitions, salted_hosts=None):
+    """Route an already-canonicalized OFFER_SCHEMA table to the actors
+    (driver-side helper for small mid-crawl offers; the seed stream
+    goes through offer_seeds' dataset path)."""
+    import ray
+
+    from hepcrawl_ray.frontier import route_partition_ids
+
+    parts = route_partition_ids(offer_table.column("host").to_pylist(),
+                                offer_table.column("url_hash").to_numpy(),
+                                num_partitions, salted_hosts)
+    pending = []
+    for p in np.unique(parts):
+        sub = offer_table.filter(pa.array(parts == p))
+        pending.append(actors[int(p)].offer.remote(sub))
+    ray.get(pending)
+
+
+def run_iterative_crawl(seeds, politeness, discover_fn, *,
+                        num_partitions=4, salted_hosts=None,
+                        rounds_per_iter=1, max_iters=100_000):
+    """Crawl with mid-run URL discovery (the frontier LOOP).
+
+    ``discover_fn(canonical_url, seq) -> list of seed-like dicts`` —
+    links found when a URL is fetched+parsed.  Links discovered from the
+    admissions of virtual round ``r`` become eligible from round
+    ``r+rounds_per_iter`` (spec: sim.simulate_iterative, which this
+    must match exactly at rounds_per_iter=1).
+
+    Discovery here runs driver-side over each iteration's (small)
+    admission table for oracle-exactness; the production shape extracts
+    links inside the parse stage and routes them back through the same
+    ``offer_tables`` path, trading strict per-round eligibility for
+    fewer synchronization points (rounds_per_iter > 1).
+    """
+    import ray
+
+    pol_rows = politeness.to_pylist() if isinstance(politeness, pa.Table) \
+        else list(politeness)
+    actors = start_frontier(pol_rows, num_partitions, salted_hosts)
+    offer_seeds(actors, seeds, num_partitions, salted_hosts=salted_hosts)
+    ray.get([a.seal.remote() for a in actors])
+
+    admissions = []
+    for _ in range(max_iters):
+        tables = ray.get([a.drain.remote(rounds_per_iter) for a in actors])
+        t = pa.concat_tables(tables)
+        if t.num_rows == 0:
+            if sum(ray.get([a.pending.remote() for a in actors])) == 0:
+                break
+            continue
+        admissions.append(t)
+        # discovery in deterministic admission order
+        t_sorted = t.sort_by([("round", "ascending"), ("host", "ascending"),
+                              ("pop_idx", "ascending")])
+        new_rows = []
+        for url, seq in zip(t_sorted.column("url").to_pylist(),
+                            t_sorted.column("seq").to_pylist()):
+            new_rows.extend(discover_fn(url, seq))
+        if new_rows:
+            raw = pa.table({
+                "url": [r["url"] for r in new_rows],
+                "priority": [float(r.get("priority", 0.0)) for r in new_rows],
+                "seq": [int(r["seq"]) for r in new_rows],
+                "mtime": [int(r.get("mtime", 0)) for r in new_rows],
+                "set_id": [r.get("set_id", "") for r in new_rows],
+            })
+            offers = canonicalize_batch(raw)
+            offer_tables(actors, offers, num_partitions, salted_hosts)
+            ray.get([a.seal.remote() for a in actors])
+    result = pa.concat_tables(admissions) if admissions else None
+    metrics = ray.get([a.get_metrics.remote() for a in actors])
+    seen = np.concatenate(ray.get([a.seen_hashes.remote() for a in actors]))
+    for a in actors:
+        ray.kill(a)
+    return {"admissions": result, "metrics": metrics,
+            "seen": set(seen.tolist())}

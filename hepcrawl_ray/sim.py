@@ -55,6 +55,76 @@ def _path_of(canonical_url: str) -> str:
     return rest[slash:] if slash >= 0 else "/"
 
 
+def simulate_iterative(seeds_rows: list[dict], politeness_rows: list[dict],
+                       discover_fn, tick_ms: int = DEFAULT_TICK_MS,
+                       default_concurrency: int = 2,
+                       default_delay_ms: int = 0) -> SimResult:
+    """Iterative-crawl spec: links discovered from round ``r``'s
+    admissions are offered (in admission order) before round ``r+1``.
+
+    ``discover_fn(canonical_url, seq) -> list of seed-like dicts``
+    (url, priority, seq, mtime).  The child ``seq`` must be a
+    deterministic function of the parent (see crawl.make_tree_discover)
+    so engine and simulator agree without any shared counter.
+    """
+    budget = {
+        p["host"]: (int(p["max_concurrency"]), int(p["min_delay_ms"]),
+                    tuple(p.get("robots_disallow") or ()))
+        for p in politeness_rows
+    }
+    seen: dict[int, int] = {}
+    heaps: dict[str, list] = {}
+    dropped_robots = dropped_dup = 0
+
+    def offer(rows):
+        nonlocal dropped_robots, dropped_dup
+        for row in rows:
+            canon = urlkit.canonicalize_url(row["url"])
+            host = urlkit.host_of(canon)
+            _, _, disallow = budget.get(
+                host, (default_concurrency, default_delay_ms, ()))
+            if any(_path_of(canon).startswith(p) for p in disallow):
+                dropped_robots += 1
+                continue
+            h = urlkit.url_hash64(canon)
+            mtime = int(row["mtime"])
+            prev = seen.get(h)
+            if prev is not None and prev >= mtime:
+                dropped_dup += 1
+                continue
+            seen[h] = mtime
+            heapq.heappush(
+                heaps.setdefault(host, []),
+                (-float(row["priority"]), int(row["seq"]), canon, mtime))
+
+    offer(seeds_rows)
+    admissions = []
+    next_round: dict[str, int] = {}
+    rnd = 0
+    while any(heaps.values()):
+        round_admissions = []
+        for host in sorted(heaps):
+            heap = heaps[host]
+            if not heap or rnd < next_round.get(host, 0):
+                continue
+            conc, delay, _ = budget.get(
+                host, (default_concurrency, default_delay_ms, ()))
+            for _ in range(conc):
+                if not heap:
+                    break
+                negp, seq, canon, mtime = heapq.heappop(heap)
+                round_admissions.append((rnd, host, canon, seq, -negp, mtime))
+            next_round[host] = rnd + max(1, math.ceil(delay / tick_ms))
+        admissions.extend(round_admissions)
+        for (_, _, canon, seq, _, _) in round_admissions:
+            offer(discover_fn(canon, seq))
+        rnd += 1
+
+    return SimResult(admissions=admissions, seen_hashes=set(seen),
+                     dropped_robots=dropped_robots, dropped_dup=dropped_dup,
+                     stats={"rounds": rnd, "admitted": len(admissions)})
+
+
 def simulate(seeds_rows: list[dict], politeness_rows: list[dict],
              tick_ms: int = DEFAULT_TICK_MS,
              default_concurrency: int = 2,
