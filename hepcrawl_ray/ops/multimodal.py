@@ -1,0 +1,145 @@
+"""Multimodal column operators: decode / resize / feature-extract /
+frame-sample over opaque ``binary`` payload columns with typed metadata.
+
+The Ray-side plumbing (schemas, actor-pool stages, batch sizing, output
+layout) is real and tested for every modality.  The image path is fully
+real (our own codecs).  Audio/video decoding libraries are NOT
+available in this container, so those decode kernels are explicit,
+clearly-marked deterministic STUBS behind the same stage interface —
+swap ``_decode_audio_stub`` / ``_decode_video_stub`` for a real codec
+and nothing else changes.
+
+Batch-size guidance: payload columns dominate block size; pass small
+``batch_size`` (<=256 for MB-scale payloads) and rely on Ray's dynamic
+block splitting (see DataContext.target_max_block_size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hepcrawl_ray import codecs
+
+
+class ImageDecodeStage:
+    """binary -> decoded metadata + features (REAL decode via codecs)."""
+
+    def __init__(self, compute_histogram: bool = True, resize_to: int | None = None):
+        self.compute_histogram = compute_histogram
+        self.resize_to = resize_to
+
+    @staticmethod
+    def _resize(px: np.ndarray, side: int) -> np.ndarray:
+        """Nearest-neighbor resize to (side, side) — deterministic."""
+        h, w = px.shape[:2]
+        yi = (np.arange(side) * h // side)
+        xi = (np.arange(side) * w // side)
+        return px[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ok, w_out, h_out, mean_lum, hist, thumb = [], [], [], [], [], []
+        for blob, fmt in zip(blobs, fmts):
+            try:
+                px = codecs.decode(blob, fmt)
+            except Exception:
+                ok.append(False)
+                w_out.append(0)
+                h_out.append(0)
+                mean_lum.append(0.0)
+                hist.append([0] * 8)
+                thumb.append(None)
+                continue
+            ok.append(True)
+            h_out.append(px.shape[0])
+            w_out.append(px.shape[1])
+            gray = px.mean(axis=2)
+            mean_lum.append(float(gray.mean()))
+            if self.compute_histogram:
+                hist.append(np.bincount((gray // 32).astype(np.int64).ravel(),
+                                        minlength=8)[:8].tolist())
+            else:
+                hist.append([0] * 8)
+            if self.resize_to:
+                thumb.append(codecs.encode_png(
+                    self._resize(px, self.resize_to)))
+            else:
+                thumb.append(None)
+        out = pa.table({
+            "image_id": batch.column("image_id"),
+            "decoded": pa.array(ok),
+            "w_decoded": pa.array(w_out, pa.int32()),
+            "h_decoded": pa.array(h_out, pa.int32()),
+            "mean_luma": pa.array(mean_lum, pa.float64()),
+            "luma_hist": pa.array(hist, pa.list_(pa.int64())),
+            "thumbnail": pa.array(thumb, pa.binary()),
+        })
+        return out
+
+
+def _decode_audio_stub(blob: bytes, sample_rate: int = 16_000) -> np.ndarray:
+    """STUB — no audio codec in this container.
+
+    Deterministic fake: interprets the payload's blake2b digest as a
+    seed and synthesizes ``sample_rate`` samples.  Replace with a real
+    decoder (e.g. soundfile/ffmpeg) to process real audio; the stage
+    contract (bytes in, float32 waveform out) is unchanged.
+    """
+    from hashlib import blake2b
+
+    seed = int.from_bytes(blake2b(blob, digest_size=8).digest(), "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(sample_rate, dtype=np.float32)
+
+
+def _decode_video_stub(blob: bytes, n_frames: int = 16,
+                       size: int = 32) -> np.ndarray:
+    """STUB — no video codec in this container (see _decode_audio_stub)."""
+    from hashlib import blake2b
+
+    seed = int.from_bytes(blake2b(blob, digest_size=8).digest(), "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n_frames, size, size, 3), dtype=np.uint8)
+
+
+class AudioFeatureStage:
+    """binary audio -> fixed-length energy features (stubbed decode)."""
+
+    def __init__(self, n_bands: int = 16):
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for blob in batch.column("bytes").to_pylist():
+            wav = _decode_audio_stub(blob)
+            bands = np.array_split(wav, self.n_bands)
+            feats.append([float(np.sqrt((b ** 2).mean())) for b in bands])
+        return pa.table({
+            "audio_id": batch.column("audio_id"),
+            "band_energy": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
+class VideoFrameSampleStage:
+    """binary video -> k uniformly sampled frame thumbnails (stubbed decode)."""
+
+    def __init__(self, k_frames: int = 4):
+        self.k = k_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, frames = [], [], []
+        for vid, blob in zip(batch.column("video_id").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            clip = _decode_video_stub(blob)
+            pick = np.linspace(0, len(clip) - 1, self.k).astype(int)
+            for j, fi in enumerate(pick):
+                vids.append(vid)
+                idxs.append(int(fi))
+                frames.append(codecs.encode_png(clip[fi]))
+        return pa.table({
+            "video_id": pa.array(vids),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_png": pa.array(frames, pa.binary()),
+        })

@@ -670,3 +670,178 @@ ORACLE_SQL = {
         FROM documents
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# source expansion queries (SURVEY §2.1 — archives, feeds, JSONL)
+# ---------------------------------------------------------------------------
+
+def _docs_by_source(sf_dir: str):
+    """documents grouped per source, driver-side (dimension-sized)."""
+    rows = _read(sf_dir, "documents", ["doc_id", "source", "lang"]) \
+        .take_all()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src in by_src:
+        by_src[src].sort(key=lambda r: r["doc_id"])
+    return by_src
+
+
+def q_source_zip_expand(sf_dir: str):
+    """ZIP package expansion (analog: unzip_xml_files,
+    reference: hepcrawl/utils.py:44-54): one deterministic zip per
+    source containing doc_<id>.txt members -> member rows."""
+    import io
+    import zipfile
+
+    import ray
+
+    from hepcrawl_ray.sources.expand import expand_zip
+
+    by_src = _docs_by_source(sf_dir)
+    pkgs, blobs = [], []
+    for src, rows in sorted(by_src.items()):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for r in rows:
+                zf.writestr(f"doc_{r['doc_id']}.txt", str(r["doc_id"]))
+        pkgs.append(src)
+        blobs.append(buf.getvalue())
+    ds = ray.data.from_arrow(pa.table({"package_id": pkgs, "blob": blobs}))
+    out = ds.map_batches(lambda t: expand_zip(t, suffix=".txt"),
+                         batch_format="pyarrow")
+    return out.select_columns(["package_id", "member_name"])
+
+
+def q_source_xml_feed_expand(sf_dir: str):
+    """XML feed iteration (analog: XMLFeedSpider itertag split,
+    reference: hepcrawl/spiders/wsp_spider.py:75-80): one XML feed per
+    source -> per-record rows with the extracted doc_id."""
+    import re as _re
+
+    import ray
+
+    from hepcrawl_ray.sources.expand import expand_xml_feed
+
+    by_src = _docs_by_source(sf_dir)
+    feeds, xmls = [], []
+    for src, rows in sorted(by_src.items()):
+        body = "".join(f"<record><id>{r['doc_id']}</id></record>" for r in rows)
+        feeds.append(src)
+        xmls.append(f"<root>{body}</root>")
+    ds = ray.data.from_arrow(pa.table({"feed_id": feeds, "xml": xmls}))
+
+    def extract(t: pa.Table) -> pa.Table:
+        out = expand_xml_feed(t, itertag="record")
+        ids = [int(_re.search(r"<id>(\d+)</id>", x).group(1))
+               if x else None for x in out.column("record_xml").to_pylist()]
+        return pa.table({"feed_id": out.column("feed_id"),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def q_source_jsonl_expand(sf_dir: str):
+    """S3-JSONL source parse (analog: DesySpider.parse,
+    reference: hepcrawl/spiders/desy_spider.py:185-210): one JSONL blob
+    per source -> parsed rows (doc_id, lang)."""
+    import ray
+
+    from hepcrawl_ray.sources.expand import expand_jsonl
+
+    by_src = _docs_by_source(sf_dir)
+    files, blobs = [], []
+    for src, rows in sorted(by_src.items()):
+        lines = "\n".join(json.dumps({"doc_id": r["doc_id"], "lang": r["lang"]})
+                          for r in rows)
+        files.append(src)
+        blobs.append(lines)
+    ds = ray.data.from_arrow(pa.table({"file_id": files, "jsonl": blobs}))
+
+    def extract(t: pa.Table) -> pa.Table:
+        out = expand_jsonl(t)
+        recs = [json.loads(x) if x else {} for x in
+                out.column("record_json").to_pylist()]
+        return pa.table({
+            "source": out.column("file_id"),
+            "doc_id": pa.array([r.get("doc_id") for r in recs], pa.int64()),
+            "lang": pa.array([r.get("lang") for r in recs], pa.string()),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# multimodal stage queries (image real; audio/video stubbed decode)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_image_features(sf_dir: str):
+    """Image decode + resize + histogram features over the synthetic
+    corpus (actor-pool stage; real decode)."""
+    import ray
+
+    from hepcrawl_ray.ops.multimodal import ImageDecodeStage
+
+    images, _, _, _ = _crawl_tables()
+    return ray.data.from_arrow(images.select(["image_id", "bytes", "fmt"])) \
+        .map_batches(ImageDecodeStage,
+                     fn_constructor_kwargs=dict(resize_to=8),
+                     batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 2), num_cpus=0.5) \
+        .drop_columns(["thumbnail"])
+
+
+def q_multimodal_audio_features(sf_dir: str):
+    """Audio band-energy features (STUBBED decode — no audio libs in
+    container; plumbing/schema real, see ops.multimodal)."""
+    import ray
+
+    from hepcrawl_ray.ops.multimodal import AudioFeatureStage
+
+    rows = pa.table({
+        "audio_id": [f"aud{i:04d}" for i in range(64)],
+        "bytes": [f"payload-{i}".encode() for i in range(64)],
+    })
+    return ray.data.from_arrow(rows).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2), num_cpus=0.5)
+
+
+def q_multimodal_video_frames(sf_dir: str):
+    """Video frame sampling (STUBBED decode; plumbing/schema real)."""
+    import ray
+
+    from hepcrawl_ray.ops.multimodal import VideoFrameSampleStage
+
+    rows = pa.table({
+        "video_id": [f"vid{i:04d}" for i in range(16)],
+        "bytes": [f"clip-{i}".encode() for i in range(16)],
+    })
+    return ray.data.from_arrow(rows).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=4,
+        concurrency=(1, 2), num_cpus=0.5).drop_columns(["frame_png"])
+
+
+QUERIES.update({
+    "source_zip_expand": q_source_zip_expand,
+    "source_xml_feed_expand": q_source_xml_feed_expand,
+    "source_jsonl_expand": q_source_jsonl_expand,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_video_frames": q_multimodal_video_frames,
+})
+
+ORACLE_SQL.update({
+    "source_zip_expand": """
+        SELECT source AS package_id,
+               'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name
+        FROM documents
+    """,
+    "source_xml_feed_expand": """
+        SELECT source AS feed_id, doc_id FROM documents
+    """,
+    "source_jsonl_expand": """
+        SELECT source, doc_id, lang FROM documents
+    """,
+})

@@ -1,0 +1,76 @@
+"""Kill/resume with partitioned output: finished partitions are skipped
+untouched, the resumed run completes to a byte-identical result."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from hepcrawl_ray import synth
+from hepcrawl_ray.pipelines import sink
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    images, _ = synth.generate_corpus(100)
+    seeds = synth.generate_seeds(images)
+    politeness = synth.generate_politeness()
+    return images, seeds, politeness
+
+
+def _collect(output_dir):
+    ds = sink.read_output(output_dir)
+    t = pa.concat_tables(ds.iter_batches(batch_size=100_000,
+                                         batch_format="pyarrow"))
+    return t.sort_by([("url", "ascending"), ("seq", "ascending"),
+                      ("round", "ascending")])
+
+
+def test_crash_resume_identical_output(ray_session, corpus, tmp_path):
+    images, seeds, politeness = corpus
+    P = 4
+
+    # clean reference run
+    clean_out = str(tmp_path / "clean")
+    m = sink.run_resumable_crawl(
+        images, seeds, politeness, output_dir=clean_out,
+        checkpoint_dir=str(tmp_path / "clean_ckpt"), num_partitions=P,
+        fetch_concurrency=2, parse_concurrency=2)
+    assert len(m["partitions"]) == P
+    clean = _collect(clean_out)
+
+    # crashing run: dies after 2 partitions
+    out = str(tmp_path / "crash")
+    ckpt = str(tmp_path / "crash_ckpt")
+    m1 = sink.run_resumable_crawl(
+        images, seeds, politeness, output_dir=out, checkpoint_dir=ckpt,
+        num_partitions=P, fetch_concurrency=2, parse_concurrency=2,
+        fail_after_partitions=2)
+    assert len(m1["partitions"]) == 2
+
+    # record state of finished partition files
+    finished = sorted(m1["partitions"])
+    mtimes = {}
+    for pid in finished:
+        d = os.path.join(out, f"part={pid}")
+        mtimes[pid] = {f: os.path.getmtime(os.path.join(d, f))
+                       for f in os.listdir(d)}
+
+    # resume: must skip finished partitions (files untouched)
+    m2 = sink.run_resumable_crawl(
+        images, seeds, politeness, output_dir=out, checkpoint_dir=ckpt,
+        num_partitions=P, fetch_concurrency=2, parse_concurrency=2)
+    assert len(m2["partitions"]) == P
+    for pid in finished:
+        d = os.path.join(out, f"part={pid}")
+        assert {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)} == mtimes[pid], \
+            f"finished partition {pid} was rewritten on resume"
+
+    resumed = _collect(out)
+    assert resumed.num_rows == clean.num_rows
+    # full content equality on the stable identifying + parsed columns
+    for col in ("url", "seq", "round", "pop_idx", "image_id", "caption",
+                "title", "date_published", "document_type", "error",
+                "pixels_verified", "phash_decoded"):
+        assert resumed.column(col).equals(clean.column(col)), col
