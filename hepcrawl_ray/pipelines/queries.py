@@ -845,3 +845,110 @@ ORACLE_SQL.update({
         SELECT source, doc_id, lang FROM documents
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped queries: sessionization, per-group top-k, distincts
+# ---------------------------------------------------------------------------
+
+def q_sessionize_events(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user over the event
+    log — the streaming-window shape Ray Data lacks natively, expressed
+    as groupby(user).map_groups over ts-sorted groups (ordering
+    assumption: one group holds all of a user's events)."""
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64").to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_session)
+        out = (pd.DataFrame({"sid": sid, "ts": g["ts"].to_numpy()})
+               .groupby("sid")
+               .agg(session_start=("ts", "min"), n_events=("ts", "size"))
+               .reset_index(drop=True))
+        out["session_start"] = pd.to_datetime(out["session_start"]) \
+            .dt.strftime("%Y-%m-%d %H:%M:%S")
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .groupby("user_id")
+            .map_groups(sessions, batch_format="pandas"))
+
+
+def q_topk_orders_per_customer(sf_dir: str):
+    """Per-group top-k (top 3 orders by price per customer), rank by
+    (price desc, orderkey asc) — deterministic and SQL-replicable."""
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(price_cents=np.floor(
+            g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64"))
+        g = g.sort_values(["price_cents", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
+        return g[["o_custkey", "o_orderkey", "price_cents", "rank"]]
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+            .groupby("o_custkey")
+            .map_groups(topk, batch_format="pandas"))
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact distinct count via two-phase dedup: per-batch distinct
+    pairs (combiner) -> grouped distinct -> count (the mergeable-sketch
+    shape with an exact set)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["event_type", "user_id"]).to_pandas() \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": np.array([g["user_id"].nunique()], dtype="int64"),
+        })
+
+    return (_read(sf_dir, "events", ["event_type", "user_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(count_distinct, batch_format="pandas"))
+
+
+QUERIES.update({
+    "sessionize_events": q_sessionize_events,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "distinct_users_by_type": q_distinct_users_by_type,
+})
+
+ORACLE_SQL.update({
+    "sessionize_events": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events),
+        s AS (SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    "topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY floor(o_totalprice * 100 + 0.5) DESC,
+                                           o_orderkey) AS rank
+        FROM orders QUALIFY rank <= 3
+    """,
+    "distinct_users_by_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+})
