@@ -119,3 +119,83 @@ def parse_caption(caption: str) -> dict:
         "date_published": date_published, "document_type": document_type,
         "error": None,
     }
+
+
+# ---------------------------------------------------------------------------
+# multi-format record parsing (ParsedItem.to_hep dispatch analog)
+# ---------------------------------------------------------------------------
+
+def parse_record(payload: str, record_format: str) -> dict:
+    """Dispatch on record format, converging to ONE record schema.
+
+    The reference accepts records in multiple formats ('hep' passes
+    through patched, 'hepcrawl' goes through normalization; each source
+    has its own parser class) and everything converges on the hep
+    schema (reference: hepcrawl/utils.py:504-550 ``ParsedItem.to_hep``,
+    hepcrawl/tohep.py:89-357).  Here: 'caption' (text grammar), 'json'
+    and 'xml' payloads all normalize through the same field builders to
+    the identical golden-record struct.
+    """
+    if record_format == "caption":
+        return parse_caption(payload)
+    if record_format == "json":
+        return _parse_json_record(payload)
+    if record_format == "xml":
+        return _parse_xml_record(payload)
+    return {**EMPTY_RECORD, "error": f"unknown record_format {record_format!r}"}
+
+
+def _normalize_fields(title, abstract, author_strs, collab_strs, doi_strs,
+                      raw_date, type_text) -> dict:
+    """Shared normalization: the same builders every format goes through."""
+    authors = [parse_author_str(a) for a in author_strs if a and a.strip()]
+    collaborations = []
+    for c in collab_strs:
+        coll, _ = coll_cleanforthe(c)
+        if coll:
+            collaborations.append(coll)
+    dois = [{"value": d.strip(), "material": "publication"}
+            for d in doi_strs if d and d.strip()]
+    return {
+        "title": clean_whitespace_characters(title) if title else None,
+        "abstract": clean_whitespace_characters(abstract) if abstract else None,
+        "authors": authors,
+        "collaborations": collaborations,
+        "dois": dois,
+        "date_published": create_valid_date(raw_date) if raw_date else None,
+        "document_type": classify_document_type(type_text or ""),
+        "error": None,
+    }
+
+
+def _parse_json_record(payload: str) -> dict:
+    import json as _json
+
+    try:
+        rec = _json.loads(payload)
+        return _normalize_fields(
+            rec.get("title"), rec.get("abstract"),
+            rec.get("authors", []), rec.get("collaborations", []),
+            rec.get("dois", []), rec.get("date"), rec.get("type"))
+    except Exception as exc:
+        return {**EMPTY_RECORD, "error": f"bad json record: {exc}"}
+
+
+def _parse_xml_record(payload: str) -> dict:
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(payload)
+
+        def text(tag):
+            el = root.find(tag)
+            return el.text if el is not None else None
+
+        return _normalize_fields(
+            text("title"), text("abstract"),
+            [el.text for el in root.findall("author")],
+            [el.text for el in root.findall("collaboration")],
+            [el.text for el in root.findall("doi")],
+            text("date"), text("type"))
+    except ET.ParseError as exc:
+        return {**EMPTY_RECORD, "error": f"bad xml record: {exc}"}

@@ -159,3 +159,37 @@ class TestCodecs:
         # lossy encode shouldn't move the hash much
         h2 = codecs.phash64(codecs.decode_lossy(codecs.encode_lossy(px)))
         assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 8
+
+
+class TestMultiFormatParsing:
+    def test_three_formats_converge(self):
+        """caption / json / xml payloads of the same record all parse to
+        the identical normalized struct (ParsedItem.to_hep dispatch
+        analog, reference: hepcrawl/utils.py:504-550)."""
+        from hepcrawl_ray import synth
+        from hepcrawl_ray.caption import parse_caption, parse_record
+
+        images, gold = synth.generate_corpus(120)
+        fields = ("title", "abstract", "authors", "collaborations", "dois",
+                  "date_published", "document_type")
+        n = 0
+        for cap, g in zip(images.column("caption").to_pylist(),
+                          gold.to_pylist()):
+            if g["error"] is not None:
+                continue
+            from_caption = parse_caption(cap)
+            from_json = parse_record(synth.render_record_json(g), "json")
+            from_xml = parse_record(synth.render_record_xml(g), "xml")
+            for f in fields:
+                assert from_caption[f] == g[f], ("caption", f)
+                assert from_json[f] == g[f], ("json", f)
+                assert from_xml[f] == g[f], ("xml", f)
+            n += 1
+        assert n > 80
+
+    def test_malformed_payloads_are_error_rows(self):
+        from hepcrawl_ray.caption import parse_record
+
+        assert parse_record("{not json", "json")["error"].startswith("bad json")
+        assert parse_record("<broken", "xml")["error"].startswith("bad xml")
+        assert "unknown record_format" in parse_record("x", "nope")["error"]

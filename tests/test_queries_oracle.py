@@ -11,7 +11,7 @@ import pytest
 
 import __ray_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
