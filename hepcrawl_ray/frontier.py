@@ -143,6 +143,32 @@ def route_partition_ids(hosts, url_hashes, num_partitions: int,
     return parts
 
 
+def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[str, ...]:
+    """Extract Disallow path prefixes from a robots.txt body.
+
+    Minimal, deterministic subset of the robots exclusion protocol:
+    the rule group whose ``User-agent`` matches (exact or ``*``)
+    contributes its ``Disallow:`` prefixes; empty Disallow means
+    allow-all.  The reference delegates this to Scrapy's
+    RobotsTxtMiddleware (self-identifying USER_AGENT,
+    reference: hepcrawl/settings.py:33); here the parsed prefixes feed
+    each partition's robots cache (HostBudget.disallow).
+    """
+    disallow: list[str] = []
+    applies = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            applies = val == "*" or val.lower() == user_agent.lower()
+        elif key == "disallow" and applies and val:
+            disallow.append(val)
+    return tuple(disallow)
+
+
 class HostBudget:
     __slots__ = ("concurrency", "delay_rounds", "disallow")
 
@@ -172,9 +198,12 @@ class FrontierPartition:
         self.default_budget = (default_concurrency, default_delay_ms)
         self.budgets: dict[str, HostBudget] = {}
         for row in politeness_rows or []:
+            disallow = tuple(row.get("robots_disallow") or ())
+            if row.get("robots_txt"):  # raw robots.txt body -> parse + cache
+                disallow = disallow + parse_robots_txt(row["robots_txt"])
             self.budgets[row["host"]] = HostBudget(
                 row["max_concurrency"], row["min_delay_ms"],
-                tuple(row.get("robots_disallow") or ()), tick_ms)
+                disallow, tick_ms)
         self.salted_hosts = dict(salted_hosts or {})
         self.seen = SeenSet(capacity=capacity)
         self._buffer: list[pa.Table] = []

@@ -176,3 +176,41 @@ class TestPriorities:
         assert order.column("seq").to_pylist() == [1, 3, 0, 2]
         ref = simulate(seeds.to_pylist(), politeness.to_pylist())
         assert [s for (_, _, _, s, _, _) in ref.admissions] == [1, 3, 0, 2]
+
+
+class TestRobotsTxt:
+    def test_parse_robots_txt(self):
+        from hepcrawl_ray.frontier import parse_robots_txt
+
+        body = """
+# comment
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+
+User-agent: evilbot
+Disallow: /
+"""
+        assert parse_robots_txt(body) == ("/private/", "/tmp/")
+        assert parse_robots_txt(body, user_agent="evilbot") \
+            == ("/private/", "/tmp/", "/")
+        assert parse_robots_txt("") == ()
+
+    def test_robots_txt_in_politeness(self):
+        from hepcrawl_ray.frontier import FrontierPartition, canonicalize_batch
+
+        pol = [{"host": "h.org", "max_concurrency": 2, "min_delay_ms": 0,
+                "robots_disallow": [],
+                "robots_txt": "User-agent: *\nDisallow: /secret/"}]
+        p = FrontierPartition(0, 1, pol)
+        seeds = pa.table({
+            "url": ["http://h.org/a/x", "http://h.org/secret/y"],
+            "host": ["h.org"] * 2, "set_id": ["s"] * 2,
+            "priority": [0.0] * 2, "seq": [0, 1], "mtime": [0, 0],
+            "dup_of": [None, None],
+        }, schema=synth.SEEDS_SCHEMA)
+        p.offer(canonicalize_batch(seeds))
+        p.seal()
+        out = p.drain()
+        assert out.column("url").to_pylist() == ["http://h.org/a/x"]
+        assert p.metrics["dropped_robots"] == 1
