@@ -193,3 +193,68 @@ class TestMultiFormatParsing:
         assert parse_record("{not json", "json")["error"].startswith("bad json")
         assert parse_record("<broken", "xml")["error"].startswith("bad xml")
         assert "unknown record_format" in parse_record("x", "nope")["error"]
+
+
+class TestLatex:
+    def test_latex_to_text(self):
+        from hepcrawl_ray.functions.latex import latex_to_text
+
+        assert latex_to_text(r"$\alpha$ decay") == "α decay"
+        assert latex_to_text(r"$\sqrt{s} = 13$ TeV") == "√(s) = 13 TeV"
+        assert latex_to_text("H$_{2}$O and E$^{2}$") == "H2O and E2"
+        assert latex_to_text(r"$x^2 + y_i$") == "x2 + yi"
+        # unknown macro passes through as its name, never raises
+        assert latex_to_text(r"\unknownmacro{x}") == "unknownmacrox"
+        assert latex_to_text(r"$\Lambda \to p \pi$") == "Λ → p π"
+
+
+class TestLoaders:
+    def test_mapcompose_takefirst_join(self):
+        from hepcrawl_ray.functions.loaders import (
+            Join, MapCompose, TakeFirst, list_to_value_dict)
+
+        chain = MapCompose(str.strip, lambda s: s or None, str.upper)
+        assert chain(["  a ", "", "b"]) == ["A", "B"]
+        assert TakeFirst()([None, "", "x", "y"]) == "x"
+        assert Join(", ")(["a", "b"]) == "a, b"
+        assert list_to_value_dict(["x"]) == [{"value": "x"}]
+
+    def test_field_pipeline(self):
+        from hepcrawl_ray.functions.loaders import (
+            FieldPipeline, MapCompose, TakeFirst)
+        from hepcrawl_ray.functions import clean_whitespace_characters
+
+        fp = FieldPipeline({
+            "title": (MapCompose(clean_whitespace_characters), TakeFirst()),
+        })
+        rec = fp({"title": ["  a   b  "], "other": 1})
+        assert rec["title"] == "a b" and rec["other"] == 1
+
+    def test_strict_kwargs(self):
+        from hepcrawl_ray.functions.loaders import strict_kwargs
+
+        @strict_kwargs({"sets", "from_date"})
+        def spider(**kw):
+            return kw
+
+        assert spider(sets="a", _private=1) == {"sets": "a", "_private": 1}
+        import pytest as _pytest
+        with _pytest.raises(TypeError):
+            spider(bogus=1)
+
+
+class TestLastRunStore:
+    def test_save_load_resume(self, tmp_path):
+        from hepcrawl_ray.state.lastrun import LastRunStore
+
+        store = LastRunStore(str(tmp_path), "arxiv")
+        assert store.resume_from("physics") is None
+        store.save("physics", from_date="2020-01-01", until_date=None,
+                   started_at="2020-02-01T00:00:00",
+                   finished_at="2020-02-01T01:00:00")
+        assert store.resume_from("physics") == "2020-02-01T01:00:00"
+        store.save("physics", from_date="2020-02-01", until_date="2020-03-01",
+                   started_at="x", finished_at="y")
+        assert store.resume_from("physics") == "2020-03-01"
+        # per-set isolation
+        assert store.resume_from("math") is None
