@@ -28,11 +28,19 @@ from hepcrawl_ray.ops import knn as K
 from hepcrawl_ray.ops import text as T
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema metadata (the testdata parquet carries a pandas
+    metadata dict, which Ray's streaming executor can't hash — it logs
+    a noisy schema-mismatch warning on every aggregate otherwise)."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _cents(arr) -> np.ndarray:
@@ -902,7 +910,8 @@ def q_distinct_users_by_type(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = t.select(["event_type", "user_id"]).to_pandas() \
             .drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
