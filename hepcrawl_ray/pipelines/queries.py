@@ -961,3 +961,25 @@ ORACLE_SQL.update({
         FROM events GROUP BY event_type
     """,
 })
+
+
+def q_crawl_seen_set(sf_dir: str):
+    """Final URL-seen set of the flagship crawl (the crawl-once DB
+    contents; equivalence vs the simulator is asserted in tests —
+    this exposes it as a driver-visible artifact)."""
+    import ray
+
+    from hepcrawl_ray.pipelines import crawl as cp
+
+    _, _, seeds, politeness = _crawl_tables()
+    actors = cp.start_frontier(politeness.to_pylist(), num_partitions=2)
+    cp.offer_seeds(actors, seeds, 2)
+    ray.get([a.seal.remote() for a in actors])
+    ray.get([a.drain.remote(None) for a in actors])
+    hashes = np.concatenate(ray.get([a.seen_hashes.remote() for a in actors]))
+    for a in actors:
+        ray.kill(a)
+    return pa.table({"url_hash": np.sort(hashes)})
+
+
+QUERIES["crawl_seen_set"] = q_crawl_seen_set
