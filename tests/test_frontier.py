@@ -214,3 +214,31 @@ Disallow: /
         out = p.drain()
         assert out.column("url").to_pylist() == ["http://h.org/a/x"]
         assert p.metrics["dropped_robots"] == 1
+
+
+class TestSkewMitigation:
+    def test_salting_spreads_hot_host_load(self):
+        """The hot host (~50% of URLs) concentrates on one partition
+        unsalted; salted k=4 it spreads, cutting the max partition load
+        (the explicit skew-mitigation requirement)."""
+        import numpy as np
+
+        from hepcrawl_ray.frontier import canonicalize_batch, route_partition_ids
+
+        images, _ = synth.generate_corpus(400)
+        seeds = synth.generate_seeds(images, hot_host_frac=0.5)
+        offers = canonicalize_batch(seeds)
+        hosts = offers.column("host").to_pylist()
+        hashes = offers.column("url_hash").to_numpy()
+        P = 8
+
+        def max_share(salted):
+            pids = route_partition_ids(hosts, hashes, P, salted)
+            counts = np.bincount(pids, minlength=P)
+            return counts.max() / counts.sum()
+
+        unsalted = max_share(None)
+        salted = max_share({"host0.example.org": 4})
+        assert unsalted > 0.45           # hot host pinned to one partition
+        assert salted < unsalted - 0.15  # salting materially spreads it
+        assert salted < 0.35
