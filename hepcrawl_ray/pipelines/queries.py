@@ -983,3 +983,19 @@ def q_crawl_seen_set(sf_dir: str):
 
 
 QUERIES["crawl_seen_set"] = q_crawl_seen_set
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users (mergeable sketch:
+    one tiny sketch per batch, merged — never a row shuffle).
+    Rows-only: approximate by design; exact twin is
+    distinct_users_by_type."""
+    from hepcrawl_ray.ops.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"metric": ["approx_distinct_users"],
+                     "estimate": pa.array([float(est)], pa.float64())})
+
+
+QUERIES["approx_distinct_users"] = q_approx_distinct_users
