@@ -321,3 +321,113 @@ def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",
 
     return src.map_batches(PairFinder, batch_format="pyarrow",
                            concurrency=(1, concurrency), num_cpus=0.5)
+
+
+def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
+                                vec_col="embedding", n_planes=4,
+                                n_tables=16, seed=42, concurrency=4,
+                                max_bucket=512):
+    """Scale path for embedding near-dup: sign-random-projection LSH.
+
+    Each vector gets ``n_tables`` bucket keys (sign pattern of
+    ``n_planes`` random projections); candidate pairs share a bucket in
+    ANY table; exact cosine verifies.  No broadcast matrix, no cross
+    product — cost is keyed by bucket like the text-LSH path.
+    Approximate by construction (recall grows with n_tables; collision
+    prob per table = (1 - theta/pi)^n_planes — size planes/tables for
+    the target threshold: high-threshold near-dup (cos >= 0.9) affords
+    many planes; looser thresholds need few planes / many tables).
+    """
+    import ray
+
+    # deterministic projection planes; dim inferred from the first row
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    vecs_rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in vecs_rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in vecs_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    lookup_ref = ray.put((ids, mat))
+
+    class BucketKeys:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(v, axis=1)
+            n[n == 0] = 1.0
+            v = v / n[:, None]
+            out_id, out_tab, out_key = [], [], []
+            idl = t.column(id_col).to_pylist()
+            for tab in range(len(self.planes)):
+                signs = (v @ self.planes[tab].T) > 0           # (n, planes)
+                keys = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+                out_id.extend(int(x) for x in idl)
+                out_tab.extend([tab] * len(idl))
+                out_key.extend(int(k) for k in keys)
+            return pa.table({"vec_id": pa.array(out_id, pa.int64()),
+                             "table": pa.array(out_tab, pa.int32()),
+                             "key": pa.array(out_key, pa.int64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["table", "key"])["vec_id"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_bucket)]
+        if not len(g):
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64")})
+        m = g.merge(g, on=["table", "key"])
+        m = m[m["vec_id_x"] < m["vec_id_y"]]
+        out = m[["vec_id_x", "vec_id_y"]].drop_duplicates()
+        out.columns = ["vec_a", "vec_b"]
+        # re-bucket by pair for the cross-table distinct (Ray grouped
+        # aggregates over high-cardinality keys are ~100x slower than
+        # 64 pandas dedups)
+        out["pair_bucket"] = ((out["vec_a"] * 1_000_003 + out["vec_b"])
+                              % 64).astype("int64")
+        return out
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("key").to_numpy() * 31 + t.column("table").to_numpy()) % 64
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["vec_a", "vec_b"]].drop_duplicates()
+
+    cands = (ds.select_columns([id_col, vec_col])
+             .map_batches(BucketKeys, batch_format="pyarrow",
+                          concurrency=(1, concurrency), num_cpus=0.5)
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .groupby("pair_bucket")
+             .map_groups(distinct_pairs, batch_format="pandas"))
+
+    class VerifyCosine:
+        def __init__(self):
+            self.ids, self.mat = ray.get(lookup_ref)
+            self.pos = {int(i): p for p, i in enumerate(self.ids)}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                     "vec_b": pd.Series([], dtype="int64")})
+            keep = []
+            for a, b in zip(batch["vec_a"], batch["vec_b"]):
+                pa_, pb_ = self.pos.get(int(a)), self.pos.get(int(b))
+                if pa_ is None or pb_ is None:
+                    continue
+                if float(self.mat[pa_] @ self.mat[pb_]) >= threshold:
+                    keep.append((int(a), int(b)))
+            return pd.DataFrame(keep, columns=["vec_a", "vec_b"]) if keep \
+                else pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                   "vec_b": pd.Series([], dtype="int64")})
+
+    return cands.map_batches(VerifyCosine, batch_format="pandas",
+                             concurrency=(1, concurrency), num_cpus=0.5)

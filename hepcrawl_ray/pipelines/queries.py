@@ -999,3 +999,15 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 QUERIES["approx_distinct_users"] = q_approx_distinct_users
+
+
+def q_dedup_embedding_lsh(sf_dir: str):
+    """Sign-random-projection LSH near-dup pairs, cosine-verified
+    (rows-only: LSH recall is probabilistic; exact twin is
+    dedup_embedding_cosine)."""
+    return D.embedding_lsh_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.4, n_planes=4, n_tables=16)
+
+
+QUERIES["dedup_embedding_lsh"] = q_dedup_embedding_lsh

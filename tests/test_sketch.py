@@ -51,3 +51,26 @@ def test_approx_distinct_dataset(ray_session):
     est = approx_distinct(ds, "user_id")
     true = len(set(r["user_id"] for r in ds.take_all()))
     assert abs(est - true) / true < 0.05
+
+
+def test_embedding_lsh_recall(ray_session):
+    """LSH near-dup candidates verified by exact cosine: precision is 1
+    by construction; recall vs the brute-force result must be high."""
+    import ray
+
+    from hepcrawl_ray.ops.dedup import (embedding_lsh_neardup_pairs,
+                                        embedding_neardup_pairs)
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = embedding_neardup_pairs(ds, threshold=0.4)
+    exact_pairs = {(r["vec_a"], r["vec_b"]) for r in exact.take_all()}
+    # sign-LSH collision prob per table = (1 - theta/pi)^planes; at
+    # cos 0.4 (theta ~66deg) that needs few planes / many tables
+    lsh = embedding_lsh_neardup_pairs(ds, threshold=0.4,
+                                      n_planes=4, n_tables=16)
+    lsh_pairs = {(r["vec_a"], r["vec_b"]) for r in lsh.take_all()}
+    assert lsh_pairs <= exact_pairs            # precision 1 (verified)
+    if exact_pairs:
+        recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.7, f"recall {recall}"
