@@ -1011,3 +1011,103 @@ def q_dedup_embedding_lsh(sf_dir: str):
 
 
 QUERIES["dedup_embedding_lsh"] = q_dedup_embedding_lsh
+
+
+def q_having_prolific_sources(sf_dir: str):
+    """Grouped filter (HAVING shape): sources with > 8 docs and their
+    mean chars (as integer cents-style fixed point x100)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_chars", "sum"),
+                                            ("doc_id", "count")])
+        return g.rename_columns(["source", "p_chars", "p_n"])
+
+    agg = (_read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("p_chars", alias_name="sum_chars"),
+                      Sum("p_n", alias_name="n_docs")))
+
+    def having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n_docs"), 8))
+        mean_x100 = np.floor(
+            t.column("sum_chars").to_numpy().astype(np.float64) * 100.0
+            / t.column("n_docs").to_numpy() + 0.5).astype(np.int64)
+        return pa.table({"source": t.column("source"),
+                         "n_docs": t.column("n_docs"),
+                         "mean_chars_x100": mean_x100})
+
+    return agg.map_batches(having, batch_format="pyarrow")
+
+
+def q_parts_above_avg_price(sf_dir: str):
+    """Scalar-subquery shape: parts priced above the global average
+    (average broadcast from a first aggregation pass)."""
+    import ray
+
+    prices = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    cents = prices.map_batches(
+        lambda t: pa.table({"c": _cents(t.column("p_retailprice").to_numpy())}),
+        batch_format="pyarrow")
+    total = cents.sum("c")
+    n = cents.count()
+    # same fixed-point average definition in SQL: floor(avg_cents)
+    avg_cents = total // n
+
+    def above(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("p_retailprice").to_numpy())
+        keep = c > avg_cents
+        return pa.table({"p_partkey": t.column("p_partkey").filter(pa.array(keep)),
+                         "price_cents": pa.array(c[keep])})
+
+    return prices.map_batches(above, batch_format="pyarrow")
+
+
+def q_union_high_value_activity(sf_dir: str):
+    """Union shape: high-value purchases UNION ALL error events, tagged."""
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("event_type"), "purchase"),
+                    pc.greater(t.column("value"), 150.0))
+        t = t.filter(m)
+        return pa.table({"event_id": t.column("event_id"),
+                         "kind": pa.array(["high_purchase"] * t.num_rows)})
+
+    def errors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "error"))
+        return pa.table({"event_id": t.column("event_id"),
+                         "kind": pa.array(["error"] * t.num_rows)})
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ev.map_batches(purchases, batch_format="pyarrow").union(
+        ev.map_batches(errors, batch_format="pyarrow"))
+
+
+QUERIES.update({
+    "having_prolific_sources": q_having_prolific_sources,
+    "parts_above_avg_price": q_parts_above_avg_price,
+    "union_high_value_activity": q_union_high_value_activity,
+})
+
+ORACLE_SQL.update({
+    "having_prolific_sources": """
+        SELECT source, count(*) AS n_docs,
+               CAST(floor(sum(n_chars) * 100.0 / count(*) + 0.5) AS BIGINT)
+                   AS mean_chars_x100
+        FROM documents GROUP BY source HAVING count(*) > 8
+    """,
+    "parts_above_avg_price": """
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM part
+        WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) >
+              (SELECT CAST(floor(avg(CAST(floor(p_retailprice * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT) FROM part)
+    """,
+    "union_high_value_activity": """
+        SELECT event_id, 'high_purchase' AS kind FROM events
+        WHERE event_type = 'purchase' AND value > 150.0
+        UNION ALL
+        SELECT event_id, 'error' AS kind FROM events WHERE event_type = 'error'
+    """,
+})
