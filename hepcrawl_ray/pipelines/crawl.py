@@ -68,7 +68,7 @@ def start_frontier(politeness_rows, num_partitions=4, salted_hosts=None,
     ]
 
 
-def restore_frontier(checkpoint_dir, num_partitions, num_cpus_per_actor=0.5):
+def restore_frontier(checkpoint_dir, num_partitions, num_cpus_per_actor=0.05):
     """Re-create the actor pool from a checkpoint (exact resume)."""
     import ray
 
@@ -151,7 +151,9 @@ def fetch_and_parse(admissions_ds, images, *, fetch_concurrency=4,
             FetchParseStage,
             fn_constructor_args=(images_ref, verify_pixels, drop_bytes),
             batch_format="pyarrow", batch_size=batch_size,
-            concurrency=n_actors, num_cpus=0.5)
+            concurrency=n_actors, num_cpus=0.5,
+            max_restarts=0)  # ctor args hold an ObjectRef; Ray Data
+                             # retries tasks itself (ray#53727 warning)
     return (
         admissions_ds
         .map_batches(FetchStage, fn_constructor_args=(images_ref,),

@@ -74,3 +74,22 @@ def test_embedding_lsh_recall(ray_session):
     if exact_pairs:
         recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
         assert recall >= 0.7, f"recall {recall}"
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF approximate top-k: results are a subset of valid neighbors
+    and overlap the exact top-k substantially at nprobe=8/16 centroids."""
+    import ray
+
+    from hepcrawl_ray.ops.knn import knn_bruteforce, knn_ivf
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    queries = (0, 1, 2, 3, 4)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(ds, queries, k=10).take_all()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in knn_ivf(ds, queries, k=10, n_centroids=16,
+                               nprobe=8).take_all()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall}"
