@@ -162,42 +162,71 @@ def q_agg_lineitem_pricing(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_join_revenue_by_nation(sf_dir: str):
-    """Dimension join via broadcast lookup (analog: affiliation-by-id /
-    downloaded-file joins are broadcast-style row-local lookups,
-    reference: hepcrawl/tohep.py:38-67, utils.py:210-217)."""
+    """Fact-fact join with dimension-only broadcast (analog:
+    affiliation-by-id / downloaded-file joins are broadcast-style
+    row-local lookups, reference: hepcrawl/tohep.py:38-67,
+    utils.py:210-217).
+
+    Scale shape: ONLY dimension-sized state (customer -> nation name)
+    is broadcast; lineitem joins orders on orderkey via Ray's
+    distributed hash join, after a per-batch partial aggregation that
+    collapses lineitem to one row per orderkey — ~4x fewer rows and
+    just 3 narrow columns through the shuffle.  No fact table ever
+    lands on the driver."""
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    cust_nation = dict(zip(cust["c_custkey"],
-                           cust["c_nationkey"].map(
-                               dict(zip(nation["n_nationkey"], nation["n_name"])))))
-    order_nation = {int(o): cust_nation.get(int(c))
-                    for o, c in zip(orders["o_orderkey"], orders["o_custkey"])}
-    lookup_ref = ray.put(order_nation)
+    nat_of_cust = pd.Series(
+        cust["c_nationkey"].map(
+            dict(zip(nation["n_nationkey"], nation["n_name"]))).to_numpy(),
+        index=cust["c_custkey"].to_numpy())
+    lookup_ref = ray.put(nat_of_cust)
 
-    class JoinRev:
+    class TagOrders:
+        """orders -> (o_orderkey, n_name) via the broadcast dimension map."""
+
         def __init__(self):
-            self.order_nation = ray.get(lookup_ref)
+            self.nat = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("l_orderkey").to_numpy()
-            nat = [self.order_nation.get(int(k)) for k in keys]
-            rev_c = _cents(t.column("l_extendedprice").to_numpy()
-                           * (1.0 - t.column("l_discount").to_numpy()))
-            tmp = pa.table({"n_name": pa.array(nat, pa.string()),
-                            "rev_c": rev_c,
-                            "one": np.ones(t.num_rows, dtype=np.int64)})
-            g = tmp.group_by("n_name").aggregate([("rev_c", "sum"),
+            names = pd.Series(t.column("o_custkey").to_numpy()).map(self.nat)
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "n_name": pa.array(names.to_numpy(), pa.string())})
+
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+              .map_batches(TagOrders, batch_format="pyarrow",
+                           concurrency=(1, 2), num_cpus=0.5))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev_c = _cents(t.column("l_extendedprice").to_numpy()
+                       * (1.0 - t.column("l_discount").to_numpy()))
+        tmp = pa.table({"l_orderkey": t.column("l_orderkey"),
+                        "rev_c": rev_c,
+                        "one": np.ones(t.num_rows, dtype=np.int64)})
+        g = tmp.group_by("l_orderkey").aggregate([("rev_c", "sum"),
                                                   ("one", "sum")])
-            return g.rename_columns(["n_name", "p_rev", "p_n"])
+        return g.rename_columns(["l_orderkey", "p_rev", "p_n"])
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                     "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+
+    joined = li.join(orders, join_type="inner", num_partitions=4,
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "p_rev": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64())})
+        g = t.group_by("n_name").aggregate([("p_rev", "sum"), ("p_n", "sum")])
+        return g.rename_columns(["n_name", "p_rev", "p_n"])
 
     from ray.data.aggregate import Sum
 
-    return (_read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
-                                       "l_discount"])
-            .map_batches(JoinRev, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5)
+    return (joined.map_batches(to_nation, batch_format="pyarrow")
             .groupby("n_name")
             .aggregate(Sum("p_rev", alias_name="revenue_cents"),
                        Sum("p_n", alias_name="n_lineitems")))
@@ -463,6 +492,10 @@ def q_crawl_admissions(sf_dir: str):
     images, _, seeds, politeness = _crawl_tables()
     actors = cp.start_frontier(politeness.to_pylist(), num_partitions=2)
     cp.offer_seeds(actors, seeds, 2)
+    # seal BEFORE drain: offers stay buffered until seal and drain only
+    # walks sealed queues (frontier.py); same pattern as run_crawl and
+    # q_crawl_seen_set.
+    ray.get([a.seal.remote() for a in actors])
     admissions = pa.concat_tables(
         ray.get([a.drain.remote(None) for a in actors]))
     for a in actors:
@@ -565,21 +598,22 @@ ORACLE_SQL = {
         WHERE event_type = 'error' GROUP BY user_id
     """,
     "agg_docs_by_source": """
-        SELECT source, sum(n_chars) AS sum_chars, count(*) AS n_docs
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(*) AS n_docs
         FROM documents GROUP BY source
     """,
     "agg_lineitem_pricing": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_rev_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rev_cents,
                count(*) AS n_rows
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
     "join_revenue_by_nation": """
         SELECT n_name,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_lineitems
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -623,7 +657,7 @@ ORACLE_SQL = {
     """,
     "window_tumbling_events": """
         SELECT user_id, strftime(ts, '%Y-%m-%d %H') AS hour,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                count(*) AS n_events
         FROM events GROUP BY user_id, hour
     """,

@@ -62,8 +62,10 @@ def test_query_matches_oracle(ray_session, duck, name):
     assert list(got.columns) == list(want.columns), \
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                  check_exact=True, obj=name)
+    # dtype-strict: the driver value-hash distinguishes int64 from
+    # float64 (DuckDB HUGEINT sums drift to float64 unless the oracle
+    # CASTs back to BIGINT), so the mirror must too.
+    pd.testing.assert_frame_equal(got, want, check_exact=True, obj=name)
 
 
 @pytest.mark.parametrize("name", [n for n in ALL_QUERIES if n not in SQL_QUERIES])
@@ -72,6 +74,10 @@ def test_rows_only_queries_run(ray_session, name):
     got = to_pandas(q(SF_DIR))
     assert got is not None
     assert len(got.columns) > 0
+    # every rows-only query has a deterministic non-empty output; a
+    # 0-row result means a broken pipeline (e.g. drain-without-seal),
+    # not an empty corpus.
+    assert len(got) > 0, f"{name}: returned 0 rows"
 
 
 def test_entry_smoke(ray_session):
