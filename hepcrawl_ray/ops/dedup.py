@@ -28,6 +28,40 @@ import pyarrow as pa
 from hepcrawl_ray.ops import text as T
 
 
+def _join_partitions() -> int:
+    """Join-shuffle width sized to the session: cpus//2 in [2, 16].
+    Two chained joins x num_partitions x 0.25-CPU aggregators must
+    leave CPUs for the upstream map stages (a 4-CPU test session gets
+    2 partitions; the 32-CPU bench gets 16)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
+
+
+def attach_pair_values(pairs, src, *, key_a, key_b, src_key, val_col,
+                       num_partitions=None):
+    """Attach ``src[val_col]`` for both members of a candidate-pair
+    table via two distributed hash joins (suffixes ``_a``/``_b``).
+
+    This is the scale path for pair *verification*: no worker or
+    driver ever holds the whole corpus — values (texts / vectors /
+    counts) move only for candidate pairs, hash-partitioned by key.
+    ``num_partitions`` sizes the join shuffle; at cluster scale set it
+    ~= number of cores.  Aggregators are deliberately cheap
+    (0.25 CPU): two chained joins must coexist with the upstream map
+    stages even on a 4-CPU test session without starving the stream."""
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    kwargs = dict(join_type="inner", num_partitions=num_partitions,
+                  aggregator_ray_remote_args={"num_cpus": 0.25})
+    j = pairs.join(src, on=(key_a,), right_on=(src_key,), **kwargs)
+    return j.join(src, on=(key_b,), right_on=(src_key,),
+                  left_suffix="_a", right_suffix="_b", **kwargs)
+
+
 # ---------------------------------------------------------------- exact ----
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -90,14 +124,10 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
 
     Returns (doc_a, doc_b) with doc_a < doc_b and token-shingle
     Jaccard >= threshold.  ``max_bucket`` caps pathological buckets
-    (hot-key guard; see module docstring).
+    (hot-key guard; see module docstring).  Verification joins the
+    candidate pairs back against the documents dataset (keyed, no
+    corpus broadcast).
     """
-    import ray
-
-    texts_ref = ray.put(
-        {r[id_col]: r[text_col]
-         for r in ds.select_columns([id_col, text_col]).take_all()})
-
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
@@ -130,21 +160,6 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
              .groupby("bucket")
              .map_groups(bucket_pairs, batch_format="pandas"))
 
-    class VerifyJaccard:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if not len(batch):
-                return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                     "doc_b": pd.Series([], dtype="int64"),
-                                     "jaccard": pd.Series([], dtype="float64")})
-            jac = [T.jaccard_tokens(self.texts[a], self.texts[b], k_shingle)
-                   for a, b in zip(batch["doc_a"], batch["doc_b"])]
-            batch = batch.assign(jaccard=jac)
-            return batch.loc[batch["jaccard"] >= threshold,
-                             ["doc_a", "doc_b", "jaccard"]]
-
     # cross-band/bucket duplicates of the same pair: built-in grouped
     # count collapses them to one row, then verification is row-local
     from ray.data.aggregate import Count
@@ -152,9 +167,25 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
     distinct = cands.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="_nbands"))
 
-    verified = distinct.map_batches(VerifyJaccard, batch_format="pandas",
-                                    concurrency=(1, concurrency), num_cpus=0.5)
-    return verified
+    # keyed join back to the documents dataset — texts move only for
+    # candidate pairs; exact Jaccard is then row-local
+    withtexts = attach_pair_values(
+        distinct, ds.select_columns([id_col, text_col]),
+        key_a="doc_a", key_b="doc_b", src_key=id_col, val_col=text_col)
+    ta, tb = f"{text_col}_a", f"{text_col}_b"
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        jac = [T.jaccard_tokens(a, b, k_shingle)
+               for a, b in zip(batch[ta], batch[tb])]
+        batch = batch.assign(jaccard=jac)
+        return batch.loc[batch["jaccard"] >= threshold,
+                         ["doc_a", "doc_b", "jaccard"]]
+
+    return withtexts.map_batches(verify, batch_format="pandas")
 
 
 # -------------------------------------------------------------- simhash ----
@@ -183,23 +214,24 @@ def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
     (a pair blocked *only* by ultra-common shingles can be missed —
     the documented recall trade; set it high enough for the corpus).
     SQL-expressible -> has a DuckDB oracle.
+
+    Each exploded (doc, shingle) row carries the doc's total distinct
+    shingle count ``nsh``; the merged pair rows therefore already hold
+    both denominator terms, so Jaccard = n_common /
+    (nsh_a + nsh_b - n_common) finalizes with pure vectorized math —
+    no corpus broadcast, no join, no second corpus pass.
     """
-    import ray
-
-    doc_rows = ds.select_columns([id_col, text_col]).take_all()
-    texts = {r[id_col]: r[text_col] for r in doc_rows}
-    nsh = {r[id_col]: len(set(T.shingles(r[text_col], k_shingle)))
-           for r in doc_rows}
-    texts_ref = ray.put((texts, nsh))
-
     def explode(batch: pa.Table) -> pa.Table:
-        ids, vals = [], []
+        ids, vals, nshs = [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
-            for s in set(T.shingles(t, k_shingle)):
+            ss = set(T.shingles(t, k_shingle))
+            for s in ss:
                 ids.append(i)
                 vals.append(s)
-        return pa.table({"doc_id": ids, "shingle": vals})
+                nshs.append(len(ss))
+        return pa.table({"doc_id": ids, "shingle": vals,
+                         "nsh": pa.array(nshs, pa.int64())})
 
     n_buckets = 64
 
@@ -219,12 +251,17 @@ def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
         if not len(g):
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
-                                 "pn": pd.Series([], dtype="int64")})
+                                 "pn": pd.Series([], dtype="int64"),
+                                 "nsh_a": pd.Series([], dtype="int64"),
+                                 "nsh_b": pd.Series([], dtype="int64"),
+                                 "pair_bucket": pd.Series([], dtype="int64")})
         m = g.merge(g, on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = (m.groupby(["doc_id_x", "doc_id_y"]).size()
-               .reset_index(name="pn"))
-        out.columns = ["doc_a", "doc_b", "pn"]
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+               .agg(pn=("shingle", "size"), nsh_a=("nsh_x", "first"),
+                    nsh_b=("nsh_y", "first")))
+        out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"},
+                   inplace=True)
         # re-bucket by PAIR for the cross-bucket count merge (Ray's
         # grouped aggregate over millions of distinct keys is ~100x
         # slower than 64 pandas group-sums)
@@ -233,37 +270,25 @@ def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
         return out
 
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby(["doc_a", "doc_b"], as_index=False)["pn"].sum()
-               .rename(columns={"pn": "n"}))
-        return out
+        """Merge per-bucket partial counts into the global common-
+        shingle count, then finalize Jaccard right here (nsh_a/nsh_b
+        ride along, constant per pair)."""
+        out = (g.groupby(["doc_a", "doc_b"], as_index=False)
+               .agg(n=("pn", "sum"), nsh_a=("nsh_a", "first"),
+                    nsh_b=("nsh_b", "first")))
+        n = out["n"].to_numpy(dtype=np.float64)
+        den = (out["nsh_a"].to_numpy() + out["nsh_b"].to_numpy()
+               - n).astype(np.float64)
+        keep = (den > 0) & (n / np.where(den > 0, den, 1.0) >= threshold)
+        return out.loc[keep, ["doc_a", "doc_b"]]
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow").map_batches(
         add_bucket, batch_format="pyarrow")
-    counted = (exploded.groupby("bucket")
-               .map_groups(pairs_in_bucket, batch_format="pandas")
-               .groupby("pair_bucket")
-               .map_groups(sum_pairs, batch_format="pandas"))
-
-    class Finalize:
-        def __init__(self):
-            self.texts, self.nsh = ray.get(texts_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if not len(batch):
-                return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                     "doc_b": pd.Series([], dtype="int64")})
-            keep = []
-            for a, b, n_common in zip(batch["doc_a"], batch["doc_b"], batch["n"]):
-                den = self.nsh[a] + self.nsh[b] - n_common
-                if den > 0 and n_common / den >= threshold:
-                    keep.append((a, b))
-            return pd.DataFrame(keep, columns=["doc_a", "doc_b"]) if keep \
-                else pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                   "doc_b": pd.Series([], dtype="int64")})
-
-    return counted.map_batches(Finalize, batch_format="pandas",
-                               concurrency=(1, concurrency), num_cpus=0.5)
+    return (exploded.groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(sum_pairs, batch_format="pandas"))
 
 
 # ---------------------------------------------------- embedding cosine ----
@@ -337,6 +362,16 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
     prob per table = (1 - theta/pi)^n_planes — size planes/tables for
     the target threshold: high-threshold near-dup (cos >= 0.9) affords
     many planes; looser thresholds need few planes / many tables).
+
+    Verification is INLINE in the bucket group: each bucket row
+    carries its (normalized, packed) vector through the one keyed
+    shuffle, so exact cosine runs vectorized where the candidates are
+    formed and only verified pairs leave the group.  Shuffle volume is
+    N x n_tables x vec_bytes (linear in corpus size) — vs shipping
+    vectors per candidate PAIR, which is quadratic in bucket
+    occupancy.  The only broadcast state is the
+    (n_tables x n_planes x dim) plane tensor; no corpus ever sits on
+    the driver or in one worker.
     """
     import ray
 
@@ -347,15 +382,10 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
     planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
 
-    vecs_rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in vecs_rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in vecs_rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    lookup_ref = ray.put((ids, mat))
-
     class BucketKeys:
+        """One row per (vector, table): LSH key + the normalized
+        vector packed to binary (pandas/Arrow-shuffle-safe)."""
+
         def __init__(self):
             self.planes = ray.get(planes_ref)
 
@@ -364,28 +394,43 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
             n = np.linalg.norm(v, axis=1)
             n[n == 0] = 1.0
             v = v / n[:, None]
-            out_id, out_tab, out_key = [], [], []
-            idl = t.column(id_col).to_pylist()
-            for tab in range(len(self.planes)):
+            packed = [row.tobytes() for row in v]
+            n_tab = len(self.planes)
+            ids = t.column(id_col)
+            out_id = pa.concat_arrays([ids.combine_chunks()] * n_tab)
+            out_tab, out_key = [], []
+            for tab in range(n_tab):
                 signs = (v @ self.planes[tab].T) > 0           # (n, planes)
                 keys = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
-                out_id.extend(int(x) for x in idl)
-                out_tab.extend([tab] * len(idl))
-                out_key.extend(int(k) for k in keys)
-            return pa.table({"vec_id": pa.array(out_id, pa.int64()),
-                             "table": pa.array(out_tab, pa.int32()),
-                             "key": pa.array(out_key, pa.int64())})
+                out_tab.append(np.full(len(v), tab, dtype=np.int32))
+                out_key.append(keys.astype(np.int64))
+            return pa.table({"vec_id": out_id,
+                             "table": np.concatenate(out_tab),
+                             "key": np.concatenate(out_key),
+                             "vec_bin": pa.array(packed * n_tab,
+                                                 pa.binary())})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Candidates AND exact-cosine verification within one hash
+        bucket of (table, key) groups — only verified pairs exit."""
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "pair_bucket": pd.Series([], dtype="int64")})
         sizes = g.groupby(["table", "key"])["vec_id"].transform("size")
         g = g[(sizes >= 2) & (sizes <= max_bucket)]
         if not len(g):
-            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                 "vec_b": pd.Series([], dtype="int64")})
-        m = g.merge(g, on=["table", "key"])
+            return empty
+        g = g.reset_index(drop=True)
+        m = g.reset_index().merge(g.reset_index(), on=["table", "key"])
         m = m[m["vec_id_x"] < m["vec_id_y"]]
-        out = m[["vec_id_x", "vec_id_y"]].drop_duplicates()
-        out.columns = ["vec_a", "vec_b"]
+        if not len(m):
+            return empty
+        mat = np.stack([np.frombuffer(x) for x in g["vec_bin"]])
+        cos = np.einsum("ij,ij->i", mat[m["index_x"].to_numpy()],
+                        mat[m["index_y"].to_numpy()])
+        m = m[cos >= threshold]
+        out = (m[["vec_id_x", "vec_id_y"]].drop_duplicates()
+               .rename(columns={"vec_id_x": "vec_a", "vec_id_y": "vec_b"}))
         # re-bucket by pair for the cross-table distinct (Ray grouped
         # aggregates over high-cardinality keys are ~100x slower than
         # 64 pandas dedups)
@@ -400,34 +445,11 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
     def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g[["vec_a", "vec_b"]].drop_duplicates()
 
-    cands = (ds.select_columns([id_col, vec_col])
-             .map_batches(BucketKeys, batch_format="pyarrow",
-                          concurrency=(1, concurrency), num_cpus=0.5)
-             .map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(bucket_pairs, batch_format="pandas")
-             .groupby("pair_bucket")
-             .map_groups(distinct_pairs, batch_format="pandas"))
-
-    class VerifyCosine:
-        def __init__(self):
-            self.ids, self.mat = ray.get(lookup_ref)
-            self.pos = {int(i): p for p, i in enumerate(self.ids)}
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if not len(batch):
-                return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                     "vec_b": pd.Series([], dtype="int64")})
-            keep = []
-            for a, b in zip(batch["vec_a"], batch["vec_b"]):
-                pa_, pb_ = self.pos.get(int(a)), self.pos.get(int(b))
-                if pa_ is None or pb_ is None:
-                    continue
-                if float(self.mat[pa_] @ self.mat[pb_]) >= threshold:
-                    keep.append((int(a), int(b)))
-            return pd.DataFrame(keep, columns=["vec_a", "vec_b"]) if keep \
-                else pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                   "vec_b": pd.Series([], dtype="int64")})
-
-    return cands.map_batches(VerifyCosine, batch_format="pandas",
-                             concurrency=(1, concurrency), num_cpus=0.5)
+    return (ds.select_columns([id_col, vec_col])
+            .map_batches(BucketKeys, batch_format="pyarrow",
+                         concurrency=(1, concurrency), num_cpus=0.5)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(distinct_pairs, batch_format="pandas"))
