@@ -33,6 +33,9 @@ QUERY_NAMES = [
     "agg_lineitem_pricing", "join_revenue_by_nation", "window_tumbling_events",
     "dedup_exact_docs", "dedup_ngram_jaccard", "knn_bruteforce",
     "text_token_stats", "dedup_embedding_cosine",
+    "dedup_minhash_lsh", "dedup_embedding_lsh",
+    "fn_range_years", "sessionize_events", "topk_orders_per_customer",
+    "distinct_users_by_type",
 ]
 
 
@@ -133,9 +136,6 @@ def run_crawl_bench(num_partitions: int = 16):
         return pa.table({"n": [t.num_rows], "n_ok": [int(ok.sum())],
                          "n_fetched": [int(fe)]})
 
-    stats = (recs.map_batches(agg_ok, batch_format="pyarrow")
-             .groupby(None)  # placeholder; replaced below
-             ) if False else None
     import pyarrow as pa
     parts = [b for b in recs.map_batches(agg_ok, batch_format="pyarrow")
              .iter_batches(batch_size=None, batch_format="pyarrow")]

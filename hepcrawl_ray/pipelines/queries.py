@@ -22,7 +22,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from hepcrawl_ray.functions import range_as_string
 from hepcrawl_ray.ops import dedup as D
 from hepcrawl_ray.ops import knn as K
 from hepcrawl_ray.ops import text as T
@@ -293,21 +292,39 @@ def q_topk_parts(sf_dir: str):
 
 def q_fn_range_years(sf_dir: str):
     """range_as_string over each customer's distinct order years
-    (reference: hepcrawl/utils.py:232-248)."""
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        years = sorted(g["year"].unique())
-        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]],
-                             "year_ranges": [range_as_string(years)]})
+    (reference: hepcrawl/utils.py:232-248).
 
+    Bucketed: groupby(hash(key) % 64) then vectorized pandas run-
+    grouping per bucket — one task per bucket instead of one Python
+    call per customer (CLAUDE.md lesson #1)."""
     def prep(t: pa.Table) -> pa.Table:
         years = pc.year(t.column("o_orderdate"))
-        return pa.table({"o_custkey": t.column("o_custkey"),
-                         "year": years})
+        custkey = t.column("o_custkey")
+        return pa.table({"o_custkey": custkey,
+                         "year": years,
+                         "bucket": pc.bit_wise_and(custkey, 63)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g[["o_custkey", "year"]].drop_duplicates()
+             .sort_values(["o_custkey", "year"]))
+        run_break = ((d["o_custkey"] != d["o_custkey"].shift())
+                     | (d["year"] != d["year"].shift() + 1))
+        d = d.assign(run=run_break.cumsum())
+        runs = (d.groupby(["o_custkey", "run"], as_index=False)["year"]
+                .agg(["min", "max"]))
+        lo = runs["min"].astype("int64").astype(str)
+        hi = runs["max"].astype("int64").astype(str)
+        runs["part"] = np.where(runs["min"] == runs["max"], lo,
+                                lo + "-" + hi)
+        out = (runs.groupby("o_custkey", as_index=False)["part"]
+               .agg(", ".join)
+               .rename(columns={"part": "year_ranges"}))
+        return out
 
     return (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .map_groups(per_group, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
 
 
 def q_fn_date_normalize(sf_dir: str):
@@ -900,40 +917,59 @@ def q_sessionize_events(sf_dir: str):
     assumption: one group holds all of a user's events)."""
     gap_us = 30 * 60 * 1_000_000
 
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        return pa.table({"user_id": uid, "ts": t.column("ts"),
+                         "bucket": pc.bit_wise_and(uid, 63)})
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        """All sessions of one user-hash bucket, vectorized: sort by
+        (user, ts); a session break is a user change OR a >gap step
+        (bucketed per CLAUDE.md lesson #1 — 64 tasks, not one per
+        user)."""
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
         ts = g["ts"].astype("int64").to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_session)
-        out = (pd.DataFrame({"sid": sid, "ts": g["ts"].to_numpy()})
-               .groupby("sid")
-               .agg(session_start=("ts", "min"), n_events=("ts", "size"))
-               .reset_index(drop=True))
+        uid = g["user_id"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        g = g.assign(sid=np.cumsum(brk))
+        out = (g.groupby(["user_id", "sid"], as_index=False)
+               .agg(session_start=("ts", "min"), n_events=("ts", "size")))
         out["session_start"] = pd.to_datetime(out["session_start"]) \
             .dt.strftime("%Y-%m-%d %H:%M:%S")
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return out[["user_id", "session_start", "n_events"]]
 
     return (_read(sf_dir, "events", ["user_id", "ts"])
-            .groupby("user_id")
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
             .map_groups(sessions, batch_format="pandas"))
 
 
 def q_topk_orders_per_customer(sf_dir: str):
     """Per-group top-k (top 3 orders by price per customer), rank by
     (price desc, orderkey asc) — deterministic and SQL-replicable."""
+    def prep(t: pa.Table) -> pa.Table:
+        custkey = t.column("o_custkey")
+        return pa.table({"o_custkey": custkey,
+                         "o_orderkey": t.column("o_orderkey"),
+                         "price_cents": _cents(
+                             t.column("o_totalprice").to_numpy()),
+                         "bucket": pc.bit_wise_and(custkey, 63)})
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(price_cents=np.floor(
-            g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64"))
-        g = g.sort_values(["price_cents", "o_orderkey"],
-                          ascending=[False, True]).head(3)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
+        """Top-3 per customer for one user-hash bucket (vectorized:
+        one sort + grouped head/cumcount per bucket, CLAUDE.md #1)."""
+        g = g.sort_values(["o_custkey", "price_cents", "o_orderkey"],
+                          ascending=[True, False, True])
+        g = g.groupby("o_custkey", as_index=False).head(3)
+        g = g.assign(rank=g.groupby("o_custkey").cumcount() + 1)
+        g["rank"] = g["rank"].astype("int64")
         return g[["o_custkey", "o_orderkey", "price_cents", "rank"]]
 
     return (_read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-            .groupby("o_custkey")
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
             .map_groups(topk, batch_format="pandas"))
 
 
@@ -942,21 +978,29 @@ def q_distinct_users_by_type(sf_dir: str):
     pairs (combiner) -> grouped distinct -> count (the mergeable-sketch
     shape with an exact set)."""
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select(["event_type", "user_id"]).to_pandas() \
-            .drop_duplicates()
+        df = (t.select(["event_type", "user_id"]).to_pandas()
+              .drop_duplicates())
+        df["bucket"] = (df["user_id"] % 64).astype("int64")
         return pa.Table.from_pandas(
             df, preserve_index=False).replace_schema_metadata(None)
 
-    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "n_users": np.array([g["user_id"].nunique()], dtype="int64"),
-        })
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Partial distinct per (type, user-bucket): users partition
+        cleanly by bucket, so the per-type sum of bucket nuniques is
+        the exact global distinct (no single group ever holds a whole
+        event type — the skew-proof shape)."""
+        out = (g.groupby("event_type", as_index=False)["user_id"]
+               .nunique().rename(columns={"user_id": "p_users"}))
+        return out
+
+    from ray.data.aggregate import Sum
 
     return (_read(sf_dir, "events", ["event_type", "user_id"])
             .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(count_bucket, batch_format="pandas")
             .groupby("event_type")
-            .map_groups(count_distinct, batch_format="pandas"))
+            .aggregate(Sum("p_users", alias_name="n_users")))
 
 
 QUERIES.update({
