@@ -1041,6 +1041,158 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# JATS-depth XML parsing (SURVEY §2.3 — nested authors, xref affiliation
+# join, ORCID normalization, reference extraction)
+# ---------------------------------------------------------------------------
+
+def _jats_feeds(sf_dir: str):
+    """One deterministic JATS-ish article per source, derived from the
+    documents table so DuckDB can reconstruct the expected parse in
+    pure SQL.  Authors = docs of the source; every 5th doc gets a
+    multi-id xref (rid="aff0 aff1") — the hallmark JATS wrinkle
+    (reference: hepcrawl/parsers/jats.py:391-396)."""
+    by_src = _docs_by_source(sf_dir)
+    feeds, xmls = [], []
+    for src, rows in sorted(by_src.items()):
+        affs = "".join(
+            f'<aff id="aff{k}"><label>{k}</label>Institute {k} of {src}'
+            f'<email>office{k}@{src}.org</email></aff>'
+            for k in range(3))
+        contribs = []
+        for r in rows:
+            d = r["doc_id"]
+            rid = "aff0 aff1" if d % 5 == 0 else f"aff{d % 3}"
+            contribs.append(
+                f'<contrib contrib-type="author">'
+                f'<string-name>Author {d}</string-name>'
+                f'<contrib-id contrib-id-type="orcid">'
+                f'https://orcid.org/0000-0002-{d // 10000:04d}-{d % 10000:04d}'
+                f'</contrib-id>'
+                f'<xref ref-type="aff" rid="{rid}"/>'
+                f'</contrib>')
+        refs = []
+        for i, r in enumerate(rows):
+            d = r["doc_id"]
+            refs.append(
+                f'<ref id="r{i}"><label>[{i + 1}]</label>'
+                f'<mixed-citation publication-type="journal">'
+                f'<source>J.Synth.{r["lang"]}</source>'
+                f'<volume>{d % 50 + 1}</volume>'
+                f'<year>{1990 + d % 30}</year>'
+                f'<pub-id pub-id-type="doi">10.5555/{d}</pub-id>'
+                f'</mixed-citation></ref>')
+        xml = (f'<article article-type="research-article"><front>'
+               f'<article-meta>'
+               f'<title-group><article-title>Feed {src}</article-title>'
+               f'</title-group>'
+               f'<contrib-group>{"".join(contribs)}</contrib-group>'
+               f'{affs}'
+               f'</article-meta></front>'
+               f'<back><ref-list>{"".join(refs)}</ref-list></back>'
+               f'</article>')
+        feeds.append(src)
+        xmls.append(xml)
+    return pa.table({"source": feeds, "xml": xmls})
+
+
+def q_xml_jats_authors(sf_dir: str):
+    """Nested author extraction with affiliation xref id-resolution and
+    ORCID normalization (reference: hepcrawl/parsers/jats.py:338-399,
+    510-537).  One output row per author; affiliations joined '; ' in
+    first-seen xref order."""
+    import ray
+
+    from hepcrawl_ray.jats import JatsRecordParser
+
+    def extract(t: pa.Table) -> pa.Table:
+        src_out, name_out, orcid_out, aff_out, email_out = [], [], [], [], []
+        for src, xml in zip(t.column("source").to_pylist(),
+                            t.column("xml").to_pylist()):
+            p = JatsRecordParser(xml)
+            for a in p.authors:
+                src_out.append(src)
+                name_out.append(a["full_name"])
+                orcid_out.append(a["orcid"])
+                aff_out.append("; ".join(a["affiliations"]) or None)
+                email_out.append(a["emails"][0] if a["emails"] else None)
+        return pa.table({"source": pa.array(src_out, pa.string()),
+                         "full_name": pa.array(name_out, pa.string()),
+                         "orcid": pa.array(orcid_out, pa.string()),
+                         "affiliation": pa.array(aff_out, pa.string()),
+                         "email": pa.array(email_out, pa.string())})
+
+    return ray.data.from_arrow(_jats_feeds(sf_dir)).map_batches(
+        extract, batch_format="pyarrow", batch_size=4)
+
+
+def q_xml_jats_references(sf_dir: str):
+    """Reference extraction from ref-list/mixed-citation nodes
+    (reference: hepcrawl/parsers/jats.py:554-639): label strip,
+    journal source, volume, year, DOI.  One row per reference."""
+    import ray
+
+    from hepcrawl_ray.jats import JatsRecordParser
+
+    def extract(t: pa.Table) -> pa.Table:
+        src_out, lbl, jt, vol, yr, doi = [], [], [], [], [], []
+        for src, xml in zip(t.column("source").to_pylist(),
+                            t.column("xml").to_pylist()):
+            p = JatsRecordParser(xml)
+            for r in p.references:
+                src_out.append(src)
+                lbl.append(r["label"])
+                jt.append(r["journal_title"])
+                vol.append(r["volume"])
+                yr.append(r["year"])
+                doi.append(r["doi"])
+        return pa.table({"source": pa.array(src_out, pa.string()),
+                         "ref_label": pa.array(lbl, pa.string()),
+                         "journal_title": pa.array(jt, pa.string()),
+                         "volume": pa.array(vol, pa.string()),
+                         "ref_year": pa.array(yr, pa.int64()),
+                         "doi": pa.array(doi, pa.string())})
+
+    return ray.data.from_arrow(_jats_feeds(sf_dir)).map_batches(
+        extract, batch_format="pyarrow", batch_size=4)
+
+
+QUERIES.update({
+    "xml_jats_authors": q_xml_jats_authors,
+    "xml_jats_references": q_xml_jats_references,
+})
+
+ORACLE_SQL.update({
+    "xml_jats_authors": """
+        SELECT source,
+               'Author ' || CAST(doc_id AS VARCHAR) AS full_name,
+               '0000-0002-' || lpad(CAST(doc_id // 10000 AS VARCHAR), 4, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS orcid,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'Institute 0 of ' || source || '; Institute 1 of '
+                         || source
+                    ELSE 'Institute ' || CAST(doc_id % 3 AS VARCHAR)
+                         || ' of ' || source
+               END AS affiliation,
+               'office' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                                     ELSE doc_id % 3 END AS VARCHAR)
+                   || '@' || source || '.org' AS email
+        FROM documents
+    """,
+    "xml_jats_references": """
+        SELECT source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS VARCHAR) AS ref_label,
+               'J.Synth.' || lang AS journal_title,
+               CAST(doc_id % 50 + 1 AS VARCHAR) AS volume,
+               1990 + doc_id % 30 AS ref_year,
+               '10.5555/' || CAST(doc_id AS VARCHAR) AS doi
+        FROM documents
+    """,
+})
+
+
 def q_crawl_seen_set(sf_dir: str):
     """Final URL-seen set of the flagship crawl (the crawl-once DB
     contents; equivalence vs the simulator is asserted in tests —
