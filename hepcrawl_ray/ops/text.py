@@ -92,10 +92,14 @@ def content_hash64(texts) -> np.ndarray:
 
 
 def shingles(text: str, k: int = 3) -> list[str]:
-    """k-token shingles (space-joined) of the whitespace tokens."""
+    """k-token shingles (space-joined) of the whitespace tokens.
+
+    Texts with fewer than k tokens yield NO shingles — matching the
+    SQL oracle (UNNEST(range(1, len-1)) is empty there), so short-doc
+    behavior cannot diverge between engine and oracle."""
     toks = tokenize_ws(text)
     if len(toks) < k:
-        return [" ".join(toks)] if toks else []
+        return []
     return [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
 
 

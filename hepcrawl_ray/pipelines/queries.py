@@ -721,7 +721,9 @@ ORACLE_SQL = {
     """,
     "text_token_stats": f"""
         SELECT doc_id,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens,
                length(regexp_replace(text, '\\s', '', 'g')) AS chars_no_ws,
                len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                                x -> x IN ('{_STOP_SQL}'))) AS n_stopwords,

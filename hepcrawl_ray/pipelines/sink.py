@@ -76,32 +76,88 @@ def run_resumable_crawl(images, seeds, politeness, *, output_dir: str,
 
     manifest = read_manifest(output_dir)
     done = set(manifest["partitions"])
-    written = 0
-    for pid in range(num_partitions):
-        key = str(pid)
-        if key in done:
-            continue
-        admissions = ray.get(actors[pid].drain.remote(None))
+    todo = [pid for pid in range(num_partitions) if str(pid) not in done]
+
+    # All drains fire at once (each runs on its own frontier actor);
+    # the admission tables stay in the object store — the driver never
+    # holds one (from_arrow_refs + a tiny remote num_rows probe).
+    drain_refs = {pid: actors[pid].drain.remote(None) for pid in todo}
+    nrows_probe = ray.remote(num_cpus=0)(lambda t: t.num_rows)
+    nrows = ray.get([nrows_probe.remote(drain_refs[pid]) for pid in todo])
+    nrows = dict(zip(todo, nrows))
+
+    def process(pid: int) -> int:
         part_dir = os.path.join(output_dir, f"part={pid}")
         if os.path.exists(part_dir):  # crash leftovers without manifest
             shutil.rmtree(part_dir)
-        if admissions.num_rows:
-            ds = ray.data.from_arrow(admissions)
+        n = nrows[pid]
+        if n:
+            ds = ray.data.from_arrow_refs([drain_refs[pid]])
             records = cp.fetch_and_parse(
                 ds, images, fetch_concurrency=fetch_concurrency,
                 parse_concurrency=parse_concurrency, batch_size=batch_size)
             records.write_parquet(part_dir)
-            n = admissions.num_rows
         else:
             os.makedirs(part_dir, exist_ok=True)
-            n = 0
-        manifest["partitions"][key] = {"rows": int(n)}
-        _write_manifest(output_dir, manifest)
-        written += 1
-        if fail_after_partitions is not None and written >= fail_after_partitions:
-            for a in actors:
-                ray.kill(a)
-            return manifest  # simulated crash: frontier state is on disk
+        return int(n)
+
+    # Pipelined partition processing: a small thread pool overlaps the
+    # per-partition fetch+parse+write pipelines (each is an independent
+    # Ray Data stream; the fractional-CPU actor pools coexist).  The
+    # manifest stays per-partition atomic — one locked entry per
+    # COMPLETED partition, written in completion order, so a crash
+    # leaves finished partitions recorded and in-flight ones as
+    # unmanifested leftovers that resume cleans up.
+    import threading
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    # Ray's write-path resolution does `from fsspec.implementations
+    # .http import HTTPFileSystem` per write and catches only
+    # ModuleNotFoundError (aiohttp is absent here, so the import always
+    # fails).  Failed imports are retried on every call, and two
+    # threads racing through that retry can surface as an *ImportError*
+    # instead, which Ray does not catch.  Make the import succeed
+    # deterministically with a sentinel class (isinstance checks
+    # against it are False, identical to the module-missing branch).
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import sys as _sys
+        import types as _types
+
+        _mod = _types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:
+            """Sentinel: aiohttp/fsspec-http unavailable in this env."""
+
+        _mod.HTTPFileSystem = _NoHTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = _mod
+
+    avail = ray.cluster_resources().get("CPU", 4)
+    max_workers = max(1, min(8, len(todo) or 1, int(avail // 2)))
+    lock = threading.Lock()
+    written = 0
+    stop = False
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {}
+        for pid in todo:
+            if stop:
+                break
+            futures[pool.submit(process, pid)] = pid
+        pending = set(futures)
+        while pending:
+            done_f, pending = wait(pending, return_when=FIRST_COMPLETED)
+            for fut in done_f:
+                pid, n = futures[fut], fut.result()
+                if stop:
+                    continue  # crash already simulated: don't record
+                with lock:
+                    manifest["partitions"][str(pid)] = {"rows": n}
+                    _write_manifest(output_dir, manifest)
+                    written += 1
+                    if (fail_after_partitions is not None
+                            and written >= fail_after_partitions):
+                        stop = True  # in-flight work becomes leftovers
 
     for a in actors:
         ray.kill(a)

@@ -112,6 +112,9 @@ def host_of(url: str) -> str:
 
 
 def host_many(urls) -> list[str]:
+    """Vectorized ``host_of`` — MUST stay semantics-identical to it
+    (lowercased netloc included): both feed the politeness/partition
+    key and an asymmetry would split one host's budget in two."""
     match = _HOST_RE.match
     out = []
     for u in urls:
@@ -119,7 +122,7 @@ def host_many(urls) -> list[str]:
         if m is None:
             out.append("")
             continue
-        netloc = m.group(1)
+        netloc = m.group(1).lower()
         if "@" in netloc:
             netloc = netloc.rsplit("@", 1)[1]
         out.append(netloc.partition(":")[0])
