@@ -201,6 +201,84 @@ def simhash_signatures(ds, id_col="doc_id", text_col="text", concurrency=4):
         sig, batch_format="pyarrow")
 
 
+def simhash_neardup_pairs(ds, *, max_distance=3, id_col="doc_id",
+                          text_col="text", max_bucket=4096, concurrency=4):
+    """EXACT Hamming-ball pairs over 64-bit SimHash signatures.
+
+    Pigeonhole blocking: the 64 bits split into ``max_distance + 1``
+    disjoint bands — any pair within Hamming distance d agrees exactly
+    on at least one band, so grouping by (band, band_bits) loses NO
+    pairs; the full signature rides along and verifies
+    ``hamming64 <= d`` inline in the bucket group (same
+    carry-payload-through-blocking shape as the embedding-LSH path).
+    Result: all (doc_a, doc_b, distance) with distance <= max_distance,
+    a < b — exact, not probabilistic.
+    """
+    n_bands = max_distance + 1
+    # contiguous bit chunks, sizes as even as possible
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = np.cumsum([0] + widths[:-1])
+
+    sigs = simhash_signatures(ds, id_col=id_col, text_col=text_col,
+                              concurrency=concurrency)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sig = t.column("simhash").to_numpy().view(np.uint64)
+        ids = t.column(id_col).combine_chunks() if isinstance(
+            t.column(id_col), pa.ChunkedArray) else t.column(id_col)
+        out_id = pa.concat_arrays([ids] * n_bands)
+        band_col, bits_col, sig_col = [], [], []
+        for b in range(n_bands):
+            mask = np.uint64((1 << widths[b]) - 1)
+            bits = (sig >> np.uint64(offsets[b])) & mask
+            band_col.append(np.full(len(sig), b, dtype=np.int32))
+            bits_col.append(bits.view(np.int64))
+            sig_col.append(sig.view(np.int64))
+        return pa.table({"doc_id": out_id,
+                         "band": np.concatenate(band_col),
+                         "band_bits": np.concatenate(bits_col),
+                         "sig": np.concatenate(sig_col)})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("band_bits").to_numpy() * 31
+             + t.column("band").to_numpy()) % 64
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "distance": pd.Series([], dtype="int64"),
+                              "pair_bucket": pd.Series([], dtype="int64")})
+        sizes = g.groupby(["band", "band_bits"])["doc_id"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_bucket)]
+        if not len(g):
+            return empty
+        m = g.merge(g, on=["band", "band_bits"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return empty
+        dist = T.hamming64(m["sig_x"].to_numpy(), m["sig_y"].to_numpy())
+        m = m.assign(distance=dist)
+        m = m[m["distance"] <= max_distance]
+        out = (m[["doc_id_x", "doc_id_y", "distance"]].drop_duplicates()
+               .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}))
+        out["distance"] = out["distance"].astype("int64")
+        out["pair_bucket"] = ((out["doc_a"] * 1_000_003 + out["doc_b"])
+                              % 64).astype("int64")
+        return out
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["doc_a", "doc_b", "distance"]].drop_duplicates()
+
+    return (sigs.map_batches(band_rows, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(distinct_pairs, batch_format="pandas"))
+
+
 # ------------------------------------------------------- n-gram Jaccard ----
 
 def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,

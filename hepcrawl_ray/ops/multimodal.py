@@ -79,19 +79,81 @@ class ImageDecodeStage:
         return out
 
 
+def decode_wav_pcm(blob: bytes) -> tuple[np.ndarray, int]:
+    """REAL PCM WAV decode via stdlib ``wave`` — no external codecs.
+
+    Supports 8-bit unsigned and 16/32-bit signed little-endian PCM,
+    any channel count (averaged to mono).  Returns (float32 waveform
+    in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav_pcm(waveform: np.ndarray, rate: int, *,
+                   sampwidth: int = 2, channels: int = 1) -> bytes:
+    """Float waveform in [-1, 1] -> PCM WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    x = np.clip(np.asarray(waveform, dtype=np.float64), -1.0, 1.0)
+    if sampwidth == 1:
+        data = (x * 127.0 + 128.0).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        data = (x * 32767.0).astype("<i2").tobytes()
+    elif sampwidth == 4:
+        data = (x * 2147483647.0).astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
 def _decode_audio_stub(blob: bytes, sample_rate: int = 16_000) -> np.ndarray:
-    """STUB — no audio codec in this container.
+    """STUB for NON-WAV formats — no mp3/ogg/flac codec in this
+    container (WAV-PCM is decoded for real by ``decode_wav_pcm``).
 
     Deterministic fake: interprets the payload's blake2b digest as a
     seed and synthesizes ``sample_rate`` samples.  Replace with a real
-    decoder (e.g. soundfile/ffmpeg) to process real audio; the stage
-    contract (bytes in, float32 waveform out) is unchanged.
+    decoder (e.g. soundfile/ffmpeg) to process real compressed audio;
+    the stage contract (bytes in, float32 waveform out) is unchanged.
     """
     from hashlib import blake2b
 
     seed = int.from_bytes(blake2b(blob, digest_size=8).digest(), "little")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(sample_rate, dtype=np.float32)
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int, bool]:
+    """(waveform, sample_rate, real_decode): WAV payloads (RIFF magic)
+    decode for real; anything else falls through to the marked stub."""
+    if blob[:4] == b"RIFF":
+        wav, rate = decode_wav_pcm(blob)
+        return wav, rate, True
+    return _decode_audio_stub(blob), 16_000, False
 
 
 def _decode_video_stub(blob: bytes, n_frames: int = 16,
@@ -105,20 +167,30 @@ def _decode_video_stub(blob: bytes, n_frames: int = 16,
 
 
 class AudioFeatureStage:
-    """binary audio -> fixed-length energy features (stubbed decode)."""
+    """binary audio -> fixed-length band-energy features.
+
+    WAV-PCM payloads decode for REAL (stdlib wave); other formats hit
+    the marked stub.  Emits sample metadata so downstream filters can
+    select on real-decode provenance."""
 
     def __init__(self, n_bands: int = 16):
         self.n_bands = n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, rates, nsamp, real = [], [], [], []
         for blob in batch.column("bytes").to_pylist():
-            wav = _decode_audio_stub(blob)
+            wav, rate, is_real = decode_audio(blob)
             bands = np.array_split(wav, self.n_bands)
             feats.append([float(np.sqrt((b ** 2).mean())) for b in bands])
+            rates.append(rate)
+            nsamp.append(len(wav))
+            real.append(is_real)
         return pa.table({
             "audio_id": batch.column("audio_id"),
             "band_energy": pa.array(feats, pa.list_(pa.float64())),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(nsamp, pa.int64()),
+            "real_decode": pa.array(real, pa.bool_()),
         })
 
 

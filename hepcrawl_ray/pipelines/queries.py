@@ -414,6 +414,14 @@ def q_dedup_simhash(sf_dir: str):
     return D.simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_dedup_simhash_pairs(sf_dir: str):
+    """Exact Hamming<=6 near-pairs over SimHash signatures via
+    pigeonhole banding (rows-only: the signature itself is
+    engine-defined; exactness vs brute force is pinned in tests)."""
+    return D.simhash_neardup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_distance=6)
+
+
 def q_dedup_embedding_cosine(sf_dir: str):
     """Embedding near-dup pairs, cosine >= 0.4."""
     return D.embedding_neardup_pairs(
@@ -589,6 +597,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
@@ -854,16 +863,27 @@ def q_multimodal_image_features(sf_dir: str):
 
 
 def q_multimodal_audio_features(sf_dir: str):
-    """Audio band-energy features (STUBBED decode — no audio libs in
-    container; plumbing/schema real, see ops.multimodal)."""
+    """Audio band-energy features over REAL PCM WAV payloads (stdlib
+    wave decode; sines at deterministic frequencies across sample
+    widths/channels/rates — see ops.multimodal.decode_wav_pcm).
+    Compressed formats would hit the marked stub instead."""
     import ray
 
-    from hepcrawl_ray.ops.multimodal import AudioFeatureStage
+    from hepcrawl_ray.ops.multimodal import AudioFeatureStage, encode_wav_pcm
 
-    rows = pa.table({
-        "audio_id": [f"aud{i:04d}" for i in range(64)],
-        "bytes": [f"payload-{i}".encode() for i in range(64)],
-    })
+    ids, blobs = [], []
+    for i in range(64):
+        rate = (8_000, 16_000, 44_100)[i % 3]
+        width = (1, 2, 4)[i % 3]
+        channels = 1 + (i % 2)
+        tgrid = np.arange(rate // 4, dtype=np.float64) / rate
+        wave_f = 110.0 * (1 + i % 8)
+        mono = 0.5 * np.sin(2 * np.pi * wave_f * tgrid)
+        sig = np.repeat(mono, channels) if channels > 1 else mono
+        ids.append(f"aud{i:04d}")
+        blobs.append(encode_wav_pcm(sig, rate, sampwidth=width,
+                                    channels=channels))
+    rows = pa.table({"audio_id": ids, "bytes": blobs})
     return ray.data.from_arrow(rows).map_batches(
         AudioFeatureStage, batch_format="pyarrow", batch_size=16,
         concurrency=(1, 2), num_cpus=0.5)
@@ -1159,9 +1179,44 @@ def q_xml_jats_references(sf_dir: str):
         extract, batch_format="pyarrow", batch_size=4)
 
 
+def q_incremental_harvest(sf_dir: str):
+    """Two incremental-harvest runs with a LastRunStore: run 1 harvests
+    up to Jan 10, run 2 resumes from the stored window and enumerates
+    ONLY (Jan 10, Jan 20] (reference: oaipmh_spider.py:121-151 +
+    lastrunstore_spider.py:119-126).  Returns run 2's window rows."""
+    import tempfile
+
+    from hepcrawl_ray.sources.incremental import run_incremental_harvest
+    from hepcrawl_ray.state.lastrun import LastRunStore
+
+    d1, d2 = "2024-01-10", "2024-01-20"
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    with tempfile.TemporaryDirectory() as root:
+        store = LastRunStore(root, "events")
+        run_incremental_harvest(ds, "ts", store=store, set_id="all",
+                                until_date=d1, started_at=d1)
+
+        def collect(windowed):
+            def prep(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "event_id": t.column("event_id"),
+                    "day": pc.strftime(t.column("ts"), format="%Y-%m-%d")})
+            return pa.concat_tables(
+                windowed.map_batches(prep, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow"))
+
+        out, (lo, hi) = run_incremental_harvest(
+            ds, "ts", store=store, set_id="all", until_date=d2,
+            started_at=d2, consume=collect)
+        assert lo == d1 and hi == d2  # window came from the store
+    return out
+
+
 QUERIES.update({
     "xml_jats_authors": q_xml_jats_authors,
     "xml_jats_references": q_xml_jats_references,
+    "incremental_harvest": q_incremental_harvest,
 })
 
 ORACLE_SQL.update({
@@ -1191,6 +1246,10 @@ ORACLE_SQL.update({
                1990 + doc_id % 30 AS ref_year,
                '10.5555/' || CAST(doc_id AS VARCHAR) AS doi
         FROM documents
+    """,
+    "incremental_harvest": """
+        SELECT event_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+        WHERE ts > TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
     """,
 })
 

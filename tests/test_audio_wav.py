@@ -1,0 +1,76 @@
+"""Real WAV-PCM audio path (stdlib wave): round-trips, stereo
+down-mix, sine RMS physics, and the stage over real payloads."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hepcrawl_ray.ops.multimodal import (
+    AudioFeatureStage,
+    decode_audio,
+    decode_wav_pcm,
+    encode_wav_pcm,
+)
+
+
+# tolerance = one quantization step (encode truncates) + fp32 noise
+@pytest.mark.parametrize("width,tol", [(1, 2e-2), (2, 1e-4), (4, 1e-6)])
+def test_wav_roundtrip_mono(width, tol):
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, size=4000)
+    blob = encode_wav_pcm(x, 16_000, sampwidth=width)
+    y, rate = decode_wav_pcm(blob)
+    assert rate == 16_000
+    assert len(y) == len(x)
+    assert np.abs(y - x).max() < tol
+
+
+def test_wav_stereo_downmix():
+    t = np.arange(1000) / 8000.0
+    left = 0.5 * np.sin(2 * np.pi * 220 * t)
+    interleaved = np.empty(2000)
+    interleaved[0::2] = left
+    interleaved[1::2] = -left  # cancels on mono average
+    blob = encode_wav_pcm(interleaved, 8000, sampwidth=2, channels=2)
+    y, rate = decode_wav_pcm(blob)
+    assert len(y) == 1000
+    assert np.abs(y).max() < 1e-3
+
+
+def test_sine_rms_is_amp_over_sqrt2():
+    rate, amp, freq = 16_000, 0.5, 440.0
+    t = np.arange(rate) / rate  # one full second -> whole cycles
+    blob = encode_wav_pcm(amp * np.sin(2 * np.pi * freq * t), rate)
+    y, _ = decode_wav_pcm(blob)
+    rms = np.sqrt((y ** 2).mean())
+    assert abs(rms - amp / np.sqrt(2)) < 1e-3
+
+
+def test_decode_audio_dispatch():
+    blob = encode_wav_pcm(np.zeros(100), 8000)
+    wav, rate, real = decode_audio(blob)
+    assert real and rate == 8000 and len(wav) == 100
+    _, rate2, real2 = decode_audio(b"not-a-riff-payload")
+    assert not real2 and rate2 == 16_000
+
+
+def test_stage_over_real_wav(ray_session):
+    import ray
+
+    t = np.arange(4000) / 16_000.0
+    rows = pa.table({
+        "audio_id": ["a0", "a1"],
+        "bytes": [encode_wav_pcm(0.5 * np.sin(2 * np.pi * 440 * t), 16_000),
+                  b"zzz-not-wav"],
+    })
+    out = (ray.data.from_arrow(rows)
+           .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                        concurrency=1)
+           .take_all())
+    by_id = {r["audio_id"]: r for r in out}
+    assert by_id["a0"]["real_decode"] and by_id["a0"]["sample_rate"] == 16_000
+    assert by_id["a0"]["n_samples"] == 4000
+    # band RMS of a steady sine ~ amp/sqrt(2) in every band
+    assert all(abs(e - 0.5 / np.sqrt(2)) < 0.02
+               for e in by_id["a0"]["band_energy"])
+    assert not by_id["a1"]["real_decode"]
