@@ -210,22 +210,32 @@ def scaling():
     import subprocess
 
     build_bench_corpus()  # warm the disk cache so both runs see warm input
-    results = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_SKIP_QUERIES="1")
-        out = subprocess.run([sys.executable, "bench.py"], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    tput8 = results[8]["urls_per_sec"]
-    tput32 = results[32]["urls_per_sec"]
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    results: dict[int, list] = {8: [], 32: []}
+    for _ in range(reps):
+        # interleave levels per rep so slow ambient drift (this box is
+        # a shared VM) hits both levels, not just one
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_SKIP_QUERIES="1")
+            out = subprocess.run(
+                [sys.executable, "bench.py"], env=env,
+                capture_output=True, text=True, check=True).stdout
+            results[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+    # external noise (neighbor VMs, ray worker startup storms) only ever
+    # LOWERS a run's throughput, so the per-level max over reps is the
+    # least-biased estimate of true capability at that level
+    tput8 = max(r["urls_per_sec"] for r in results[8])
+    tput32 = max(r["urls_per_sec"] for r in results[32])
     eff = (tput32 / tput8) / (32 / 8)
     print(json.dumps({
         "urls_per_sec_8": tput8, "urls_per_sec_32": tput32,
-        "sec_8": results[8]["value"], "sec_32": results[32]["value"],
+        "reps_8": [r["urls_per_sec"] for r in results[8]],
+        "reps_32": [r["urls_per_sec"] for r in results[32]],
         "scaling_efficiency": round(eff, 3),
-        "note": "same-box CPU pair; DRAM bandwidth shared across levels"
-                " - see BASELINE.md scaling section",
+        "note": "same-box CPU pair, best of %d reps per level; DRAM"
+                " bandwidth shared across levels - see BASELINE.md"
+                " scaling section" % reps,
     }))
 
 

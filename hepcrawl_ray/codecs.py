@@ -131,12 +131,100 @@ def encode_lossy(pixels: np.ndarray, step: int = _QNT_STEP) -> bytes:
     return _QNT_MAGIC + struct.pack(">IIB", w, h, step) + payload
 
 
+_LOSSY_LUT: dict[int, np.ndarray] = {}
+
+
 def decode_lossy(data: bytes) -> np.ndarray:
     if data[:4] != _QNT_MAGIC:
         raise ValueError("not a QNT payload")
     w, h, step = struct.unpack(">IIB", data[4:13])
-    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)
-    return np.minimum(q.astype(np.uint16) * step, 255).astype(np.uint8)
+    # dequantize through a cached 256-entry LUT: one gather pass, no
+    # uint16 temporaries (the uint16 multiply+minimum+astype chain cost
+    # 3 extra full-image passes of DRAM traffic)
+    lut = _LOSSY_LUT.get(step)
+    if lut is None:
+        lut = np.minimum(np.arange(256, dtype=np.uint16) * step,
+                         255).astype(np.uint8)
+        _LOSSY_LUT[step] = lut
+    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+    return lut[q].reshape(h, w, 3)
+
+
+# ------------------------------------------------ fused luma decode ----
+#
+# The verify stage needs only (h, w) and the luma plane (phash input),
+# never the RGB array.  Decoding straight to luma through integer LUTs
+# skips materializing (h, w, 3) intermediates — at 72px that is ~100 KB
+# of DRAM traffic per image the fused fetch+parse stage never touches.
+# Bit-exactness: luma = (77 r + 151 g + 28 b) >> 8 over the decoded
+# channel values, composed INTO the LUTs, so the result is integer-
+# identical to decode() + the phash luma step.
+
+_LUMA_W3 = np.array([77.0, 151.0, 28.0], dtype=np.float32)
+
+
+def _luma_from_rgb_bytes(flat: np.ndarray, h: int, w: int,
+                         step: int | None) -> np.ndarray:
+    """(h*w*3,) encoded channel bytes -> (h, w) float32 luma.
+
+    The weighted sum runs as a BLAS matvec in float32, which is
+    bit-exact vs the integer path: every product (<= 151*255), the sum
+    (<= 255*256) and the 2^-8 scaling are exactly representable, so
+    floor(acc/256) == (77 r + 151 g + 28 b) >> 8."""
+    if step is not None:
+        lut = _LOSSY_LUT.get(step)
+        if lut is None:
+            lut = np.minimum(np.arange(256, dtype=np.uint16) * step,
+                             255).astype(np.uint8)
+            _LOSSY_LUT[step] = lut
+        flat = lut[flat]
+    rgbf = flat.reshape(-1, 3).astype(np.float32)
+    acc = rgbf @ _LUMA_W3
+    return np.floor(acc * (1.0 / 256.0)).reshape(h, w)
+
+
+def decode_luma(data: bytes, fmt: str) -> tuple[np.ndarray, int, int]:
+    """Decode straight to (luma float32, w, h) without an RGB array.
+
+    PNG falls back to the full decode when any scanline uses a filter
+    (our encoder always writes filter 0); QNT dequantizes through the
+    composed LUTs.  Integer-identical to
+    ``phash-luma(decode(data, fmt))``.
+    """
+    if fmt == "jpeg":
+        if data[:4] != _QNT_MAGIC:
+            raise ValueError("not a QNT payload")
+        w, h, step = struct.unpack(">IIB", data[4:13])
+        q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+        return _luma_from_rgb_bytes(q, h, w, int(step)), w, h
+    if fmt == "png":
+        if data[:8] != _PNG_SIG:
+            raise ValueError("not a PNG")
+        pos = 8
+        idat = b""
+        w = h = None
+        while pos < len(data):
+            (length,) = struct.unpack(">I", data[pos:pos + 4])
+            tag = data[pos + 4:pos + 8]
+            body = data[pos + 8:pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                w, h, bitdepth, colortype, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", body)
+                if bitdepth != 8 or colortype != 2 or interlace != 0:
+                    raise ValueError("only 8-bit non-interlaced RGB supported")
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        raw = raw.reshape(h, 1 + w * 3)
+        if raw[:, 0].any():  # filtered scanlines: full decode path
+            px = decode_png(data)
+            return _luma_from_rgb_bytes(px.reshape(-1), h, w, None), w, h
+        return _luma_from_rgb_bytes(
+            np.ascontiguousarray(raw[:, 1:]).reshape(-1), h, w, None), w, h
+    raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
@@ -222,3 +310,37 @@ def phash64(pixels: np.ndarray) -> int:
     med = np.median(block[1:])
     val = int(((block > med) * _BIT_WEIGHTS).sum())
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def phash64_many(pixels_list) -> np.ndarray:
+    """Batched ``phash64`` over a list of images.
+
+    Identical bits to the per-image path.  The luma + DCT matmuls stay
+    per-image (an image fits in L2; stacking them spills the working
+    set to DRAM and is measurably SLOWER), while the fixed-overhead
+    tail — median and bit packing, ~27 us of numpy-call overhead per
+    image — runs once, vectorized over the whole batch (~2 us/image).
+    This is the kernel for the fused fetch+parse stage's hot loop.
+    """
+    n = len(pixels_list)
+    grays = []
+    for px in pixels_list:
+        i16 = px.astype(np.uint16)
+        grays.append(((i16[..., 0] * 77 + i16[..., 1] * 151
+                       + i16[..., 2] * 28) >> 8).astype(np.float32))
+    return phash64_many_from_luma(grays)
+
+
+def phash64_many_from_luma(grays) -> np.ndarray:
+    """Batched phash over precomputed (h, w) float32 luma planes (the
+    ``decode_luma`` fast path).  Same bits as ``phash64``."""
+    n = len(grays)
+    blocks = np.empty((n, _DCT_K * _DCT_K), dtype=np.float32)
+    for i, gray in enumerate(grays):
+        h, w = gray.shape
+        dct = _pool_matrix(h) @ gray @ _pool_matrix(w).T
+        blocks[i] = dct[:_DCT_K, :_DCT_K].ravel()
+    med = np.median(blocks[:, 1:], axis=1)
+    vals = ((blocks > med[:, None]).astype(np.uint64)
+            * _BIT_WEIGHTS).sum(axis=1)
+    return vals.astype(np.uint64).view(np.int64)

@@ -80,7 +80,7 @@ def restore_frontier(checkpoint_dir, num_partitions, num_cpus_per_actor=0.05):
     return actors
 
 
-def offer_seeds(actors, seeds, num_partitions, offer_batch_size=8192,
+def offer_seeds(actors, seeds, num_partitions, offer_batch_size=65536,
                 salted_hosts=None):
     """Canonicalize + route the seed stream into the frontier actors."""
     import ray

@@ -1179,6 +1179,167 @@ def q_xml_jats_references(sf_dir: str):
         extract, batch_format="pyarrow", batch_size=4)
 
 
+def q_xml_arxiv_classify(sf_dir: str):
+    """arXiv classification richness: page-count regex, thesis /
+    conference keyword doctype, category normalization + dedup
+    (reference: hepcrawl/parsers/arxiv.py:44, 369-386).  The record
+    XML is generated AND parsed inside map_batches — no driver step."""
+    from hepcrawl_ray.arxiv import parse_arxiv
+
+    def gen_and_parse(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pages, doctype, cats = [], [], []
+        for d in ids:
+            n = d % 40 + 1
+            comments = {
+                0: f"{n} pages, presented at a workshop",
+                1: f"PhD thesis, {n} pages",
+                2: f"{n} pages, 3 figures",
+                3: "short note",
+            }[d % 4]
+            cat_str = ("hep-th alg-geom math.AG" if d % 2 == 0
+                       else "hep-ph")
+            xml = (f"<article><id>{d}</id>"
+                   f"<categories>{cat_str}</categories>"
+                   f"<comments>{comments}</comments></article>")
+            rec = parse_arxiv(xml)
+            pages.append(rec["number_of_pages"])
+            doctype.append(rec["document_type"])
+            cats.append(" ".join(rec["arxiv_categories"]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "number_of_pages": pa.array(pages, pa.int64()),
+                         "document_type": pa.array(doctype, pa.string()),
+                         "categories": pa.array(cats, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_parse, batch_format="pyarrow"))
+
+
+def q_xml_nlm_extract(sf_dir: str):
+    """NLM extractor surface: First/Last page arithmetic, pub-status
+    (with the IOP drop predicate), doctype, DOI fallback order
+    (reference: hepcrawl/extractors/nlm.py:57-158,
+    iop_spider.py:170-172)."""
+    from hepcrawl_ray.nlm import parse_nlm
+
+    statuses = ("ppublish", "aheadofprint", "epublish", "received")
+    doctypes = ("Journal Article", "Review", "Clinical Conference")
+
+    def gen_and_parse(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pnr, status, dropped, dtype, doi = [], [], [], [], []
+        for d in ids:
+            fp = d % 100 + 1
+            lp = fp + d % 20
+            st = statuses[d % 4]
+            dt = doctypes[d % 3]
+            xml = (f'<Article><Journal><PubDate PubStatus="{st}">'
+                   f"<Year>2020</Year></PubDate></Journal>"
+                   f"<FirstPage>{fp}</FirstPage><LastPage>{lp}</LastPage>"
+                   f'<ArticleIdList><ArticleId IdType="doi">10.80/{d}'
+                   f"</ArticleId></ArticleIdList>"
+                   f"<PublicationType>{dt}</PublicationType></Article>")
+            rec = parse_nlm(xml)
+            pnr.append(int(rec["page_nr"]))
+            status.append(rec["pub_status"])
+            dropped.append(rec["dropped"])
+            dtype.append(rec["doctype"])
+            doi.append(rec["dois"][0])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "page_nr": pa.array(pnr, pa.int64()),
+                         "pub_status": pa.array(status, pa.string()),
+                         "dropped": pa.array(dropped, pa.bool_()),
+                         "doctype": pa.array(dtype, pa.string()),
+                         "doi": pa.array(doi, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_parse, batch_format="pyarrow"))
+
+
+def q_marcxml_records(sf_dir: str):
+    """CDS MARCXML path: datafield/subfield structural parse with the
+    hallmark HEP tag mappings (reference: cds_spider.py:104-143)."""
+    from hepcrawl_ray.marc import parse_marcxml
+
+    colls = ("ARTICLE", "THESIS", "CONFERENCEPAPER")
+
+    def gen_and_parse(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        title, author, doi, dtype = [], [], [], []
+        for d in ids:
+            xml = (
+                f'<record><controlfield tag="001">{d}</controlfield>'
+                f'<datafield tag="245" ind1=" " ind2=" ">'
+                f'<subfield code="a">Rec {d}</subfield></datafield>'
+                f'<datafield tag="100" ind1=" " ind2=" ">'
+                f'<subfield code="a">Auth, {d}</subfield>'
+                f'<subfield code="u">Inst{d % 3}</subfield></datafield>'
+                f'<datafield tag="024" ind1="7" ind2=" ">'
+                f'<subfield code="2">doi</subfield>'
+                f'<subfield code="a">10.81/{d}</subfield></datafield>'
+                f'<datafield tag="980" ind1=" " ind2=" ">'
+                f'<subfield code="a">{colls[d % 3]}</subfield></datafield>'
+                f"</record>")
+            rec = parse_marcxml(xml)
+            title.append(rec["title"])
+            author.append(rec["authors"][0]["full_name"])
+            doi.append(rec["dois"][0])
+            dtype.append(rec["document_type"])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "title": pa.array(title, pa.string()),
+                         "author": pa.array(author, pa.string()),
+                         "doi": pa.array(doi, pa.string()),
+                         "document_type": pa.array(dtype, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_parse, batch_format="pyarrow"))
+
+
+QUERIES.update({
+    "xml_arxiv_classify": q_xml_arxiv_classify,
+    "xml_nlm_extract": q_xml_nlm_extract,
+    "marcxml_records": q_marcxml_records,
+})
+
+ORACLE_SQL.update({
+    "xml_arxiv_classify": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE doc_id % 40 + 1 END AS number_of_pages,
+               CASE WHEN doc_id % 4 = 1 THEN 'thesis'
+                    WHEN doc_id % 4 = 0 THEN 'conference paper'
+                    ELSE 'article' END AS document_type,
+               CASE WHEN doc_id % 2 = 0 THEN 'hep-th math.AG'
+                    ELSE 'hep-ph' END AS categories
+        FROM documents
+    """,
+    "xml_nlm_extract": """
+        SELECT doc_id,
+               doc_id % 20 + 1 AS page_nr,
+               CASE doc_id % 4 WHEN 0 THEN 'ppublish'
+                               WHEN 1 THEN 'aheadofprint'
+                               WHEN 2 THEN 'epublish'
+                               ELSE 'received' END AS pub_status,
+               (doc_id % 4 = 1 OR doc_id % 4 = 3) AS dropped,
+               CASE doc_id % 3 WHEN 0 THEN 'Journal Article'
+                               WHEN 1 THEN 'Review'
+                               ELSE 'Clinical Conference' END AS doctype,
+               '10.80/' || CAST(doc_id AS VARCHAR) AS doi
+        FROM documents
+    """,
+    "marcxml_records": """
+        SELECT doc_id,
+               'Rec ' || CAST(doc_id AS VARCHAR) AS title,
+               'Auth, ' || CAST(doc_id AS VARCHAR) AS author,
+               '10.81/' || CAST(doc_id AS VARCHAR) AS doi,
+               CASE doc_id % 3 WHEN 1 THEN 'thesis'
+                               WHEN 2 THEN 'conference paper'
+                               ELSE 'article' END AS document_type
+        FROM documents
+    """,
+})
+
+
 def q_incremental_harvest(sf_dir: str):
     """Two incremental-harvest runs with a LastRunStore: run 1 harvests
     up to Jan 10, run 2 resumes from the stored window and enumerates

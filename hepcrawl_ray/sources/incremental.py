@@ -23,6 +23,22 @@ import pyarrow.compute as pc
 from hepcrawl_ray.state.lastrun import LastRunStore
 
 
+def require_sets(sets) -> list[str]:
+    """Refuse a harvest-all: enumerating a source without explicit
+    sets is almost always a mistake at harvest scale (reference:
+    hepcrawl/spiders/common/oaipmh_spider.py:114-119 raises the same
+    guard).  Accepts a comma-joined string or an iterable; returns the
+    cleaned set list."""
+    if isinstance(sets, str):
+        parsed = [s.strip() for s in sets.split(",") if s.strip()]
+    else:
+        parsed = [s for s in (sets or []) if s]
+    if not parsed:
+        raise ValueError(
+            "harvesting the whole repository is refused: pass explicit sets")
+    return parsed
+
+
 def harvest_window(store: LastRunStore, set_id: str, *,
                    from_date: str | None = None,
                    until_date: str | None = None) -> tuple[str | None, str | None]:

@@ -4,8 +4,11 @@ hepcrawl/spiders/common/oaipmh_spider.py:121-151)."""
 
 import pyarrow as pa
 
+import pytest
+
 from hepcrawl_ray.sources.incremental import (
     harvest_window,
+    require_sets,
     run_incremental_harvest,
 )
 from hepcrawl_ray.state.lastrun import LastRunStore
@@ -49,6 +52,14 @@ def test_explicit_from_date_overrides_store(ray_session, tmp_path):
                started_at="t", finished_at="t")
     assert harvest_window(store, "s", from_date="2024-01-20",
                           until_date=None) == ("2024-01-20", None)
+
+
+def test_sets_guard_refuses_harvest_all():
+    assert require_sets("a, b ,c") == ["a", "b", "c"]
+    assert require_sets(["x"]) == ["x"]
+    for bad in (None, "", " , ", []):
+        with pytest.raises(ValueError):
+            require_sets(bad)
 
 
 def test_failed_consume_does_not_advance_store(ray_session, tmp_path):
