@@ -403,8 +403,10 @@ def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",
             self.pos = {int(i): p for p, i in enumerate(self.ids)}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from hepcrawl_ray.ops.knn import list_column_to_matrix
+
             bids = batch.column(id_col).to_pylist()
-            vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            vecs = list_column_to_matrix(batch.column(vec_col))
             n = np.linalg.norm(vecs, axis=1)
             n[n == 0] = 1.0
             vecs = vecs / n[:, None]
@@ -468,7 +470,9 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
             self.planes = ray.get(planes_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            v = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+            from hepcrawl_ray.ops.knn import list_column_to_matrix
+
+            v = list_column_to_matrix(t.column(vec_col))
             n = np.linalg.norm(v, axis=1)
             n[n == 0] = 1.0
             v = v / n[:, None]

@@ -26,6 +26,24 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n[:, None]
 
 
+def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """list<float> column -> (n, dim) matrix.
+
+    Zero-copy from the Arrow child buffer when the layout allows
+    (uniform list length, no nulls) — the ``to_pylist()`` route builds
+    n*dim Python floats first, ~50x the cost.  Falls back to the slow
+    path for ragged/null layouts."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count == 0 and len(arr) > 0:
+        offsets = arr.offsets.to_numpy()
+        dim = int(offsets[1] - offsets[0])
+        if dim > 0 and (np.diff(offsets) == dim).all():
+            flat = arr.values.to_numpy(zero_copy_only=True)
+            mat = flat[offsets[0]:offsets[-1]].reshape(len(arr), dim)
+            return mat.astype(dtype, copy=False)
+    return np.array(arr.to_pylist(), dtype=dtype)
+
+
 def knn_bruteforce(ds, query_ids, *, k=10, id_col="vec_id",
                    vec_col="embedding", concurrency=4):
     """Exact top-k cosine neighbors for each query id.
@@ -49,9 +67,9 @@ def knn_bruteforce(ds, query_ids, *, k=10, id_col="vec_id",
             self.q_ids, self.q_mat = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-            mat = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                                      dtype=np.float64))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
             sims = self.q_mat @ mat.T          # (nq, nbatch)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(self.q_ids)):
@@ -123,9 +141,9 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
             self.q_ids, self.q_mat, self.q_probe = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-            mat = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                                      dtype=np.float64))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
             bucket = np.argmax(mat @ self.cent.T, axis=1)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(self.q_ids)):
