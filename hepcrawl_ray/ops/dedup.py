@@ -103,6 +103,11 @@ class MinHashStage:
 
         out_id, out_band, out_val = [], [], []
         for i, t in zip(ids, texts):
+            if not T.shingles(t, self.k):
+                # shingle-less doc: no band rows (would otherwise
+                # sentinel-collide with every other short doc; the
+                # exact twin emits no pairs for these either)
+                continue
             sig = T.minhash_signature(t, self.a, self.b, self.k)
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]

@@ -157,7 +157,10 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def jaccard_tokens(a: str, b: str, k: int = 3) -> float:
+    """Shingle-set Jaccard.  Two shingle-less texts (< k tokens) score
+    0.0 — the SQL oracle produces no pairs for them (no shingles to
+    join on), so the engine must not either."""
     sa, sb = set(shingles(a, k)), set(shingles(b, k))
-    if not sa and not sb:
-        return 1.0
+    if not sa or not sb:
+        return 0.0
     return len(sa & sb) / len(sa | sb)
