@@ -1063,6 +1063,157 @@ ORACLE_SQL.update({
 })
 
 
+def q_corpus_clean_pipeline(sf_dir: str):
+    """Composite training-data prep: language allowlist -> token-count
+    quality gate -> exact dedup (min doc_id wins) -> clean corpus rows.
+    The end-to-end shape an LLM data pipeline runs per shard; every
+    stage streams (filters inside map_batches, dedup via the grouped
+    Min combiner)."""
+    from ray.data.aggregate import Min
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("lang"),
+                              value_set=pa.array(["en", "de"])))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        stats = T.token_stats(t.column("text").to_pylist())
+        t = t.append_column("n_tokens", pa.array(stats["n_tokens"]))
+        return t.filter(pc.greater_equal(t.column("n_tokens"), 20))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["text", "lang", "n_tokens"]).aggregate(
+            [("doc_id", "min")])
+        return g.rename_columns(["text", "lang", "n_tokens", "p_min"])
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
+            .map_batches(gate, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["text", "lang", "n_tokens"])
+            .aggregate(Min("p_min", alias_name="doc_id"))
+            .map_batches(lambda t: t.select(["doc_id", "lang", "n_tokens"]),
+                         batch_format="pyarrow"))
+
+
+def q_top_ngrams(sf_dir: str):
+    """Corpus-wide top-20 3-token shingles by document frequency
+    (ties by shingle text asc) — the n-gram statistics sweep.  Partial
+    per-batch distinct counting, then the bucket-groupby pattern, then
+    a tiny global sort."""
+    from ray.data.aggregate import Sum
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for s in set(T.shingles(txt, 3)):
+                counts[s] = counts.get(s, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({"shingle": ks,
+                         "p_df": pa.array([counts[k] for k in ks],
+                                          pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = T.content_hash64(t.column("shingle").to_pylist())
+        return t.append_column("bucket",
+                               pa.array((h % 64).astype(np.int64)))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("shingle", as_index=False)["p_df"].sum()
+               .rename(columns={"p_df": "df"}))
+        # per-bucket prune: global top-20 must be in some bucket's
+        # top-20 (each shingle lives in exactly one bucket)
+        return out.sort_values(["df", "shingle"],
+                               ascending=[False, True]).head(20)
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(explode_partial, batch_format="pyarrow")
+          .map_batches(add_bucket, batch_format="pyarrow")
+          .groupby("bucket")
+          .map_groups(sum_bucket, batch_format="pandas"))
+    rows = ds.take_all()  # <= 64 buckets x 20 rows — driver-small
+    df = pd.DataFrame(rows).sort_values(
+        ["df", "shingle"], ascending=[False, True]).head(20)
+    df["df"] = df["df"].astype("int64")
+    return pa.Table.from_pandas(df[["shingle", "df"]],
+                                preserve_index=False)
+
+
+def q_percentile_prices(sf_dir: str):
+    """Exact p25/p50/p75 of part price-cents via a distributed value
+    histogram: per-batch (price, count) partials -> grouped Sum ->
+    driver-side cumulative walk over the DIMENSION-SIZED histogram
+    (distinct prices), never a global sort of rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("p_retailprice").to_numpy())
+        vals, counts = np.unique(c, return_counts=True)
+        return pa.table({"price_cents": vals,
+                         "p_n": counts.astype(np.int64)})
+
+    hist = (_read(sf_dir, "part", ["p_retailprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("price_cents")
+            .aggregate(Sum("p_n", alias_name="n"))
+            .sort("price_cents")
+            .take_all())
+    vals = np.array([r["price_cents"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["n"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in (0.25, 0.50, 0.75):
+        # quantile_disc: value at zero-based index ceil(q*n) - 1
+        idx = max(int(np.ceil(q * total)) - 1, 0)
+        out_q.append(q)
+        out_v.append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "price_cents": pa.array(out_v, pa.int64())})
+
+
+QUERIES.update({
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,
+    "top_ngrams": q_top_ngrams,
+    "percentile_prices": q_percentile_prices,
+})
+
+ORACLE_SQL.update({
+    "corpus_clean_pipeline": """
+        WITH gated AS (
+            SELECT doc_id, lang, text,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+            WHERE lang IN ('en', 'de') AND trim(text) <> ''
+        )
+        SELECT min(doc_id) AS doc_id, lang, n_tokens
+        FROM gated WHERE n_tokens >= 20
+        GROUP BY text, lang, n_tokens
+    """,
+    "top_ngrams": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i))
+        SELECT s AS shingle, CAST(count(*) AS BIGINT) AS df
+        FROM sh GROUP BY s
+        ORDER BY df DESC, shingle LIMIT 20
+    """,
+    "percentile_prices": """
+        WITH c AS (SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS cents FROM part)
+        SELECT 0.25 AS q, quantile_disc(cents, 0.25) AS price_cents FROM c
+        UNION ALL
+        SELECT 0.50, quantile_disc(cents, 0.50) FROM c
+        UNION ALL
+        SELECT 0.75, quantile_disc(cents, 0.75) FROM c
+    """,
+})
+
+
 # ---------------------------------------------------------------------------
 # JATS-depth XML parsing (SURVEY §2.3 — nested authors, xref affiliation
 # join, ORCID normalization, reference extraction)
