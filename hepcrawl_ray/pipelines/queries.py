@@ -539,6 +539,78 @@ def q_crawl_records(sf_dir: str):
     return out["records"].drop_columns(["bytes"])
 
 
+def q_crawl_iterative_admissions(sf_dir: str):
+    """Multi-hop crawl with link discovery looping back into the
+    frontier (analog: PoS 3-hop chained scrape, reference:
+    hepcrawl/spiders/pos_spider.py:93-199).  URL img{i} links to
+    img{2i+1}, img{2i+2} over one host; admissions are the full
+    deterministic schedule (sim-equivalence pinned in
+    tests/test_sources_iterative.py)."""
+    from hepcrawl_ray import synth
+    from hepcrawl_ray.pipelines import crawl as cp
+
+    host = "host1.example.org"
+    n = 40
+
+    def discover(url: str, seq: int):
+        tail = url.rsplit("/", 1)[-1]
+        if not tail.startswith("img"):
+            return []
+        i = int(tail[3:])
+        out = []
+        for j in range(2):
+            child = 2 * i + 1 + j
+            if child < n:
+                out.append({"url": f"http://{host}/linked/img{child:07d}",
+                            "priority": 0.0,
+                            "seq": 1_000_000 + seq * 256 + j,
+                            "mtime": 1000, "set_id": "linked"})
+        return out
+
+    seeds = pa.table({
+        "url": [f"http://{host}/seed/img{i:07d}" for i in range(3)],
+        "host": [host] * 3, "set_id": ["seed"] * 3,
+        "priority": [0.0] * 3, "seq": [0, 1, 2], "mtime": [1000] * 3,
+        "dup_of": [None] * 3,
+    }, schema=synth.SEEDS_SCHEMA)
+    politeness = pa.table({
+        "host": [host], "max_concurrency": [2], "min_delay_ms": [0],
+        "robots_disallow": [[]],
+    }, schema=synth.POLITENESS_SCHEMA)
+    out = cp.run_iterative_crawl(seeds, politeness, discover,
+                                 num_partitions=2)
+    t = out["admissions"].sort_by(
+        [("round", "ascending"), ("host", "ascending"),
+         ("pop_idx", "ascending")])
+    return t.select(["round", "url", "seq", "pop_idx"])
+
+
+def q_crawl_metrics(sf_dir: str):
+    """Per-partition frontier lineage metrics of the flagship crawl
+    (analog: close-log counters + error accumulation, reference:
+    hepcrawl/pipelines.py:105-153, extensions.py:29-36) — the skew /
+    drop evidence a 10^10-URL run is monitored by."""
+    import ray
+
+    from hepcrawl_ray.pipelines import crawl as cp
+
+    _, _, seeds, politeness = _crawl_tables()
+    actors = cp.start_frontier(politeness.to_pylist(), num_partitions=4)
+    cp.offer_seeds(actors, seeds, 4)
+    ray.get([a.seal.remote() for a in actors])
+    ray.get([a.drain.remote(None) for a in actors])
+    metrics = ray.get([a.get_metrics.remote() for a in actors])
+    for a in actors:
+        ray.kill(a)
+    cols = ("offered", "dropped_robots", "dropped_dup",
+            "admitted_to_queue", "drained")
+    return pa.table({
+        "partition": pa.array(range(len(metrics)), pa.int32()),
+        **{c: pa.array([int(m[c]) for m in metrics], pa.int64())
+           for c in cols},
+    })
+
+
 def q_multimodal_image_verify(sf_dir: str):
     """Multimodal decode/verify stage over the binary image column:
     decode, re-derive (w, h, phash), compare with declared metadata.
@@ -606,6 +678,8 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "crawl_admissions": q_crawl_admissions,
     "crawl_records": q_crawl_records,
+    "crawl_iterative_admissions": q_crawl_iterative_admissions,
+    "crawl_metrics": q_crawl_metrics,
     "multimodal_image_verify": q_multimodal_image_verify,
 }
 
