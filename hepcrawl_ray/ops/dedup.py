@@ -29,16 +29,19 @@ from hepcrawl_ray.ops import text as T
 
 
 def _join_partitions() -> int:
-    """Join-shuffle width sized to the session: cpus//2 in [2, 16].
-    Two chained joins x num_partitions x 0.25-CPU aggregators must
-    leave CPUs for the upstream map stages (a 4-CPU test session gets
-    2 partitions; the 32-CPU bench gets 16)."""
+    """Join-shuffle width sized to the session: cpus//8 in [2, 8].
+
+    The verify joins carry candidate-pair tables (small relative to
+    the corpus), so aggregator-actor startup dominates over partition
+    parallelism — measured at 32 CPUs, 16-way joins are ~60% slower
+    than 4-way for the minhash verify.  Pass ``num_partitions``
+    explicitly when a pair table is genuinely large."""
     import ray
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, min(16, cpus // 2))
+    return max(2, min(8, cpus // 8))
 
 
 def attach_pair_values(pairs, src, *, key_a, key_b, src_key, val_col,
@@ -149,28 +152,31 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs within one hash bucket of (band, band_val)
         groups — pandas self-merge, with a per-group size cap
-        (hot-key guard)."""
+        (hot-key guard).  Pairs are re-bucketed BY PAIR for the
+        cross-band distinct (a Ray grouped aggregate over pair keys is
+        the high-cardinality slow path, CLAUDE.md lesson #1)."""
         sizes = g.groupby(["band", "band_val"])["doc_id"].transform("size")
         g = g[(sizes >= 2) & (sizes <= max_bucket)]
         if not len(g):
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "pair_bucket": pd.Series([], dtype="int64")})
         m = g.merge(g, on=["band", "band_val"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
         out.columns = ["doc_a", "doc_b"]
+        out["pair_bucket"] = ((out["doc_a"] * 1_000_003 + out["doc_b"])
+                              % 64).astype("int64")
         return out
 
-    cands = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["doc_a", "doc_b"]].drop_duplicates()
 
-    # cross-band/bucket duplicates of the same pair: built-in grouped
-    # count collapses them to one row, then verification is row-local
-    from ray.data.aggregate import Count
-
-    distinct = cands.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="_nbands"))
+    distinct = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(bucket_pairs, batch_format="pandas")
+                .groupby("pair_bucket")
+                .map_groups(distinct_pairs, batch_format="pandas"))
 
     # keyed join back to the documents dataset — texts move only for
     # candidate pairs; exact Jaccard is then row-local
