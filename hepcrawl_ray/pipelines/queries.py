@@ -858,6 +858,36 @@ def q_source_zip_expand(sf_dir: str):
     return out.select_columns(["package_id", "member_name"])
 
 
+def q_source_tar_expand(sf_dir: str):
+    """TAR package expansion (analog: EDPSpider.untar_files /
+    IOPSpider.untar_files, reference: hepcrawl/spiders/edp_spider.py:
+    205-219, iop_spider.py:132-147): one deterministic tar per source
+    containing doc_<id>.xml members -> member rows."""
+    import io
+    import tarfile
+
+    import ray
+
+    from hepcrawl_ray.sources.expand import expand_tar
+
+    by_src = _docs_by_source(sf_dir)
+    pkgs, blobs = [], []
+    for src, rows in sorted(by_src.items()):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            for r in rows:
+                body = str(r["doc_id"]).encode()
+                info = tarfile.TarInfo(f"doc_{r['doc_id']}.xml")
+                info.size = len(body)
+                tf.addfile(info, io.BytesIO(body))
+        pkgs.append(src)
+        blobs.append(buf.getvalue())
+    ds = ray.data.from_arrow(pa.table({"package_id": pkgs, "blob": blobs}))
+    out = ds.map_batches(lambda t: expand_tar(t, suffix=".xml"),
+                         batch_format="pyarrow")
+    return out.select_columns(["package_id", "member_name"])
+
+
 def q_source_xml_feed_expand(sf_dir: str):
     """XML feed iteration (analog: XMLFeedSpider itertag split,
     reference: hepcrawl/spiders/wsp_spider.py:75-80): one XML feed per
@@ -980,6 +1010,7 @@ def q_multimodal_video_frames(sf_dir: str):
 
 QUERIES.update({
     "source_zip_expand": q_source_zip_expand,
+    "source_tar_expand": q_source_tar_expand,
     "source_xml_feed_expand": q_source_xml_feed_expand,
     "source_jsonl_expand": q_source_jsonl_expand,
     "multimodal_image_features": q_multimodal_image_features,
@@ -991,6 +1022,11 @@ ORACLE_SQL.update({
     "source_zip_expand": """
         SELECT source AS package_id,
                'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name
+        FROM documents
+    """,
+    "source_tar_expand": """
+        SELECT source AS package_id,
+               'doc_' || CAST(doc_id AS VARCHAR) || '.xml' AS member_name
         FROM documents
     """,
     "source_xml_feed_expand": """
