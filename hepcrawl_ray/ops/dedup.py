@@ -28,41 +28,96 @@ import pyarrow as pa
 from hepcrawl_ray.ops import text as T
 
 
-def _join_partitions() -> int:
-    """Join-shuffle width sized to the session: cpus//8 in [2, 8].
-
-    The verify joins carry candidate-pair tables (small relative to
-    the corpus), so aggregator-actor startup dominates over partition
-    parallelism — measured at 32 CPUs, 16-way joins are ~60% slower
-    than 4-way for the minhash verify.  Pass ``num_partitions``
-    explicitly when a pair table is genuinely large."""
-    import ray
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(2, min(8, cpus // 8))
-
-
 def attach_pair_values(pairs, src, *, key_a, key_b, src_key, val_col,
-                       num_partitions=None):
+                       num_buckets=64):
     """Attach ``src[val_col]`` for both members of a candidate-pair
-    table via two distributed hash joins (suffixes ``_a``/``_b``).
+    table (output columns ``{val_col}_a`` / ``{val_col}_b``).
 
     This is the scale path for pair *verification*: no worker or
     driver ever holds the whole corpus — values (texts / vectors /
     counts) move only for candidate pairs, hash-partitioned by key.
-    ``num_partitions`` sizes the join shuffle; at cluster scale set it
-    ~= number of cores.  Aggregators are deliberately cheap
-    (0.25 CPU): two chained joins must coexist with the upstream map
-    stages even on a 4-CPU test session without starving the stream."""
-    if num_partitions is None:
-        num_partitions = _join_partitions()
-    kwargs = dict(join_type="inner", num_partitions=num_partitions,
-                  aggregator_ray_remote_args={"num_cpus": 0.25})
-    j = pairs.join(src, on=(key_a,), right_on=(src_key,), **kwargs)
-    return j.join(src, on=(key_b,), right_on=(src_key,),
-                  left_suffix="_a", right_suffix="_b", **kwargs)
+
+    Implemented as two bucketed gather shuffles (the repo's
+    union + groupby(bucket) + pandas-merge hash join) rather than
+    ``Dataset.join``: Ray's join operator builds a schema-less empty
+    table for any shuffle partition that received no left rows and
+    crashes resolving the key (sparse candidate tables hit this
+    constantly), and its per-partition aggregator actors cost more in
+    startup than they return at candidate-table sizes.
+    Shuffle 1 keys by doc id (gather each member's value); shuffle 2
+    keys by pair (zip the two members back together).  Skew is capped
+    by ``num_buckets`` pandas-side groups, exactly like the LSH
+    candidate stages."""
+    ss = src.schema(fetch_if_missing=True)
+    val_type = dict(zip(ss.names, ss.types))[val_col]
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        a = t.column(key_a).to_numpy().astype(np.int64)
+        b = t.column(key_b).to_numpy().astype(np.int64)
+        doc = np.concatenate([a, b])
+        return pa.table({
+            "doc": doc,
+            "pa_": np.concatenate([a, a]),
+            "pb_": np.concatenate([b, b]),
+            "member": np.concatenate([np.zeros(len(a), np.int8),
+                                      np.ones(len(b), np.int8)]),
+            "val": pa.nulls(len(doc), val_type),
+            "bucket": (doc % num_buckets).astype(np.int64),
+        })
+
+    def prep_src(t: pa.Table) -> pa.Table:
+        d = t.column(src_key).to_numpy().astype(np.int64)
+        n = len(d)
+        return pa.table({
+            "doc": d,
+            "pa_": pa.nulls(n, pa.int64()),
+            "pb_": pa.nulls(n, pa.int64()),
+            "member": np.full(n, -1, dtype=np.int8),
+            "val": t.column(val_col),
+            "bucket": (d % num_buckets).astype(np.int64),
+        })
+
+    unioned = (pairs.map_batches(explode_pairs, batch_format="pyarrow")
+               .union(src.map_batches(prep_src, batch_format="pyarrow")))
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"pa_": pd.Series([], dtype="int64"),
+                              "pb_": pd.Series([], dtype="int64"),
+                              "member": pd.Series([], dtype="int8"),
+                              "val": pd.Series([], dtype="object"),
+                              "pair_bucket": pd.Series([], dtype="int64")})
+        srcs = g.loc[g["member"] == -1, ["doc", "val"]]
+        mem = g.loc[g["member"] >= 0, ["doc", "pa_", "pb_", "member"]]
+        if not len(mem) or not len(srcs):
+            return empty
+        m = mem.merge(srcs, on="doc")
+        if not len(m):
+            return empty
+        m["pair_bucket"] = ((m["pa_"] * 1_000_003 + m["pb_"])
+                            % num_buckets).astype("int64")
+        return m[["pa_", "pb_", "member", "val", "pair_bucket"]]
+
+    def zip_pair(g: pd.DataFrame) -> pd.DataFrame:
+        va, vb = f"{val_col}_a", f"{val_col}_b"
+        empty = pd.DataFrame({key_a: pd.Series([], dtype="int64"),
+                              key_b: pd.Series([], dtype="int64"),
+                              va: pd.Series([], dtype="object"),
+                              vb: pd.Series([], dtype="object")})
+        if not len(g):
+            return empty
+        a_side = g.loc[g["member"] == 0, ["pa_", "pb_", "val"]] \
+            .rename(columns={"val": va})
+        b_side = g.loc[g["member"] == 1, ["pa_", "pb_", "val"]] \
+            .rename(columns={"val": vb})
+        out = a_side.merge(b_side, on=["pa_", "pb_"])
+        if not len(out):
+            return empty
+        return out.rename(columns={"pa_": key_a, "pb_": key_b})
+
+    return (unioned.groupby("bucket")
+            .map_groups(gather, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(zip_pair, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------- exact ----

@@ -1,0 +1,65 @@
+"""Edge semantics of the dedup operators: shingle-less documents must
+produce NO near-dup pairs in any text path (engine == SQL oracle,
+which has no shingles to join on), and the pair operators must agree
+with each other on a mixed corpus."""
+
+import pyarrow as pa
+
+from hepcrawl_ray.ops import dedup as D
+from hepcrawl_ray.ops import text as T
+
+
+def _docs():
+    import ray
+
+    rows = pa.table({
+        "doc_id": list(range(8)),
+        "text": [
+            "a b",                       # < k tokens: shingle-less
+            "x y",                       # < k tokens: shingle-less
+            "",                          # empty
+            "one two three four five",   # real text A
+            "one two three four five",   # exact dup of A
+            "one two three four six",    # near dup of A
+            "totally different words here now",
+            "w",                         # single token
+        ],
+    })
+    return ray.data.from_arrow(rows)
+
+
+def test_shingles_short_text_empty():
+    assert T.shingles("a b", 3) == []
+    assert T.shingles("", 3) == []
+    assert T.shingles("a b c", 3) == ["a b c"]
+
+
+def test_jaccard_shingleless_is_zero():
+    assert T.jaccard_tokens("a b", "a b", 3) == 0.0
+    assert T.jaccard_tokens("", "", 3) == 0.0
+    assert T.jaccard_tokens("one two three", "one two three", 3) == 1.0
+
+
+def test_ngram_pairs_skip_shingleless(ray_session):
+    out = D.ngram_jaccard_pairs(_docs(), k_shingle=3, threshold=0.3)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.take_all()}
+    # only the real texts pair up; no short-doc pair appears
+    assert (3, 4) in pairs
+    assert all(a >= 3 and b >= 3 for a, b in pairs)
+
+
+def test_minhash_pairs_skip_shingleless(ray_session):
+    out = D.minhash_lsh_pairs(_docs(), num_perm=32, bands=8, threshold=0.3)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.take_all()}
+    assert (3, 4) in pairs  # exact dup always collides + verifies
+    assert all(a >= 3 and b >= 3 for a, b in pairs)
+
+
+def test_minhash_subset_of_ngram(ray_session):
+    """LSH candidates are verified by exact Jaccard, so minhash pairs
+    are a subset of the exact blocked result at the same threshold."""
+    exact = {(r["doc_a"], r["doc_b"]) for r in D.ngram_jaccard_pairs(
+        _docs(), k_shingle=3, threshold=0.3).take_all()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(
+        _docs(), num_perm=32, bands=8, threshold=0.3).take_all()}
+    assert lsh <= exact

@@ -74,3 +74,24 @@ def test_crash_resume_identical_output(ray_session, corpus, tmp_path):
                 "title", "date_published", "document_type", "error",
                 "pixels_verified", "phash_decoded"):
         assert resumed.column(col).equals(clean.column(col)), col
+
+
+def test_orphan_partition_dir_rewritten(ray_session, corpus, tmp_path):
+    """A partition directory WITHOUT a manifest entry is crash garbage
+    (an in-flight write that missed its manifest record): a run must
+    rebuild it rather than trust its contents."""
+    images, seeds, politeness = corpus
+    out = str(tmp_path / "orphan")
+    os.makedirs(os.path.join(out, "part=1"))
+    junk = os.path.join(out, "part=1", "stale.parquet")
+    with open(junk, "w") as f:
+        f.write("not parquet")
+
+    m = sink.run_resumable_crawl(
+        images, seeds, politeness, output_dir=out,
+        checkpoint_dir=str(tmp_path / "orphan_ckpt"), num_partitions=2,
+        fetch_concurrency=2, parse_concurrency=2)
+    assert len(m["partitions"]) == 2
+    assert not os.path.exists(junk), "stale crash leftover survived"
+    t = _collect(out)
+    assert t.num_rows > 0
