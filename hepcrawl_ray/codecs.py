@@ -134,20 +134,27 @@ def encode_lossy(pixels: np.ndarray, step: int = _QNT_STEP) -> bytes:
 _LOSSY_LUT: dict[int, np.ndarray] = {}
 
 
-def decode_lossy(data: bytes) -> np.ndarray:
-    if data[:4] != _QNT_MAGIC:
-        raise ValueError("not a QNT payload")
-    w, h, step = struct.unpack(">IIB", data[4:13])
-    # dequantize through a cached 256-entry LUT: one gather pass, no
-    # uint16 temporaries (the uint16 multiply+minimum+astype chain cost
-    # 3 extra full-image passes of DRAM traffic)
+def _lossy_lut(step: int) -> np.ndarray:
+    """Cached 256-entry dequantization LUT — the ONE definition of the
+    quantized->pixel mapping (decode_lossy and the fused luma path must
+    stay bit-identical)."""
     lut = _LOSSY_LUT.get(step)
     if lut is None:
         lut = np.minimum(np.arange(256, dtype=np.uint16) * step,
                          255).astype(np.uint8)
         _LOSSY_LUT[step] = lut
+    return lut
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != _QNT_MAGIC:
+        raise ValueError("not a QNT payload")
+    w, h, step = struct.unpack(">IIB", data[4:13])
+    # dequantize through the LUT: one gather pass, no uint16
+    # temporaries (the multiply+minimum+astype chain cost 3 extra
+    # full-image passes of DRAM traffic)
     q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
-    return lut[q].reshape(h, w, 3)
+    return _lossy_lut(step)[q].reshape(h, w, 3)
 
 
 # ------------------------------------------------ fused luma decode ----
@@ -172,12 +179,7 @@ def _luma_from_rgb_bytes(flat: np.ndarray, h: int, w: int,
     (<= 255*256) and the 2^-8 scaling are exactly representable, so
     floor(acc/256) == (77 r + 151 g + 28 b) >> 8."""
     if step is not None:
-        lut = _LOSSY_LUT.get(step)
-        if lut is None:
-            lut = np.minimum(np.arange(256, dtype=np.uint16) * step,
-                             255).astype(np.uint8)
-            _LOSSY_LUT[step] = lut
-        flat = lut[flat]
+        flat = _lossy_lut(step)[flat]
     rgbf = flat.reshape(-1, 3).astype(np.float32)
     acc = rgbf @ _LUMA_W3
     return np.floor(acc * (1.0 / 256.0)).reshape(h, w)

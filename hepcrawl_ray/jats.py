@@ -148,9 +148,15 @@ class JatsRecordParser:
                 break
         emails = [e.text.strip() for e in contrib.iter("email")
                   if e.text and e.text.strip()]
+        # dedup referred rids exactly like the affiliation resolution —
+        # a rid repeated across xrefs must not duplicate its emails
+        seen_rids = set()
         for xref in contrib.iter("xref"):
             if xref.get("ref-type") == "aff":
                 for rid in (xref.get("rid") or "").split():
+                    if rid in seen_rids:
+                        continue
+                    seen_rids.add(rid)
                     emails.extend(self.get_emails_from_refs(rid))
         return {
             "full_name": full or None,

@@ -95,7 +95,15 @@ def get_doctype(root) -> str | None:
 def get_page_numbers(root) -> tuple[str | None, str | None, str]:
     fpage = root.findtext(".//FirstPage")
     lpage = root.findtext(".//LastPage")
-    page_nr = str(int(lpage) - int(fpage) + 1) if fpage and lpage else ""
+    # electronic page ids ('e1234', 'S12', 'iv') are common: a count is
+    # only derivable from plain numeric pages (error-row contract —
+    # never raise out of a record parse)
+    page_nr = ""
+    if fpage and lpage:
+        try:
+            page_nr = str(int(lpage) - int(fpage) + 1)
+        except ValueError:
+            page_nr = ""
     return fpage, lpage, page_nr
 
 

@@ -86,13 +86,20 @@ def attach_pair_values(pairs, src, *, key_a, key_b, src_key, val_col,
                               "member": pd.Series([], dtype="int8"),
                               "val": pd.Series([], dtype="object"),
                               "pair_bucket": pd.Series([], dtype="int64")})
-        srcs = g.loc[g["member"] == -1, ["doc", "val"]]
-        mem = g.loc[g["member"] >= 0, ["doc", "pa_", "pb_", "member"]]
+        srcs = g.loc[g["member"] == -1, ["doc", "val"]].copy()
+        mem = g.loc[g["member"] >= 0, ["doc", "pa_", "pb_", "member"]].copy()
         if not len(mem) or not len(srcs):
             return empty
+        # exact integer merge keys (float64 equality breaks above 2^53)
+        srcs["doc"] = srcs["doc"].astype("int64")
+        mem["doc"] = mem["doc"].astype("int64")
         m = mem.merge(srcs, on="doc")
         if not len(m):
             return empty
+        # the union's null padding turns int64 into pandas float64 —
+        # restore exact integer keys (ids above 2^53 would corrupt)
+        m["pa_"] = m["pa_"].astype("int64")
+        m["pb_"] = m["pb_"].astype("int64")
         m["pair_bucket"] = ((m["pa_"] * 1_000_003 + m["pb_"])
                             % num_buckets).astype("int64")
         return m[["pa_", "pb_", "member", "val", "pair_bucket"]]
@@ -161,12 +168,13 @@ class MinHashStage:
 
         out_id, out_band, out_val = [], [], []
         for i, t in zip(ids, texts):
-            if not T.shingles(t, self.k):
+            sh = T.shingles(t, self.k)
+            if not sh:
                 # shingle-less doc: no band rows (would otherwise
                 # sentinel-collide with every other short doc; the
                 # exact twin emits no pairs for these either)
                 continue
-            sig = T.minhash_signature(t, self.a, self.b, self.k)
+            sig = T.minhash_signature(t, self.a, self.b, self.k, sh=sh)
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
                 # band value: stable 64-bit digest of the band's slots
@@ -278,7 +286,16 @@ def simhash_neardup_pairs(ds, *, max_distance=3, id_col="doc_id",
     ``hamming64 <= d`` inline in the bucket group (same
     carry-payload-through-blocking shape as the embedding-LSH path).
     Result: all (doc_a, doc_b, distance) with distance <= max_distance,
-    a < b — exact, not probabilistic.
+    a < b.
+
+    Exact UP TO the ``max_bucket`` hot-key guard: a (band, band_bits)
+    group larger than ``max_bucket`` is dropped whole (e.g. thousands
+    of boilerplate docs sharing signature 0 would otherwise force an
+    all-pairs blow-up in one group).  A pair blocked ONLY by oversized
+    groups is missed — the same documented recall/cost trade as
+    ``max_shingle_df`` in the ngram path; raise ``max_bucket`` (or
+    pre-dedup exact duplicates) when completeness matters more than
+    the quadratic group cost.
     """
     n_bands = max_distance + 1
     # contiguous bit chunks, sizes as even as possible

@@ -34,7 +34,10 @@ def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
     n*dim Python floats first, ~50x the cost.  Falls back to the slow
     path for ragged/null layouts."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if arr.null_count == 0 and len(arr) > 0:
+    # arr.null_count covers only LIST-level nulls; a null element
+    # inside a vector lives in arr.values and would make the zero-copy
+    # conversion raise — both levels must be null-free
+    if arr.null_count == 0 and len(arr) > 0 and arr.values.null_count == 0:
         offsets = arr.offsets.to_numpy()
         dim = int(offsets[1] - offsets[0])
         if dim > 0 and (np.diff(offsets) == dim).all():

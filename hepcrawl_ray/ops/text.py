@@ -120,9 +120,12 @@ def minhash_params(num_perm: int = 64, seed: int = 1) -> tuple[np.ndarray, np.nd
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
-                      k: int = 3) -> np.ndarray:
-    """MinHash signature (uint64[num_perm]) over k-token shingles."""
-    sh = shingles(text, k)
+                      k: int = 3, sh: list[str] | None = None) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) over k-token shingles.
+    Pass ``sh`` when the caller already computed the shingles (the
+    tokenize+join is the dominant per-doc cost — don't do it twice)."""
+    if sh is None:
+        sh = shingles(text, k)
     if not sh:
         return np.full(len(a), _MERSENNE31)
     hv = np.array([_hash_str_u64(s) >> 33 for s in sh], dtype=np.uint64)

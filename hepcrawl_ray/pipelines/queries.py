@@ -1177,10 +1177,10 @@ def q_corpus_clean_pipeline(sf_dir: str):
     """Composite training-data prep: language allowlist -> token-count
     quality gate -> exact dedup (min doc_id wins) -> clean corpus rows.
     The end-to-end shape an LLM data pipeline runs per shard; every
-    stage streams (filters inside map_batches, dedup via the grouped
-    Min combiner)."""
-    from ray.data.aggregate import Min
-
+    stage streams.  Dedup shuffles by ``hash(text) % 64`` buckets (a
+    Ray grouped aggregate keyed on the full text would sort multi-KB
+    strings across the cluster — CLAUDE.md lesson #1) with the
+    per-bucket min-id pick in pandas."""
     def gate(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t.column("lang"),
                               value_set=pa.array(["en", "de"])))
@@ -1188,23 +1188,32 @@ def q_corpus_clean_pipeline(sf_dir: str):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "lang": pa.array([], pa.string()),
                              "text": pa.array([], pa.string()),
-                             "n_tokens": pa.array([], pa.int64())})
+                             "n_tokens": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
         stats = T.token_stats(t.column("text").to_pylist())
         t = t.append_column("n_tokens", pa.array(stats["n_tokens"]))
-        return t.filter(pc.greater_equal(t.column("n_tokens"), 20))
+        t = t.filter(pc.greater_equal(t.column("n_tokens"), 20))
+        h = T.content_hash64(t.column("text").to_pylist())
+        return t.append_column("bucket",
+                               pa.array((h % 64).astype(np.int64)))
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["text", "lang", "n_tokens"]).aggregate(
+        g = t.group_by(["text", "lang", "n_tokens", "bucket"]).aggregate(
             [("doc_id", "min")])
-        return g.rename_columns(["text", "lang", "n_tokens", "p_min"])
+        return g.rename_columns(["text", "lang", "n_tokens", "bucket",
+                                 "p_min"])
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["text", "lang", "n_tokens"], as_index=False)
+               ["p_min"].min().rename(columns={"p_min": "doc_id"}))
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out[["doc_id", "lang", "n_tokens"]]
 
     return (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
             .map_batches(gate, batch_format="pyarrow")
             .map_batches(partial, batch_format="pyarrow")
-            .groupby(["text", "lang", "n_tokens"])
-            .aggregate(Min("p_min", alias_name="doc_id"))
-            .map_batches(lambda t: t.select(["doc_id", "lang", "n_tokens"]),
-                         batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(dedup_bucket, batch_format="pandas"))
 
 
 def q_top_ngrams(sf_dir: str):

@@ -78,37 +78,37 @@ def run_resumable_crawl(images, seeds, politeness, *, output_dir: str,
     done = set(manifest["partitions"])
     todo = [pid for pid in range(num_partitions) if str(pid) not in done]
 
-    # All drains fire at once (each runs on its own frontier actor);
-    # the admission tables stay in the object store — the driver never
-    # holds one (from_arrow_refs + a tiny remote num_rows probe).
-    drain_refs = {pid: actors[pid].drain.remote(None) for pid in todo}
     nrows_probe = ray.remote(num_cpus=0)(lambda t: t.num_rows)
-    nrows = ray.get([nrows_probe.remote(drain_refs[pid]) for pid in todo])
-    nrows = dict(zip(todo, nrows))
 
     def process(pid: int) -> int:
+        # drain fires when the partition's processing starts, so at
+        # most ~max_workers admission tables are live in the object
+        # store at once; the driver never holds one (from_arrow_refs
+        # + a tiny remote num_rows probe)
+        drain_ref = actors[pid].drain.remote(None)
+        n = int(ray.get(nrows_probe.remote(drain_ref)))
         part_dir = os.path.join(output_dir, f"part={pid}")
         if os.path.exists(part_dir):  # crash leftovers without manifest
             shutil.rmtree(part_dir)
-        n = nrows[pid]
         if n:
-            ds = ray.data.from_arrow_refs([drain_refs[pid]])
+            ds = ray.data.from_arrow_refs([drain_ref])
             records = cp.fetch_and_parse(
                 ds, images, fetch_concurrency=fetch_concurrency,
                 parse_concurrency=parse_concurrency, batch_size=batch_size)
             records.write_parquet(part_dir)
         else:
             os.makedirs(part_dir, exist_ok=True)
-        return int(n)
+        return n
 
     # Pipelined partition processing: a small thread pool overlaps the
-    # per-partition fetch+parse+write pipelines (each is an independent
-    # Ray Data stream; the fractional-CPU actor pools coexist).  The
-    # manifest stays per-partition atomic — one locked entry per
-    # COMPLETED partition, written in completion order, so a crash
-    # leaves finished partitions recorded and in-flight ones as
-    # unmanifested leftovers that resume cleans up.
-    import threading
+    # per-partition drain+fetch+parse+write pipelines (each is an
+    # independent Ray Data stream; the fractional-CPU actor pools
+    # coexist).  Submission is BOUNDED (one spare beyond the pool), so
+    # a simulated crash stops new partitions immediately — only the
+    # <= max_workers in-flight pipelines run to waste, becoming
+    # unmanifested leftovers that resume cleans up.  All bookkeeping
+    # (manifest, stop) happens on this thread; the manifest stays
+    # per-partition atomic, written in completion order.
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
     # Ray's write-path resolution does `from fsspec.implementations
@@ -135,29 +135,38 @@ def run_resumable_crawl(images, seeds, politeness, *, output_dir: str,
 
     avail = ray.cluster_resources().get("CPU", 4)
     max_workers = max(1, min(8, len(todo) or 1, int(avail // 2)))
-    lock = threading.Lock()
     written = 0
     stop = False
+    queue = iter(todo)
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {}
-        for pid in todo:
-            if stop:
+
+        def submit_next() -> bool:
+            for pid in queue:
+                futures[pool.submit(process, pid)] = pid
+                return True
+            return False
+
+        for _ in range(max_workers + 1):
+            if not submit_next():
                 break
-            futures[pool.submit(process, pid)] = pid
-        pending = set(futures)
-        while pending:
-            done_f, pending = wait(pending, return_when=FIRST_COMPLETED)
+        consumed = set()
+        while len(consumed) < len(futures):
+            done_f, _ = wait([f for f in futures if f not in consumed],
+                             return_when=FIRST_COMPLETED)
             for fut in done_f:
+                consumed.add(fut)
                 pid, n = futures[fut], fut.result()
                 if stop:
                     continue  # crash already simulated: don't record
-                with lock:
-                    manifest["partitions"][str(pid)] = {"rows": n}
-                    _write_manifest(output_dir, manifest)
-                    written += 1
-                    if (fail_after_partitions is not None
-                            and written >= fail_after_partitions):
-                        stop = True  # in-flight work becomes leftovers
+                manifest["partitions"][str(pid)] = {"rows": n}
+                _write_manifest(output_dir, manifest)
+                written += 1
+                if (fail_after_partitions is not None
+                        and written >= fail_after_partitions):
+                    stop = True  # in-flight work becomes leftovers
+                else:
+                    submit_next()  # refill the bounded window
 
     for a in actors:
         ray.kill(a)
