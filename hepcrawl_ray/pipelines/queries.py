@@ -858,6 +858,76 @@ def q_source_zip_expand(sf_dir: str):
     return out.select_columns(["package_id", "member_name"])
 
 
+def q_source_paged_harvest(sf_dir: str):
+    """Link rel=next paged harvest with per-record fallback (analog:
+    APS REST pagination + JATS-with-JSON-fallback per DOI, reference:
+    hepcrawl/spiders/aps_spider.py:86-118).  Pages of 100 doc ids
+    chained by next links; the per-record 'JATS fetch' fails for every
+    7th doc and falls back to the JSON parse — errors become rows."""
+    import ray
+
+    from hepcrawl_ray.sources.paged import (
+        fetch_with_fallback,
+        follow_linked_pages,
+    )
+
+    ids = sorted(r["doc_id"] for rows in _docs_by_source(sf_dir).values()
+                 for r in rows)
+    page_size = 100
+    pages = {f"p{i}": ids[i * page_size:(i + 1) * page_size]
+             for i in range((len(ids) + page_size - 1) // page_size)}
+
+    def fetch_page(key):
+        n = int(key[1:])
+        nxt = f"p{n + 1}" if f"p{n + 1}" in pages else None
+        return pages[key], nxt
+
+    payloads = follow_linked_pages(fetch_page, "p0" if pages else None)
+    work = pa.table({"doi": pa.array(
+        [f"10.99/{d}" for page in payloads for d in page], pa.string())})
+
+    def jats_fetch(doi):
+        d = int(doi.rsplit("/", 1)[1])
+        if d % 7 == 0:
+            raise RuntimeError("no JATS fulltext")
+        return {"doc_id": d, "fmt": "jats"}
+
+    def json_fallback(doi):
+        return {"doc_id": int(doi.rsplit("/", 1)[1]), "fmt": "json"}
+
+    return ray.data.from_arrow(work).map_batches(
+        lambda t: fetch_with_fallback(t, jats_fetch, json_fallback),
+        batch_format="pyarrow")
+
+
+def q_filter_harvest_predicate(sf_dir: str):
+    """Elsevier harvest predicate (reference:
+    hepcrawl/parsers/elsevier.py:79-90, 686-696): doctype allowlist AND
+    required fields AND (artid OR page_start), vectorized over
+    deterministic per-doc record fields."""
+    from hepcrawl_ray.sources.paged import should_harvest
+
+    doctypes = ("full-length article", "erratum", "editorial", "chapter")
+
+    def gen_and_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        at = [doctypes[d % 4] for d in ids]
+        title = [f"T{d}" if d % 5 != 0 else "" for d in ids]
+        journal = ["J"] * len(ids)
+        volume = ["1"] * len(ids)
+        artid = [f"a{d}" if d % 2 == 0 else "" for d in ids]
+        page_start = ["7" if d % 3 == 0 else "" for d in ids]
+        keep = should_harvest(at, title, journal, volume, artid, page_start)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "article_type": pa.array(at, pa.string()),
+            "harvest": pa.array(keep, pa.bool_()),
+        })
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_filter, batch_format="pyarrow"))
+
+
 def q_source_tar_expand(sf_dir: str):
     """TAR package expansion (analog: EDPSpider.untar_files /
     IOPSpider.untar_files, reference: hepcrawl/spiders/edp_spider.py:
@@ -1011,6 +1081,8 @@ def q_multimodal_video_frames(sf_dir: str):
 QUERIES.update({
     "source_zip_expand": q_source_zip_expand,
     "source_tar_expand": q_source_tar_expand,
+    "source_paged_harvest": q_source_paged_harvest,
+    "filter_harvest_predicate": q_filter_harvest_predicate,
     "source_xml_feed_expand": q_source_xml_feed_expand,
     "source_jsonl_expand": q_source_jsonl_expand,
     "multimodal_image_features": q_multimodal_image_features,
@@ -1022,6 +1094,23 @@ ORACLE_SQL.update({
     "source_zip_expand": """
         SELECT source AS package_id,
                'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name
+        FROM documents
+    """,
+    "source_paged_harvest": """
+        SELECT '10.99/' || CAST(doc_id AS VARCHAR) AS doi,
+               doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'json' ELSE 'jats' END AS fmt,
+               doc_id % 7 = 0 AS used_fallback
+        FROM documents
+    """,
+    "filter_harvest_predicate": """
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'full-length article'
+                               WHEN 1 THEN 'erratum'
+                               WHEN 2 THEN 'editorial'
+                               ELSE 'chapter' END AS article_type,
+               (doc_id % 4 IN (0, 1, 3)) AND doc_id % 5 <> 0
+                   AND (doc_id % 2 = 0 OR doc_id % 3 = 0) AS harvest
         FROM documents
     """,
     "source_tar_expand": """
