@@ -31,8 +31,9 @@ def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
 
     Zero-copy from the Arrow child buffer when the layout allows
     (uniform list length, no nulls) — the ``to_pylist()`` route builds
-    n*dim Python floats first, ~50x the cost.  Falls back to the slow
-    path for ragged/null layouts."""
+    n*dim Python floats first, ~50x the cost.  Null elements fall back
+    to the slow path (null -> NaN); ragged lists raise ValueError (no
+    rectangular matrix exists)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     # arr.null_count covers only LIST-level nulls; a null element
     # inside a vector lives in arr.values and would make the zero-copy
