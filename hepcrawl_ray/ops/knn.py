@@ -114,20 +114,8 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
     """Approximate top-k via IVF bucketing (scale path; see module doc)."""
     import ray
 
-    sample = ds.select_columns([id_col, vec_col]).take(2048)
-    mat = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
-                          replace=False)]
-    for _ in range(5):  # lite Lloyd iterations, deterministic
-        assign = np.argmax(mat @ cent.T, axis=1)
-        for c in range(len(cent)):
-            members = mat[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[c] = v / n
+    cent = _train_centroids(ds, n_centroids=n_centroids, id_col=id_col,
+                            vec_col=vec_col, seed=seed)
     cent_ref = ray.put(cent)
 
     qset = pa.array(sorted(set(int(q) for q in query_ids)), type=pa.int64())
@@ -171,6 +159,147 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
         BucketTopK, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas")
+
+
+# ------------------------------------------------- materialized IVF ----
+
+def _train_centroids(ds, *, n_centroids, id_col, vec_col, seed,
+                     sample_n=2048, iters=5) -> np.ndarray:
+    """k-means-lite coarse centroids from a deterministic sample."""
+    sample = ds.select_columns([id_col, vec_col]).take(sample_n)
+    mat = _normalize(np.array([r[vec_col] for r in sample],
+                              dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
+                          replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def build_ivf_index(ds, index_dir: str, *, n_centroids=16,
+                    id_col="vec_id", vec_col="embedding", seed=42,
+                    concurrency=4) -> np.ndarray:
+    """Materialize an IVF layout: vectors written to parquet
+    PARTITIONED BY their coarse-centroid bucket, centroids saved
+    alongside.
+
+    This is the scale path the in-stream ``knn_ivf`` only simulates:
+    once the corpus is laid out by bucket, a query run reads ONLY its
+    ``nprobe`` probed partitions — partition pruning at the read, so
+    a 100 TB index serves a query from nprobe/n_centroids of the
+    bytes.  Rebuild (or split hot buckets) when the corpus drifts from
+    the trained centroids.
+    """
+    import os
+
+    import ray
+
+    cent = _train_centroids(ds, n_centroids=n_centroids, id_col=id_col,
+                            vec_col=vec_col, seed=seed)
+    cent_ref = ray.put(cent)
+
+    class AssignBucket:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _normalize(list_column_to_matrix(t.column(vec_col)))
+            bucket = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
+            return t.append_column("bucket", pa.array(bucket))
+
+    os.makedirs(index_dir, exist_ok=True)
+    (ds.select_columns([id_col, vec_col])
+     .map_batches(AssignBucket, batch_format="pyarrow",
+                  concurrency=(1, concurrency), num_cpus=0.5)
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
+                  nprobe=4, id_col="vec_id", vec_col="embedding",
+                  exclude_ids=None, concurrency=4):
+    """Top-k over a materialized IVF index, reading ONLY the probed
+    bucket partitions (the union over all queries' nprobe buckets)."""
+    import os
+
+    import ray
+
+    import glob
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probed = sorted({int(b) for row in q_probe for b in row})
+    parts = []
+    for b in probed:
+        files = sorted(glob.glob(
+            os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        if not files:
+            continue
+        # hive partitioning inference restores the bucket column from
+        # the "bucket=N" path segment on read
+        parts.append(ray.data.read_parquet(files))
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    q_ref = ray.put((q_mat, q_probe))
+    excl = frozenset(int(x) for x in (exclude_ids or ()))
+
+    class ProbeTopK:
+        def __init__(self):
+            self.q_mat, self.q_probe = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            mat = _normalize(list_column_to_matrix(t.column(vec_col)))
+            bucket = t.column("bucket").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_mat)):
+                probes = set(int(p) for p in self.q_probe[qi])
+                mask = np.isin(bucket, list(probes))
+                if excl:
+                    mask &= ~np.isin(ids, list(excl))
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                s = mat[cand] @ self.q_mat[qi]
+                top = min(k, len(cand))
+                order = np.lexsort((ids[cand], -s))[:top]
+                out_q.extend([qi] * top)
+                out_n.extend(int(x) for x in ids[cand[order]])
+                out_s.extend(float(x) for x in s[order])
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.map_batches(ProbeTopK, batch_format="pyarrow",
+                              concurrency=(1, concurrency), num_cpus=0.5)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"],

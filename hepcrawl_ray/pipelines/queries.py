@@ -451,6 +451,31 @@ def q_knn_ivf(sf_dir: str):
         _KNN_QUERIES, k=10, n_centroids=16, nprobe=8)
 
 
+def q_knn_ivf_index(sf_dir: str):
+    """Materialized IVF: build a bucket-PARTITIONED parquet index, then
+    answer the 5 standard queries reading ONLY the probed partitions
+    (partition pruning at the read — the repeated-query scale path;
+    rows-only: approximate by design, recall pinned in tests)."""
+    import tempfile
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qset = pa.array(sorted(set(_KNN_QUERIES)), type=pa.int64())
+    q_rows = {r["vec_id"]: r["embedding"] for r in ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=qset)),
+        batch_format="pyarrow").take_all()}
+    q_vecs = np.array([q_rows[q] for q in _KNN_QUERIES], dtype=np.float64)
+
+    with tempfile.TemporaryDirectory() as d:
+        K.build_ivf_index(ds, d, n_centroids=16)
+        out = K.knn_ivf_query(d, q_vecs, k=10, nprobe=8,
+                              exclude_ids=_KNN_QUERIES)
+        got = out.to_pandas()
+    # map positional query ids back to vec ids for a stable artifact
+    got["query_id"] = got["query_id"].map(
+        {i: q for i, q in enumerate(_KNN_QUERIES)}).astype("int64")
+    return got
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -673,6 +698,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_index": q_knn_ivf_index,
     "text_token_stats": q_text_token_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
