@@ -384,6 +384,51 @@ def q_window_tumbling_events(sf_dir: str):
                        Sum("p_n", alias_name="n_events")))
 
 
+def q_window_sliding_events(sf_dir: str):
+    """SLIDING 1-hour window per user: for each event, the count and
+    integer-cents sum of that user's events in (ts - 1h, ts] — the
+    windowed-aggregate shape Ray Data lacks natively, expressed as a
+    user-hash bucket shuffle + per-bucket vectorized two-pointer scan
+    (cumsum difference over the sorted event stream)."""
+    win_us = 60 * 60 * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        return pa.table({"user_id": uid, "ts": t.column("ts"),
+                         "event_id": t.column("event_id"),
+                         "val_c": _cents(t.column("value").to_numpy()),
+                         "bucket": pc.bit_wise_and(uid, 63)})
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]) \
+            .reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        val = g["val_c"].to_numpy()
+        # composite key (user, ts) so ONE searchsorted resolves both
+        # window edges per row without leaving the user's segment:
+        # time offsets fit in 44 bits (>> any per-corpus span), so
+        # user*2^44 strictly dominates
+        base = ts - ts.min()
+        k = uid * (1 << 44) + base
+        # SQL RANGE ... 1h PRECEDING AND CURRENT ROW: lower bound
+        # INCLUSIVE, and CURRENT ROW includes all ts-peers
+        lo = np.searchsorted(k, uid * (1 << 44) + (base - win_us),
+                             side="left")
+        hi = np.searchsorted(k, k, side="right")
+        csum = np.concatenate(([0], np.cumsum(val)))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "n_window": (hi - lo).astype("int64"),
+            "sum_window_cents": (csum[hi] - csum[lo]).astype("int64"),
+        })
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(windows, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # dedup family (training-data ops; SURVEY §2.6 generalized)
 # ---------------------------------------------------------------------------
@@ -690,6 +735,7 @@ QUERIES = {
     "fn_date_normalize": q_fn_date_normalize,
     "json_extract_events": q_json_extract_events,
     "window_tumbling_events": q_window_tumbling_events,
+    "window_sliding_events": q_window_sliding_events,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -786,6 +832,16 @@ ORACLE_SQL = {
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                count(*) AS n_events
         FROM events GROUP BY user_id, hour
+    """,
+    "window_sliding_events": """
+        SELECT event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_window,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS sum_window_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
     """,
     "dedup_exact_docs": """
         SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

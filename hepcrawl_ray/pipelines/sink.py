@@ -138,38 +138,40 @@ def run_resumable_crawl(images, seeds, politeness, *, output_dir: str,
     written = 0
     stop = False
     queue = iter(todo)
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futures = {}
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = {}
 
-        def submit_next() -> bool:
-            for pid in queue:
-                futures[pool.submit(process, pid)] = pid
-                return True
-            return False
+            def submit_next() -> bool:
+                for pid in queue:
+                    futures[pool.submit(process, pid)] = pid
+                    return True
+                return False
 
-        for _ in range(max_workers + 1):
-            if not submit_next():
-                break
-        consumed = set()
-        while len(consumed) < len(futures):
-            done_f, _ = wait([f for f in futures if f not in consumed],
-                             return_when=FIRST_COMPLETED)
-            for fut in done_f:
-                consumed.add(fut)
-                pid, n = futures[fut], fut.result()
-                if stop:
-                    continue  # crash already simulated: don't record
-                manifest["partitions"][str(pid)] = {"rows": n}
-                _write_manifest(output_dir, manifest)
-                written += 1
-                if (fail_after_partitions is not None
-                        and written >= fail_after_partitions):
-                    stop = True  # in-flight work becomes leftovers
-                else:
-                    submit_next()  # refill the bounded window
-
-    for a in actors:
-        ray.kill(a)
+            for _ in range(max_workers + 1):
+                if not submit_next():
+                    break
+            consumed = set()
+            while len(consumed) < len(futures):
+                done_f, _ = wait([f for f in futures if f not in consumed],
+                                 return_when=FIRST_COMPLETED)
+                for fut in done_f:
+                    consumed.add(fut)
+                    pid, n = futures[fut], fut.result()
+                    if stop:
+                        continue  # crash already simulated: don't record
+                    manifest["partitions"][str(pid)] = {"rows": n}
+                    _write_manifest(output_dir, manifest)
+                    written += 1
+                    if (fail_after_partitions is not None
+                            and written >= fail_after_partitions):
+                        stop = True  # in-flight work becomes leftovers
+                    else:
+                        submit_next()  # refill the bounded window
+    finally:
+        # a failed partition write must not leak the frontier actors
+        for a in actors:
+            ray.kill(a)
     return manifest
 
 
