@@ -488,6 +488,9 @@ def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",
         def __call__(self, batch: pa.Table) -> pa.Table:
             from hepcrawl_ray.ops.knn import list_column_to_matrix
 
+            if batch.num_rows == 0:
+                return pa.table({"vec_a": pa.array([], pa.int64()),
+                                 "vec_b": pa.array([], pa.int64())})
             bids = batch.column(id_col).to_pylist()
             vecs = list_column_to_matrix(batch.column(vec_col))
             n = np.linalg.norm(vecs, axis=1)
@@ -555,6 +558,11 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
         def __call__(self, t: pa.Table) -> pa.Table:
             from hepcrawl_ray.ops.knn import list_column_to_matrix
 
+            if t.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "table": pa.array([], pa.int32()),
+                                 "key": pa.array([], pa.int64()),
+                                 "vec_bin": pa.array([], pa.binary())})
             v = list_column_to_matrix(t.column(vec_col))
             n = np.linalg.norm(v, axis=1)
             n[n == 0] = 1.0

@@ -26,6 +26,23 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n[:, None]
 
 
+_TOPK_EMPTY = pa.table({"query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64())})
+
+
+def _fixed_pool(want: int) -> int:
+    """Fixed actor-pool size for CPU-bound 0.5-CPU stages (CLAUDE.md
+    lesson #2: autoscaling-from-1 ramps too slowly; fixed pools must
+    not reserve every CPU)."""
+    import ray
+    try:
+        avail = ray.cluster_resources().get("CPU", 8)
+    except Exception:
+        avail = 8
+    return max(1, min(want, int((avail - 1.5) / 0.5)))
+
+
 def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
     """list<float> column -> (n, dim) matrix.
 
@@ -71,6 +88,8 @@ def knn_bruteforce(ds, query_ids, *, k=10, id_col="vec_id",
             self.q_ids, self.q_mat = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _TOPK_EMPTY
             ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
@@ -133,6 +152,8 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
             self.q_ids, self.q_mat, self.q_probe = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _TOPK_EMPTY
             ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
@@ -220,6 +241,9 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids=16,
             self.cent = ray.get(cent_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("bucket",
+                                       pa.array([], pa.int32()))
             mat = _normalize(list_column_to_matrix(t.column(vec_col)))
             bucket = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
             return t.append_column("bucket", pa.array(bucket))
@@ -227,7 +251,7 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids=16,
     os.makedirs(index_dir, exist_ok=True)
     (ds.select_columns([id_col, vec_col])
      .map_batches(AssignBucket, batch_format="pyarrow",
-                  concurrency=(1, concurrency), num_cpus=0.5)
+                  concurrency=_fixed_pool(concurrency), num_cpus=0.5)
      .write_parquet(index_dir, partition_cols=["bucket"]))
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
     return cent
@@ -235,9 +259,13 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids=16,
 
 def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
                   nprobe=4, id_col="vec_id", vec_col="embedding",
-                  exclude_ids=None, concurrency=4):
+                  exclude_self_ids=None, concurrency=4):
     """Top-k over a materialized IVF index, reading ONLY the probed
-    bucket partitions (the union over all queries' nprobe buckets)."""
+    bucket partitions (the union over all queries' nprobe buckets).
+
+    ``exclude_self_ids``: optional per-query vector id (aligned with
+    ``query_vecs``) excluded from THAT query's candidates only — the
+    same self-exclusion semantics as ``knn_bruteforce``/``knn_ivf``."""
     import os
 
     import ray
@@ -264,14 +292,17 @@ def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
             "rank": pa.array([], pa.int64())}))
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-    q_ref = ray.put((q_mat, q_probe))
-    excl = frozenset(int(x) for x in (exclude_ids or ()))
+    self_ids = (None if exclude_self_ids is None
+                else [int(x) for x in exclude_self_ids])
+    q_ref = ray.put((q_mat, q_probe, self_ids))
 
     class ProbeTopK:
         def __init__(self):
-            self.q_mat, self.q_probe = ray.get(q_ref)
+            self.q_mat, self.q_probe, self.self_ids = ray.get(q_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _TOPK_EMPTY
             ids = t.column(id_col).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             mat = _normalize(list_column_to_matrix(t.column(vec_col)))
@@ -281,8 +312,8 @@ def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
             for qi in range(len(self.q_mat)):
                 probes = set(int(p) for p in self.q_probe[qi])
                 mask = np.isin(bucket, list(probes))
-                if excl:
-                    mask &= ~np.isin(ids, list(excl))
+                if self.self_ids is not None:
+                    mask &= ids != self.self_ids[qi]
                 cand = np.nonzero(mask)[0]
                 if not len(cand):
                     continue
@@ -299,7 +330,8 @@ def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
             })
 
     partials = ds.map_batches(ProbeTopK, batch_format="pyarrow",
-                              concurrency=(1, concurrency), num_cpus=0.5)
+                              concurrency=_fixed_pool(concurrency),
+                              num_cpus=0.5)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"],

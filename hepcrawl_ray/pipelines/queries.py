@@ -386,10 +386,11 @@ def q_window_tumbling_events(sf_dir: str):
 
 def q_window_sliding_events(sf_dir: str):
     """SLIDING 1-hour window per user: for each event, the count and
-    integer-cents sum of that user's events in (ts - 1h, ts] — the
+    integer-cents sum of that user's events in [ts - 1h, ts] — the
     windowed-aggregate shape Ray Data lacks natively, expressed as a
-    user-hash bucket shuffle + per-bucket vectorized two-pointer scan
-    (cumsum difference over the sorted event stream)."""
+    user-hash bucket shuffle + per-user-segment searchsorted with
+    cumsum differences (SQL RANGE semantics: inclusive lower bound,
+    all current-ts peers included)."""
     win_us = 60 * 60 * 1_000_000
 
     def prep(t: pa.Table) -> pa.Table:
@@ -403,19 +404,23 @@ def q_window_sliding_events(sf_dir: str):
         g = g.sort_values(["user_id", "ts", "event_id"]) \
             .reset_index(drop=True)
         ts = g["ts"].astype("int64").to_numpy()
-        uid = g["user_id"].to_numpy().astype(np.int64)
+        uid = g["user_id"].to_numpy()
         val = g["val_c"].to_numpy()
-        # composite key (user, ts) so ONE searchsorted resolves both
-        # window edges per row without leaving the user's segment:
-        # time offsets fit in 44 bits (>> any per-corpus span), so
-        # user*2^44 strictly dominates
-        base = ts - ts.min()
-        k = uid * (1 << 44) + base
-        # SQL RANGE ... 1h PRECEDING AND CURRENT ROW: lower bound
-        # INCLUSIVE, and CURRENT ROW includes all ts-peers
-        lo = np.searchsorted(k, uid * (1 << 44) + (base - win_us),
-                             side="left")
-        hi = np.searchsorted(k, k, side="right")
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new_user)[0]
+        ends = np.append(starts[1:], n)
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        # per-user-segment edges: overflow-safe for any id/timestamp
+        # range (no composite key); cost is two searchsorted per user
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            # RANGE ... 1h PRECEDING AND CURRENT ROW: lower bound
+            # INCLUSIVE, upper includes all ts-peers
+            lo[s:e] = s + np.searchsorted(seg, seg - win_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
         csum = np.concatenate(([0], np.cumsum(val)))
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
@@ -513,7 +518,7 @@ def q_knn_ivf_index(sf_dir: str):
     with tempfile.TemporaryDirectory() as d:
         K.build_ivf_index(ds, d, n_centroids=16)
         out = K.knn_ivf_query(d, q_vecs, k=10, nprobe=8,
-                              exclude_ids=_KNN_QUERIES)
+                              exclude_self_ids=_KNN_QUERIES)
         got = out.to_pandas()
     # map positional query ids back to vec ids for a stable artifact
     got["query_id"] = got["query_id"].map(
@@ -967,6 +972,12 @@ def q_source_paged_harvest(sf_dir: str):
     payloads = follow_linked_pages(fetch_page, "p0" if pages else None)
     work = pa.table({"doi": pa.array(
         [f"10.99/{d}" for page in payloads for d in page], pa.string())})
+    # from_arrow(table) is ONE block (CLAUDE.md #3): slice so the
+    # per-record fan-out actually parallelizes — one chunk per page
+    # mirrors the reference's page -> per-DOI split
+    n_chunks = max(1, len(payloads))
+    step = -(-work.num_rows // n_chunks)
+    refs = [ray.put(work.slice(i * step, step)) for i in range(n_chunks)]
 
     def jats_fetch(doi):
         d = int(doi.rsplit("/", 1)[1])
@@ -977,8 +988,9 @@ def q_source_paged_harvest(sf_dir: str):
     def json_fallback(doi):
         return {"doc_id": int(doi.rsplit("/", 1)[1]), "fmt": "json"}
 
-    return ray.data.from_arrow(work).map_batches(
-        lambda t: fetch_with_fallback(t, jats_fetch, json_fallback),
+    return ray.data.from_arrow_refs(refs).map_batches(
+        lambda t: fetch_with_fallback(t, jats_fetch, json_fallback,
+                                      fields=("doc_id", "fmt")),
         batch_format="pyarrow")
 
 

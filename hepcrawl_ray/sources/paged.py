@@ -54,12 +54,18 @@ def follow_linked_pages(fetch_page, first: str | None,
 
 
 def fetch_with_fallback(batch: pa.Table, primary_fn, fallback_fn,
-                        key_col: str = "doi") -> pa.Table:
+                        key_col: str = "doi",
+                        fields: tuple[str, ...] | None = None) -> pa.Table:
     """Per-record primary fetch + fallback parse, errors as rows.
 
     ``primary_fn(key) -> dict`` (raises on failure),
     ``fallback_fn(key) -> dict``.  Output rows carry ``used_fallback``
-    and merge the parsed fields of whichever path succeeded."""
+    and merge the parsed fields of whichever path succeeded.
+
+    Pass ``fields`` (the full output field set) whenever the two paths
+    can return DIFFERENT keys or a batch could miss a field entirely —
+    per-batch field inference would otherwise emit blocks with
+    inconsistent schemas across the dataset."""
     keys = batch.column(key_col).to_pylist()
     recs, fb = [], []
     for k in keys:
@@ -69,9 +75,10 @@ def fetch_with_fallback(batch: pa.Table, primary_fn, fallback_fn,
         except Exception:
             recs.append(fallback_fn(k))
             fb.append(True)
-    fields = sorted({f for r in recs for f in r})
+    out_fields = (list(fields) if fields is not None
+                  else sorted({f for r in recs for f in r}))
     cols = {key_col: batch.column(key_col)}
-    for f in fields:
+    for f in out_fields:
         cols[f] = pa.array([r.get(f) for r in recs])
     cols["used_fallback"] = pa.array(fb, pa.bool_())
     return pa.table(cols)

@@ -37,10 +37,17 @@ def test_query_reads_only_probed_buckets_and_recall(index):
     norms[norms == 0] = 1.0
     matn = mat / norms[:, None]
 
+    # searchsorted needs sorted ids; take_all() block order is not
+    # contractually sorted — sort explicitly
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms, matn = norms[order], matn[order]
+    assert (np.diff(ids) > 0).all()
+
     q_idx = [0, 1, 2]
     q_vecs = mat[np.searchsorted(ids, q_idx)]
     out = K.knn_ivf_query(d, q_vecs, k=10, nprobe=4,
-                          exclude_ids=q_idx).to_pandas()
+                          exclude_self_ids=q_idx).to_pandas()
 
     # exact top-10 per query for recall
     qn = q_vecs / np.linalg.norm(q_vecs, axis=1)[:, None]
@@ -54,6 +61,29 @@ def test_query_reads_only_probed_buckets_and_recall(index):
         assert len(got) == 10
         total_recall += len(got & exact) / 10
     assert total_recall / len(q_idx) >= 0.7  # nprobe=4 of 8 buckets
+
+
+def test_nprobe1_results_come_from_single_probed_bucket(index):
+    """With nprobe=1 every returned neighbor must live in the query's
+    single probed bucket — the end-to-end probe restriction."""
+    d, cent, ds = index
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    bucket_of = dict(zip(ids.tolist(),
+                         np.argmax(matn @ cent.T, axis=1).tolist()))
+
+    q_vec = mat[np.searchsorted(ids, [5])]
+    probe = int(np.argmax((q_vec / np.linalg.norm(q_vec)) @ cent.T))
+    out = K.knn_ivf_query(d, q_vec, k=10, nprobe=1,
+                          exclude_self_ids=[5]).to_pandas()
+    assert len(out) > 0
+    assert all(bucket_of[n] == probe for n in out["neighbor_id"])
 
 
 def test_query_empty_probe_set(index, tmp_path):
