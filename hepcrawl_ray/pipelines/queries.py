@@ -327,6 +327,39 @@ def q_fn_range_years(sf_dir: str):
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def q_fn_name_cleanup(sf_dir: str):
+    """Author-name kit with an oracle: collapse_initials +
+    split_fullname over deterministic generated names (reference:
+    hepcrawl/utils.py:172-207).  Three name shapes per doc_id cycle:
+    spaced initials, comma form, plain given-surname."""
+    from hepcrawl_ray.functions import collapse_initials, split_fullname
+
+    letters = "ABCDEFGHIJ"
+
+    def gen_and_clean(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        collapsed, surname, given = [], [], []
+        for d in ids:
+            x, y = letters[d % 10], letters[d // 10 % 10]
+            raw = {
+                0: f"{x}. {y}. Sur{d}",
+                1: f"Sur{d}, {x}. {y}.",
+                2: f"{x}name {y}name Sur{d}",
+            }[d % 3]
+            c = collapse_initials(raw)
+            s, g = split_fullname(c)
+            collapsed.append(c)
+            surname.append(s)
+            given.append(g)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "collapsed": pa.array(collapsed, pa.string()),
+                         "surname": pa.array(surname, pa.string()),
+                         "given_names": pa.array(given, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_clean, batch_format="pyarrow"))
+
+
 def q_fn_date_normalize(sf_dir: str):
     """Multi-format date -> ISO day + counts (analog: dateutils kit,
     reference: hepcrawl/dateutils.py:127-206)."""
@@ -737,6 +770,7 @@ QUERIES = {
     "dedup_crawl_once_events": q_dedup_crawl_once_events,
     "topk_parts": q_topk_parts,
     "fn_range_years": q_fn_range_years,
+    "fn_name_cleanup": q_fn_name_cleanup,
     "fn_date_normalize": q_fn_date_normalize,
     "json_extract_events": q_json_extract_events,
     "window_tumbling_events": q_window_tumbling_events,
@@ -823,6 +857,28 @@ ORACLE_SQL = {
               FROM g GROUP BY o_custkey, grp)
         SELECT o_custkey, string_agg(part, ', ' ORDER BY mn) AS year_ranges
         FROM r GROUP BY o_custkey
+    """,
+    "fn_name_cleanup": """
+        WITH g AS (
+            SELECT doc_id,
+                   substring('ABCDEFGHIJ', doc_id % 10 + 1, 1) AS x,
+                   substring('ABCDEFGHIJ', (doc_id // 10) % 10 + 1, 1) AS y
+            FROM documents)
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN x || '.' || y || '. Sur'
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN 'Sur' || CAST(doc_id AS VARCHAR) || ', '
+                             || x || '.' || y || '.'
+                 ELSE x || 'name ' || y || 'name Sur'
+                      || CAST(doc_id AS VARCHAR)
+               END AS collapsed,
+               'Sur' || CAST(doc_id AS VARCHAR) AS surname,
+               CASE doc_id % 3
+                 WHEN 2 THEN x || 'name ' || y || 'name'
+                 ELSE x || '.' || y || '.'
+               END AS given_names
+        FROM g
     """,
     "fn_date_normalize": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
