@@ -254,6 +254,20 @@ def q_anti_join_inactive_customers(sf_dir: str):
             .map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5))
 
 
+def q_bloom_anti_join_customers(sf_dir: str):
+    """Scale-shaped anti-join (reference analog: list_missing_files /
+    processed-bucket skip): customers with no events, via a broadcast
+    BLOOM prefilter — bloom misses pass without any shuffle; only
+    bloom hits are exactly verified by a keyed bucket gather
+    (ops.antijoin.bloom_anti_join).  Result is exact NOT IN."""
+    from hepcrawl_ray.ops.antijoin import bloom_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    users = _read(sf_dir, "events", ["user_id"])
+    return bloom_anti_join(cust, users, key_col="c_custkey",
+                           done_key_col="user_id")
+
+
 def q_dedup_crawl_once_events(sf_dir: str):
     """Crawl-once/first-seen dedup (analog: crawl-once middleware skip,
     reference: hepcrawl/middlewares.py:134-155): first event per
@@ -767,6 +781,7 @@ QUERIES = {
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "bloom_anti_join_customers": q_bloom_anti_join_customers,
     "dedup_crawl_once_events": q_dedup_crawl_once_events,
     "topk_parts": q_topk_parts,
     "fn_range_years": q_fn_range_years,
@@ -833,6 +848,10 @@ ORACLE_SQL = {
         GROUP BY n_name
     """,
     "anti_join_inactive_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+    """,
+    "bloom_anti_join_customers": """
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
     """,
