@@ -90,3 +90,103 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
         merged.merge(HyperLogLog.from_bytes(row["sketch"]))
     return merged.estimate()
+
+
+# ------------------------------------------------------------ CountMin ----
+
+class CountMinSketch:
+    """Count-Min sketch: d x w counter grid, per-row hashed increments.
+
+    Mergeable (elementwise add); point estimate = min over rows, which
+    can only OVERESTIMATE a true count (collisions add, never
+    subtract) — the frequency-estimation twin of the HLL layer,
+    standard heavy-hitter machinery for a stream too wide to count
+    exactly (Cormode & Muthukrishnan's public construction).
+    """
+
+    _SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+              0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        assert depth <= len(self._SEEDS)
+        self.width = width
+        self.depth = depth
+        self.grid = np.zeros((depth, width), dtype=np.int64)
+
+    def _rows(self, keys: np.ndarray) -> np.ndarray:
+        h = np.empty((self.depth, len(keys)), dtype=np.uint64)
+        k = keys.view(np.uint64) if keys.dtype == np.int64 \
+            else keys.astype(np.uint64)
+        for d in range(self.depth):
+            x = (k ^ np.uint64(self._SEEDS[d])) * np.uint64(0x9E3779B97F4A7C15)
+            x ^= x >> np.uint64(29)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(32)
+            h[d] = x % np.uint64(self.width)
+        return h
+
+    def add_many(self, keys: np.ndarray) -> "CountMinSketch":
+        rows = self._rows(np.asarray(keys))
+        for d in range(self.depth):
+            np.add.at(self.grid[d], rows[d], 1)
+        return self
+
+    def estimate_many(self, keys: np.ndarray) -> np.ndarray:
+        rows = self._rows(np.asarray(keys))
+        ests = np.stack([self.grid[d][rows[d]] for d in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.grid.shape == other.grid.shape
+        self.grid += other.grid
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.grid.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, width: int = 2048,
+                   depth: int = 4) -> "CountMinSketch":
+        s = cls(width, depth)
+        s.grid = np.frombuffer(blob, dtype=np.int64).reshape(
+            depth, width).copy()
+        return s
+
+
+def approx_heavy_hitters(ds, column: str, k: int = 10, *,
+                         width: int = 2048, depth: int = 4,
+                         candidates_per_batch: int = 64):
+    """Approximate top-k of ``column`` by count.
+
+    Mergeable-sketch shape: each batch emits ONE CountMin sketch plus
+    its local top candidates (kilobytes per batch — never a row
+    shuffle); the driver merges sketches, unions candidates, and ranks
+    them by merged estimate.  A true top-k value is always among the
+    candidates if it is a local top in >= 1 batch (guaranteed when a
+    heavy hitter is heavy everywhere; the standard sketch trade).
+    Estimates can only overestimate, never undercount.
+    """
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        keys = t.column(column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cm = CountMinSketch(width, depth).add_many(keys)
+        vals, counts = np.unique(keys, return_counts=True)
+        top = vals[np.argsort(-counts)[:candidates_per_batch]]
+        return pa.table({
+            "sketch": pa.array([cm.to_bytes()], pa.binary()),
+            "cands": pa.array([top.tolist()], pa.list_(pa.int64())),
+        })
+
+    merged = CountMinSketch(width, depth)
+    cands: set[int] = set()
+    for row in ds.map_batches(sketch_batch,
+                              batch_format="pyarrow").take_all():
+        merged.merge(CountMinSketch.from_bytes(row["sketch"], width, depth))
+        cands.update(int(c) for c in row["cands"])
+    cand_arr = np.array(sorted(cands), dtype=np.int64)
+    est = merged.estimate_many(cand_arr)
+    order = np.lexsort((cand_arr, -est))[:k]
+    return pa.table({column: pa.array(cand_arr[order]),
+                     "est_count": pa.array(est[order].astype(np.int64))})

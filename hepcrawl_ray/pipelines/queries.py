@@ -1981,6 +1981,19 @@ def q_approx_distinct_users(sf_dir: str):
 QUERIES["approx_distinct_users"] = q_approx_distinct_users
 
 
+def q_approx_heavy_users(sf_dir: str):
+    """CountMin heavy hitters: top-10 users by event count via one
+    mergeable sketch + local candidates per batch (rows-only:
+    estimates upper-bound true counts; exactness pinned in tests)."""
+    from hepcrawl_ray.ops.sketch import approx_heavy_hitters
+
+    return approx_heavy_hitters(
+        _read(sf_dir, "events", ["user_id"]), "user_id", k=10)
+
+
+QUERIES["approx_heavy_users"] = q_approx_heavy_users
+
+
 def q_dedup_embedding_lsh(sf_dir: str):
     """Sign-random-projection LSH near-dup pairs, cosine-verified
     (rows-only: LSH recall is probabilistic; exact twin is

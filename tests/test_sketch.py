@@ -1,6 +1,7 @@
 """HyperLogLog sketch: accuracy, mergeability, serialization."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from hepcrawl_ray.ops.sketch import HyperLogLog, approx_distinct
@@ -93,3 +94,57 @@ def test_knn_ivf_recall(ray_session):
                                nprobe=8).take_all()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall}"
+
+
+class TestCountMin:
+    def test_overestimate_only_and_exact_when_sparse(self):
+        from hepcrawl_ray.ops.sketch import CountMinSketch
+
+        cm = CountMinSketch(width=1024, depth=4)
+        keys = np.repeat(np.arange(20, dtype=np.int64), np.arange(1, 21))
+        cm.add_many(keys)
+        est = cm.estimate_many(np.arange(20, dtype=np.int64))
+        true = np.arange(1, 21)
+        assert (est >= true).all()          # CountMin never undercounts
+        # sparse load (210 increments into 4x1024): collisions unlikely
+        assert (est == true).sum() >= 18
+
+    def test_merge_equals_single_pass(self):
+        from hepcrawl_ray.ops.sketch import CountMinSketch
+
+        rng = np.random.default_rng(5)
+        keys = rng.integers(0, 100, size=5000).astype(np.int64)
+        whole = CountMinSketch().add_many(keys)
+        a = CountMinSketch().add_many(keys[:2500])
+        b = CountMinSketch().add_many(keys[2500:])
+        a.merge(b)
+        assert np.array_equal(a.grid, whole.grid)
+
+    def test_roundtrip_bytes(self):
+        from hepcrawl_ray.ops.sketch import CountMinSketch
+
+        cm = CountMinSketch().add_many(np.arange(100, dtype=np.int64))
+        back = CountMinSketch.from_bytes(cm.to_bytes())
+        assert np.array_equal(cm.grid, back.grid)
+
+    def test_heavy_hitters_find_true_top(self, ray_session):
+        import ray
+
+        from hepcrawl_ray.ops.sketch import approx_heavy_hitters
+
+        rng = np.random.default_rng(11)
+        # zipf-ish: user u appears ~ (u+1)*(u+2) times for u in 0..49
+        users = np.concatenate([
+            np.full((u + 1) * (u + 2) // 4 + 1, u, dtype=np.int64)
+            for u in range(50)])
+        rng.shuffle(users)
+        ds = ray.data.from_arrow(pa.table({"user_id": users})) \
+            .map_batches(lambda t: t, batch_format="pyarrow",
+                         batch_size=500)
+        out = approx_heavy_hitters(ds, "user_id", k=5)
+        got = out.column("user_id").to_pylist()
+        assert set(got) == {49, 48, 47, 46, 45}   # the true top-5
+        # estimates upper-bound true counts
+        true = {u: (u + 1) * (u + 2) // 4 + 1 for u in range(50)}
+        for u, e in zip(got, out.column("est_count").to_pylist()):
+            assert e >= true[u]
