@@ -285,6 +285,18 @@ def q_dedup_crawl_once_events(sf_dir: str):
             .aggregate(Min("p_min", alias_name="first_event_id")))
 
 
+def q_sample_documents(sf_dir: str):
+    """Deterministic hash-mod sampling (the reproducible train/eval
+    split a data pipeline needs — NOT random_shuffle, which can't be
+    replayed): keep doc_id % 10 in {0, 1} -> a stable 20% sample."""
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 10 <= 1))
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
 def q_topk_parts(sf_dir: str):
     """Deterministic top-k (sort + limit), price in cents."""
     def prep(t: pa.Table) -> pa.Table:
@@ -784,6 +796,7 @@ QUERIES = {
     "bloom_anti_join_customers": q_bloom_anti_join_customers,
     "dedup_crawl_once_events": q_dedup_crawl_once_events,
     "topk_parts": q_topk_parts,
+    "sample_documents": q_sample_documents,
     "fn_range_years": q_fn_range_years,
     "fn_name_cleanup": q_fn_name_cleanup,
     "fn_date_normalize": q_fn_date_normalize,
@@ -858,6 +871,9 @@ ORACLE_SQL = {
     "dedup_crawl_once_events": """
         SELECT user_id, event_type, min(event_id) AS first_event_id
         FROM events GROUP BY user_id, event_type
+    """,
+    "sample_documents": """
+        SELECT doc_id, lang FROM documents WHERE doc_id % 10 <= 1
     """,
     "topk_parts": """
         SELECT p_partkey,
