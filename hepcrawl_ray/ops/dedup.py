@@ -452,6 +452,58 @@ def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
             .map_groups(sum_pairs, batch_format="pandas"))
 
 
+def neardup_components(ds, pairs_ds, *, id_col="doc_id",
+                       pair_a="doc_a", pair_b="doc_b"):
+    """Connected components over a near-dup pair table: every doc gets
+    its component root (min id); docs in no pair are their own root.
+
+    Pairs alone don't deduplicate — transitive chains (A~B, B~C) must
+    collapse to ONE representative.  The pair table is candidate-sized
+    (|near-dup pairs| << |corpus|), so union-find runs on the driver
+    over PAIRS ONLY and the resulting node->root map (nodes touched by
+    pairs only) broadcasts for a vectorized corpus map — the corpus
+    itself never leaves the workers.  If pair volume ever outgrew the
+    driver, the same contract is served by iterative bucketed
+    min-label propagation (O(diameter) keyed shuffles).
+    """
+    import ray
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs_ds.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+        for a, b in zip(batch.column(pair_a).to_pylist(),
+                        batch.column(pair_b).to_pylist()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:                  # min id wins as root
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    comp = {x: find(x) for x in list(parent)}
+    comp_ref = ray.put(comp)
+
+    class MapRoot:
+        def __init__(self):
+            self.comp = ray.get(comp_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_pylist()
+            roots = [self.comp.get(int(i), int(i)) for i in ids]
+            return pa.table({id_col: t.column(id_col),
+                             "root": pa.array(roots, pa.int64())})
+
+    return ds.select_columns([id_col]).map_batches(
+        MapRoot, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5)
+
+
 # ---------------------------------------------------- embedding cosine ----
 
 def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",

@@ -509,6 +509,16 @@ def q_dedup_ngram_jaccard(sf_dir: str):
         k_shingle=3, threshold=0.3, max_shingle_df=256)
 
 
+def q_dedup_components(sf_dir: str):
+    """Near-dup cluster representatives: exact ngram pairs -> union-
+    find -> every doc labeled with its component's min id (the actual
+    dedup decision; transitive chains collapse to one root)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.3,
+                                  max_shingle_df=256)
+    return D.neardup_components(docs, pairs)
+
+
 def q_dedup_minhash_lsh(sf_dir: str):
     """MinHash-LSH near-dup pairs, Jaccard-verified at 0.3 (rows-only:
     LSH recall is probabilistic; the exact-oracle twin is
@@ -805,6 +815,7 @@ QUERIES = {
     "window_sliding_events": q_window_sliding_events,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -961,6 +972,34 @@ ORACLE_SQL = {
         JOIN nsh na ON na.doc_id = doc_a
         JOIN nsh nb ON nb.doc_id = doc_b
         WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.3
+    """,
+    "dedup_components": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''),
+        sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+        nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
+        cnt AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            JOIN keep k ON k.s = x.s
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc_a, doc_b FROM cnt
+            JOIN nsh na ON na.doc_id = doc_a
+            JOIN nsh nb ON nb.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.3),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id)
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS root
+        FROM reach GROUP BY id
     """,
     "dedup_embedding_cosine": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
