@@ -142,6 +142,8 @@ def parse_record(payload: str, record_format: str) -> dict:
         return _parse_json_record(payload)
     if record_format == "xml":
         return _parse_xml_record(payload)
+    if record_format == "marcxml":
+        return _parse_marcxml_record(payload)
     return {**EMPTY_RECORD, "error": f"unknown record_format {record_format!r}"}
 
 
@@ -179,6 +181,23 @@ def _parse_json_record(payload: str) -> dict:
             rec.get("dois", []), rec.get("date"), rec.get("type"))
     except Exception as exc:
         return {**EMPTY_RECORD, "error": f"bad json record: {exc}"}
+
+
+def _parse_marcxml_record(payload: str) -> dict:
+    """MARCXML -> the same golden struct, via the structural MARC
+    parser (hepcrawl_ray.marc) and the shared field builders — the CDS
+    branch of the reference's multi-format convergence
+    (reference: hepcrawl/spiders/cds_spider.py:104-143)."""
+    from hepcrawl_ray.marc import parse_marcxml
+
+    rec = parse_marcxml(payload)
+    if rec["error"]:
+        return {**EMPTY_RECORD, "error": rec["error"]}
+    return _normalize_fields(
+        rec["title"], rec["abstract"],
+        [a["full_name"] for a in rec["authors"]],
+        rec["collaborations"], rec["dois"],
+        rec["date_published"], rec["document_type"])
 
 
 def _parse_xml_record(payload: str) -> dict:

@@ -180,10 +180,13 @@ class TestMultiFormatParsing:
             from_caption = parse_caption(cap)
             from_json = parse_record(synth.render_record_json(g), "json")
             from_xml = parse_record(synth.render_record_xml(g), "xml")
+            from_marc = parse_record(synth.render_record_marcxml(g),
+                                     "marcxml")
             for f in fields:
                 assert from_caption[f] == g[f], ("caption", f)
                 assert from_json[f] == g[f], ("json", f)
                 assert from_xml[f] == g[f], ("xml", f)
+                assert from_marc[f] == g[f], ("marcxml", f)
             n += 1
         assert n > 80
 
@@ -192,6 +195,7 @@ class TestMultiFormatParsing:
 
         assert parse_record("{not json", "json")["error"].startswith("bad json")
         assert parse_record("<broken", "xml")["error"].startswith("bad xml")
+        assert parse_record("<<<", "marcxml")["error"].startswith("bad marcxml")
         assert "unknown record_format" in parse_record("x", "nope")["error"]
 
 
