@@ -69,17 +69,33 @@ def langid(texts) -> list[str]:
 
 
 def fingerprint64(texts) -> np.ndarray:
-    """Rolling polynomial fingerprint of the whole text (mod 2^61-1),
-    returned as int64 — the document-identity hash for exact dedup."""
-    MOD = (1 << 61) - 1
-    BASE = 257
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        h = 0
-        for b in t.encode("utf-8"):
-            h = (h * BASE + b) % MOD
-        out[i] = h
-    return out
+    """Rolling polynomial fingerprint of the whole text, returned as
+    int64 — the document-identity hash for exact dedup.
+
+    Two independent 31-bit Mersenne rolling hashes packed into 62 bits,
+    computed VECTORIZED ACROSS DOCUMENTS: texts left-pad with zero
+    bytes (a zero byte contributes 0 * B^k — padding is free), then one
+    Horner step per byte POSITION updates every document at once.  The
+    per-byte-per-doc Python loop this replaces was ~100x slower; the
+    31-bit moduli keep every intermediate inside uint64."""
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    MOD = np.uint64((1 << 31) - 1)
+    BASES = (np.uint64(257), np.uint64(263))
+    bufs = [t.encode("utf-8") for t in texts]
+    maxlen = max(len(b) for b in bufs)
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(bufs):
+        if b:
+            mat[i, maxlen - len(b):] = np.frombuffer(b, dtype=np.uint8)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    for col in range(maxlen):
+        c = mat[:, col].astype(np.uint64)
+        h1 = (h1 * BASES[0] + c) % MOD
+        h2 = (h2 * BASES[1] + c) % MOD
+    return ((h1 << np.uint64(31)) | h2).view(np.int64)
 
 
 def content_hash64(texts) -> np.ndarray:
