@@ -54,6 +54,40 @@ def token_stats(texts) -> dict[str, np.ndarray]:
             "n_stopwords": n_stop, "has_digits": has_digits}
 
 
+def token_stats_arrow(col) -> dict[str, np.ndarray]:
+    """Vectorized ``token_stats`` over an Arrow string column — every
+    kernel is pyarrow.compute (RE2), which is also what DuckDB runs,
+    so the regex dialect matches the oracle by construction (Python
+    ``re``'s Unicode ``\\s`` is wider than RE2's ASCII ``\\s``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(col)
+    empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(
+        zero_copy_only=False)
+    toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    n_tokens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_tokens[empty] = 0  # trim('') splits to [''] — SQL counts 0
+    no_ws = pc.replace_substring_regex(col, pattern=r"\s", replacement="")
+    chars_no_ws = pc.utf8_length(no_ws).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # per-row stopword counts: flatten the token lists, mark stopword
+    # hits, bincount by parent row
+    flat = pc.utf8_lower(toks.flatten())
+    hit = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False)
+    parents = toks.value_parent_indices().to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parents[hit], minlength=len(col)).astype(np.int64)
+    n_stop[empty] = 0
+    has_digits = pc.match_substring_regex(col, "[0-9]").to_numpy(
+        zero_copy_only=False)
+    return {"n_tokens": n_tokens, "chars_no_ws": chars_no_ws,
+            "n_stopwords": n_stop, "has_digits": has_digits}
+
+
 def langid(texts) -> list[str]:
     """Marker-word language heuristic; 'und' when nothing matches."""
     out = []

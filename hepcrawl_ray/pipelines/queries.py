@@ -602,7 +602,7 @@ def q_knn_ivf_index(sf_dir: str):
 def q_text_token_stats(sf_dir: str):
     """Whitespace token stats (SQL-replicable integer metrics)."""
     def f(t: pa.Table) -> pa.Table:
-        s = T.token_stats(t.column("text").to_pylist())
+        s = T.token_stats_arrow(t.column("text"))
         return pa.table({"doc_id": t.column("doc_id"),
                          "n_tokens": s["n_tokens"],
                          "chars_no_ws": s["chars_no_ws"],
@@ -1503,7 +1503,7 @@ def q_corpus_clean_pipeline(sf_dir: str):
                              "text": pa.array([], pa.string()),
                              "n_tokens": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64())})
-        stats = T.token_stats(t.column("text").to_pylist())
+        stats = T.token_stats_arrow(t.column("text"))
         t = t.append_column("n_tokens", pa.array(stats["n_tokens"]))
         t = t.filter(pc.greater_equal(t.column("n_tokens"), 20))
         h = T.content_hash64(t.column("text").to_pylist())
