@@ -89,16 +89,37 @@ def token_stats_arrow(col) -> dict[str, np.ndarray]:
 
 
 def langid(texts) -> list[str]:
-    """Marker-word language heuristic; 'und' when nothing matches."""
-    out = []
-    for t in texts:
-        toks = set(tok.lower() for tok in tokenize_ws(t))
-        best, best_n = "und", 0
-        for lang, markers in _LANG_MARKERS.items():
-            k = len(toks & markers)
-            if k > best_n:
-                best, best_n = lang, k
-        out.append(best)
+    """Marker-word language heuristic; 'und' when nothing matches.
+    Ties keep the first language in _LANG_MARKERS order (same rule as
+    the original per-row loop)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    if n == 0:
+        return []
+    col = pa.array(list(texts), pa.string())
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(col), pattern=r"\s+")
+    flat = pc.utf8_lower(toks.flatten())
+    parents = toks.value_parent_indices().to_numpy(zero_copy_only=False)
+    langs = list(_LANG_MARKERS)
+    scores = np.zeros((len(langs), n), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        hit = pc.is_in(flat, value_set=pa.array(
+            sorted(_LANG_MARKERS[lang]))).to_numpy(zero_copy_only=False)
+        # DISTINCT marker hits per doc (the original used a token SET):
+        # count each (doc, marker) once via unique pair encoding
+        if hit.any():
+            idx = pc.fill_null(pc.index_in(flat, value_set=pa.array(
+                sorted(_LANG_MARKERS[lang]))), -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pairs = parents[hit].astype(np.int64) * 16 + idx[hit]
+            uniq = np.unique(pairs)
+            scores[li] = np.bincount(uniq // 16, minlength=n)
+    best = np.argmax(scores, axis=0)          # first max wins ties
+    out = [langs[b] if scores[b, i] > 0 else "und"
+           for i, b in enumerate(best)]
     return out
 
 
