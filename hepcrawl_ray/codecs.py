@@ -219,6 +219,9 @@ def decode_luma(data: bytes, fmt: str) -> tuple[np.ndarray, int, int]:
                 idat += body
             elif tag == b"IEND":
                 break
+        if w is None or h is None:
+            raise ValueError("missing IHDR")  # keep the ValueError
+            # contract of the jpeg/unknown-fmt branches on garbled input
         raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
         raw = raw.reshape(h, 1 + w * 3)
         if raw[:, 0].any():  # filtered scanlines: full decode path

@@ -111,9 +111,12 @@ def bloom_anti_join(ds, done_ds, *, key_col: str, done_key_col: str | None = Non
         out = cand.loc[~cand[key_col].astype("int64").isin(done_keys),
                        cand_cols].copy()
         # the union's null padding degrades ints to float64 in pandas
-        # (CLAUDE.md lesson #13) — restore exact integer columns
+        # (CLAUDE.md lesson #13) — restore each column's ORIGINAL dtype
+        # (a blanket int64 would diverge from the untouched
+        # definitely_new branch for int32/int16 inputs at union time)
         for c in int_cols:
-            out[c] = out[c].astype("int64")
+            if not out[c].isna().any():
+                out[c] = out[c].astype(orig_types[c].to_pandas_dtype())
         return out
 
     false_positives = (unioned.groupby("_bucket")

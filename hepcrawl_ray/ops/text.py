@@ -114,9 +114,13 @@ def langid(texts) -> list[str]:
             idx = pc.fill_null(pc.index_in(flat, value_set=pa.array(
                 sorted(_LANG_MARKERS[lang]))), -1).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            pairs = parents[hit].astype(np.int64) * 16 + idx[hit]
+            # pair-encoding multiplier derives from the marker-set size
+            # (a fixed 16 would silently corrupt scores if a language
+            # ever grew past 16 markers)
+            mult = max(len(_LANG_MARKERS[lang]), 1)
+            pairs = parents[hit].astype(np.int64) * mult + idx[hit]
             uniq = np.unique(pairs)
-            scores[li] = np.bincount(uniq // 16, minlength=n)
+            scores[li] = np.bincount(uniq // mult, minlength=n)
     best = np.argmax(scores, axis=0)          # first max wins ties
     out = [langs[b] if scores[b, i] > 0 else "und"
            for i, b in enumerate(best)]
