@@ -2161,6 +2161,120 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# Crossref JSON parsing (SURVEY §2.3 — doc-type map, material
+# classification, page split, authors/ORCID, license, reference dedup)
+# ---------------------------------------------------------------------------
+
+def q_crossref_records(sf_dir: str):
+    """Crossref work-record parse surface (reference:
+    hepcrawl/parsers/crossref.py:60-356): one deterministic Crossref
+    JSON envelope per doc_id, parsed by hepcrawl_ray.crossref, with
+    every output column reconstructable in SQL from doc_id."""
+    from hepcrawl_ray.crossref import parse_crossref
+
+    types = ("journal-article", "proceedings-article", "dissertation",
+             "book-chapter")
+    prefixes = ("Erratum: ", "Addendum: ", "Publisher's Note: ", "", "")
+
+    def gen_and_parse(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("document_type", "material", "doi",
+                                "journal_title", "page_start", "page_end",
+                                "year", "imprint_date", "full_name",
+                                "orcid", "license_url", "n_references")}
+        for d in ids:
+            page = f"e{d}" if d % 3 == 0 else f"{d % 50 + 1}-{d % 50 + 1 + d % 9}"
+            refs = [
+                {"DOI": "10.1/r1", "year": "2001"},
+                {"journal-title": "JT", "volume": "9",
+                 "unstructured": f"raw ref {d % 2}"},
+                {"DOI": "10.1/r1", "year": "2001"} if d % 2 == 0
+                else {"DOI": "10.1/r2", "year": "2002"},
+            ]
+            author = {"family": f"Fam{d}", "given": f"Giv{d}",
+                      "affiliation": [{"name": f"Inst {d % 3}"}]}
+            if d % 2 == 0:
+                author["ORCID"] = f"0000-0003-{d % 10000:04d}-{d * 7 % 10000:04d}"
+            envelope = {"message": {
+                "type": types[d % 4],
+                "title": [f"{prefixes[d % 5]}Study {d}"],
+                "DOI": f"10.99/cr.{d}",
+                "container-title": [f"J.Cross.{d % 7}"],
+                "page": page,
+                "issued": {"date-parts": [[1980 + d % 40, d % 12 + 1]]},
+                "author": [author],
+                "license": [{"URL": f"http://lic.org/{d % 3}"}],
+                "publisher": f"Pub{d % 2}",
+                "reference": refs,
+                "source": "Crossref",
+            }}
+            rec = parse_crossref(json.dumps(envelope))
+            pub = rec["publication_info"]
+            cols["document_type"].append(rec["document_type"])
+            cols["material"].append(rec["material"])
+            cols["doi"].append(rec["dois"][0]["doi"])
+            cols["journal_title"].append(pub["journal_title"])
+            cols["page_start"].append(pub["page_start"])
+            cols["page_end"].append(pub["page_end"])
+            cols["year"].append(pub["year"])
+            cols["imprint_date"].append(rec["imprint_date"])
+            a = rec["authors"][0]
+            cols["full_name"].append(a["full_name"])
+            cols["orcid"].append(a["ids"][0]["value"] if a["ids"] else None)
+            cols["license_url"].append(rec["licenses"][0]["url"])
+            cols["n_references"].append(len(rec["references"]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         **{k: pa.array(v, pa.int64() if k in
+                                        ("year", "n_references")
+                                        else pa.string())
+                            for k, v in cols.items()}})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_parse, batch_format="pyarrow"))
+
+
+QUERIES.update({"crossref_records": q_crossref_records})
+
+ORACLE_SQL.update({
+    "crossref_records": """
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'article'
+                               WHEN 1 THEN 'conference paper'
+                               WHEN 2 THEN 'thesis'
+                               ELSE 'book chapter' END AS document_type,
+               CASE doc_id % 5 WHEN 0 THEN 'erratum'
+                               WHEN 1 THEN 'addendum'
+                               WHEN 2 THEN 'editorial note'
+                               ELSE 'publication' END AS material,
+               '10.99/cr.' || CAST(doc_id AS VARCHAR) AS doi,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE 'J.Cross.' || CAST(doc_id % 7 AS VARCHAR)
+               END AS journal_title,
+               CASE WHEN doc_id % 3 = 0 THEN 'e' || CAST(doc_id AS VARCHAR)
+                    ELSE CAST(doc_id % 50 + 1 AS VARCHAR)
+               END AS page_start,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE CAST(doc_id % 50 + 1 + doc_id % 9 AS VARCHAR)
+               END AS page_end,
+               1980 + doc_id % 40 AS year,
+               CAST(1980 + doc_id % 40 AS VARCHAR) || '-'
+                   || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                   AS imprint_date,
+               'Fam' || CAST(doc_id AS VARCHAR) || ', Giv'
+                   || CAST(doc_id AS VARCHAR) AS full_name,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '0000-0003-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                    ELSE NULL END AS orcid,
+               'http://lic.org/' || CAST(doc_id % 3 AS VARCHAR) AS license_url,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END AS BIGINT)
+                   AS n_references
+        FROM documents
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
