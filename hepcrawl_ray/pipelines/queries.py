@@ -166,36 +166,23 @@ def q_join_revenue_by_nation(sf_dir: str):
     row-local lookups, reference: hepcrawl/tohep.py:38-67,
     utils.py:210-217).
 
-    Scale shape: ONLY dimension-sized state (customer -> nation name)
-    is broadcast; lineitem joins orders on orderkey via Ray's
-    distributed hash join, after a per-batch partial aggregation that
-    collapses lineitem to one row per orderkey — ~4x fewer rows and
-    just 3 narrow columns through the shuffle.  No fact table ever
-    lands on the driver."""
+    Scale shape: ONLY truly dimension-sized state (nation, 25 rows) is
+    broadcast.  lineitem joins orders on orderkey via Ray's distributed
+    hash join, after a per-batch partial aggregation that collapses
+    lineitem to one row per orderkey — ~4x fewer rows and just 3 narrow
+    columns through the shuffle.  (Density precondition per CLAUDE.md
+    lesson 11: every join partition sees LEFT rows because the lineitem
+    partials are dense over orderkeys; an upstream filter that sparsens
+    the left side should switch this to the bucket-gather below.)  The
+    custkey -> nation resolution is the house union + bucket-groupby
+    pandas-merge gather, so the customer table — fact-scale in this
+    schema — never lands on the driver and is never broadcast."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nat_of_cust = pd.Series(
-        cust["c_nationkey"].map(
-            dict(zip(nation["n_nationkey"], nation["n_name"]))).to_numpy(),
-        index=cust["c_custkey"].to_numpy())
-    lookup_ref = ray.put(nat_of_cust)
-
-    class TagOrders:
-        """orders -> (o_orderkey, n_name) via the broadcast dimension map."""
-
-        def __init__(self):
-            self.nat = ray.get(lookup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = pd.Series(t.column("o_custkey").to_numpy()).map(self.nat)
-            return pa.table({"o_orderkey": t.column("o_orderkey"),
-                             "n_name": pa.array(names.to_numpy(), pa.string())})
-
-    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-              .map_batches(TagOrders, batch_format="pyarrow",
-                           concurrency=(1, 2), num_cpus=0.5))
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"].to_numpy(),
+                                  nation["n_name"].to_list())))
+    n_buckets = 32
 
     def li_partial(t: pa.Table) -> pa.Table:
         rev_c = _cents(t.column("l_extendedprice").to_numpy()
@@ -211,21 +198,73 @@ def q_join_revenue_by_nation(sf_dir: str):
                                      "l_discount"])
           .map_batches(li_partial, batch_format="pyarrow"))
 
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = li.join(orders, join_type="inner", num_partitions=4,
                      on=("l_orderkey",), right_on=("o_orderkey",),
                      aggregator_ray_remote_args={"num_cpus": 0.5})
 
-    def to_nation(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"n_name": pa.array([], pa.string()),
-                             "p_rev": pa.array([], pa.int64()),
-                             "p_n": pa.array([], pa.int64())})
-        g = t.group_by("n_name").aggregate([("p_rev", "sum"), ("p_n", "sum")])
-        return g.rename_columns(["n_name", "p_rev", "p_n"])
+    def fact_partial(t: pa.Table) -> pa.Table:
+        """join output -> one row per custkey per batch, union schema."""
+        g = (pa.table({"custkey": t.column("o_custkey"),
+                       "p_rev": t.column("p_rev"),
+                       "p_n": t.column("p_n")})
+             .group_by("custkey").aggregate([("p_rev", "sum"),
+                                             ("p_n", "sum")])
+             .rename_columns(["custkey", "p_rev", "p_n"]))
+        k = g.column("custkey").to_numpy(zero_copy_only=False)
+        return g.append_column("n_name", pa.nulls(g.num_rows, pa.string())) \
+                .append_column("_side", pa.array(np.zeros(g.num_rows, np.int8))) \
+                .append_column("_bucket", pa.array(
+                    (k % n_buckets).astype(np.int64)))
+
+    class CustSide:
+        """customer -> (custkey, n_name) rows, nation resolved via the
+        broadcast 25-row dict; payload columns null-padded to the
+        union schema."""
+
+        def __init__(self):
+            self.nations = ray.get(nation_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+            names = pd.Series(t.column("c_nationkey").to_numpy()) \
+                .map(self.nations)
+            return pa.table({
+                "custkey": t.column("c_custkey"),
+                "p_rev": pa.nulls(t.num_rows, pa.int64()),
+                "p_n": pa.nulls(t.num_rows, pa.int64()),
+                "n_name": pa.array(names.to_numpy(), pa.string()),
+                "_side": pa.array(np.ones(t.num_rows, np.int8)),
+                "_bucket": pa.array((k % n_buckets).astype(np.int64)),
+            })
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(CustSide, batch_format="pyarrow",
+                         concurrency=(1, 2), num_cpus=0.5))
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        fact = g[g["_side"] == 0]
+        if fact.empty:
+            return pd.DataFrame({"n_name": pd.Series([], dtype=str),
+                                 "p_rev": pd.Series([], dtype="int64"),
+                                 "p_n": pd.Series([], dtype="int64")})
+        dim = g.loc[g["_side"] == 1, ["custkey", "n_name"]].copy()
+        # union null-padding degrades int64 -> float64 (lesson 13)
+        dim["custkey"] = dim["custkey"].astype("int64")
+        m = (fact[["custkey", "p_rev", "p_n"]]
+             .assign(custkey=lambda d: d["custkey"].astype("int64"),
+                     p_rev=lambda d: d["p_rev"].astype("int64"),
+                     p_n=lambda d: d["p_n"].astype("int64"))
+             .merge(dim, on="custkey", how="inner"))
+        return (m.groupby("n_name", as_index=False)[["p_rev", "p_n"]]
+                .sum())
 
     from ray.data.aggregate import Sum
 
-    return (joined.map_batches(to_nation, batch_format="pyarrow")
+    return (joined.map_batches(fact_partial, batch_format="pyarrow")
+            .union(cust)
+            .groupby("_bucket")
+            .map_groups(gather, batch_format="pandas")
             .groupby("n_name")
             .aggregate(Sum("p_rev", alias_name="revenue_cents"),
                        Sum("p_n", alias_name="n_lineitems")))
