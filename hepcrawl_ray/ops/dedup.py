@@ -29,7 +29,7 @@ from hepcrawl_ray.ops import text as T
 
 
 def attach_pair_values(pairs, src, *, key_a, key_b, src_key, val_col,
-                       num_buckets=64):
+                       num_buckets=64, distinct=False):
     """Attach ``src[val_col]`` for both members of a candidate-pair
     table (output columns ``{val_col}_a`` / ``{val_col}_b``).
 
@@ -47,7 +47,14 @@ def attach_pair_values(pairs, src, *, key_a, key_b, src_key, val_col,
     Shuffle 1 keys by doc id (gather each member's value); shuffle 2
     keys by pair (zip the two members back together).  Skew is capped
     by ``num_buckets`` pandas-side groups, exactly like the LSH
-    candidate stages."""
+    candidate stages.
+
+    ``distinct=True`` also deduplicates the pair table en route, FREE
+    of an extra shuffle: duplicate pairs explode to byte-identical
+    member rows that always land in the same doc bucket, so a
+    ``drop_duplicates`` inside the gather group is globally exact.
+    Callers that previously ran a dedicated distinct-pairs groupby
+    can drop that whole stage."""
     ss = src.schema(fetch_if_missing=True)
     val_type = dict(zip(ss.names, ss.types))[val_col]
 
@@ -88,6 +95,8 @@ def attach_pair_values(pairs, src, *, key_a, key_b, src_key, val_col,
                               "pair_bucket": pd.Series([], dtype="int64")})
         srcs = g.loc[g["member"] == -1, ["doc", "val"]].copy()
         mem = g.loc[g["member"] >= 0, ["doc", "pa_", "pb_", "member"]].copy()
+        if distinct and len(mem):
+            mem = mem.drop_duplicates()
         if not len(mem) or not len(srcs):
             return empty
         # exact integer merge keys (float64 equality breaks above 2^53)
@@ -162,30 +171,25 @@ class MinHashStage:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        from hashlib import blake2b
-
-        out_id, out_band, out_val = [], [], []
-        for i, t in zip(ids, texts):
-            sh = T.shingles(t, self.k)
-            if not sh:
-                # shingle-less doc: no band rows (would otherwise
-                # sentinel-collide with every other short doc; the
-                # exact twin emits no pairs for these either)
-                continue
-            sig = T.minhash_signature(t, self.a, self.b, self.k, sh=sh)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                # band value: stable 64-bit digest of the band's slots
-                val = int.from_bytes(
-                    blake2b(np.ascontiguousarray(chunk).tobytes(),
-                            digest_size=8).digest(), "little")
-                out_id.append(i)
-                out_band.append(b)
-                out_val.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pa.table({"doc_id": out_id, "band": out_band,
-                         "band_val": out_val})
+        """Fully batch-vectorized: shingle-less docs emit no band rows
+        (would otherwise sentinel-collide with every other short doc;
+        the exact twin emits no pairs for them either)."""
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_numpy(zero_copy_only=False)
+        doc_idx, sig = T.minhash_batch(texts, self.a, self.b, self.k)
+        if not len(doc_idx):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int64()),
+                             "band_val": pa.array([], pa.int64())})
+        vals = T.band_digests(sig, self.bands)            # (n, bands)
+        n = len(doc_idx)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(
+                ids[doc_idx].astype(np.int64), self.bands)),
+            "band": pa.array(np.tile(
+                np.arange(self.bands, dtype=np.int64), n)),
+            "band_val": pa.array(vals.reshape(-1)),
+        })
 
 
 def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
@@ -215,37 +219,32 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs within one hash bucket of (band, band_val)
         groups — pandas self-merge, with a per-group size cap
-        (hot-key guard).  Pairs are re-bucketed BY PAIR for the
-        cross-band distinct (a Ray grouped aggregate over pair keys is
-        the high-cardinality slow path, CLAUDE.md lesson #1)."""
+        (hot-key guard).  Dedup here is bucket-local only; the global
+        cross-band distinct rides the gather shuffle downstream
+        (attach_pair_values(distinct=True))."""
         sizes = g.groupby(["band", "band_val"])["doc_id"].transform("size")
         g = g[(sizes >= 2) & (sizes <= max_bucket)]
         if not len(g):
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "pair_bucket": pd.Series([], dtype="int64")})
+                                 "doc_b": pd.Series([], dtype="int64")})
         m = g.merge(g, on=["band", "band_val"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
         out.columns = ["doc_a", "doc_b"]
-        out["pair_bucket"] = ((out["doc_a"] * 1_000_003 + out["doc_b"])
-                              % 64).astype("int64")
         return out
 
-    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["doc_a", "doc_b"]].drop_duplicates()
-
-    distinct = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
-                .groupby("bucket")
-                .map_groups(bucket_pairs, batch_format="pandas")
-                .groupby("pair_bucket")
-                .map_groups(distinct_pairs, batch_format="pandas"))
+    candidates = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(bucket_pairs, batch_format="pandas"))
 
     # keyed join back to the documents dataset — texts move only for
-    # candidate pairs; exact Jaccard is then row-local
+    # candidate pairs; exact Jaccard is then row-local.  Cross-band
+    # duplicate candidates are deduped INSIDE the gather (distinct=True)
+    # — no dedicated distinct-pairs shuffle.
     withtexts = attach_pair_values(
-        distinct, ds.select_columns([id_col, text_col]),
-        key_a="doc_a", key_b="doc_b", src_key=id_col, val_col=text_col)
+        candidates, ds.select_columns([id_col, text_col]),
+        key_a="doc_a", key_b="doc_b", src_key=id_col, val_col=text_col,
+        distinct=True)
     ta, tb = f"{text_col}_a", f"{text_col}_b"
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:

@@ -188,25 +188,145 @@ _MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
 def minhash_params(num_perm: int = 64, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift family: odd 64-bit multipliers + additive offsets,
+    evaluated with WRAPPING uint64 arithmetic (no modulo — the mod-p
+    variant cost ~10x in the batch kernel's hot loop)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_MERSENNE31), size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, int(_MERSENNE31), size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) \
+        * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
                       k: int = 3, sh: list[str] | None = None) -> np.ndarray:
-    """MinHash signature (uint64[num_perm]) over k-token shingles.
-    Pass ``sh`` when the caller already computed the shingles (the
-    tokenize+join is the dominant per-doc cost — don't do it twice)."""
+    """Per-document MinHash signature (uint64[num_perm]) over k-token
+    shingles — the readable REFERENCE for :func:`minhash_batch` (the
+    batch kernel must agree exactly; tests pin it).  Shingle hashes
+    derive from per-token siphash so the batch path can compute them
+    without materializing shingle strings."""
     if sh is None:
         sh = shingles(text, k)
     if not sh:
-        return np.full(len(a), _MERSENNE31)
-    hv = np.array([_hash_str_u64(s) >> 33 for s in sh], dtype=np.uint64)
-    # (a*h + b) mod p with h, a < 2^31 -> product < 2^62, no overflow
-    prod = (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE31
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    toks = tokenize_ws(text)
+    th = _token_hash_u64(toks)
+    hv = _combine_shingle_hashes(th, k)
+    prod = hv[:, None] * a[None, :] + b[None, :]      # wrapping uint64
     return prod.min(axis=0)
+
+
+def _token_hash_u64(tokens) -> np.ndarray:
+    """Deterministic u64 per token, hashed in C (pandas siphash over
+    the whole array — no per-string Python hashing)."""
+    import pandas as pd
+
+    if not len(tokens):
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object))
+
+
+_MIX_MUL1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_MUL2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (wrapping uint64 arithmetic)."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= _MIX_MUL1
+    x ^= x >> np.uint64(27)
+    x *= _MIX_MUL2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _combine_shingle_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """Token-hash array -> 31-bit shingle hash per window of k
+    consecutive tokens (len(th) - k + 1 windows; caller guarantees
+    len(th) >= k).  Works on a FLAT cross-document array: windows that
+    straddle a document boundary are computed too and must be masked
+    out by the caller."""
+    acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = _mix64(acc ^ th[j:len(th) - k + 1 + j])
+    return acc >> np.uint64(33)
+
+
+def minhash_batch(texts, a: np.ndarray, b: np.ndarray, k: int = 3):
+    """MinHash signatures for a WHOLE BATCH with no per-document
+    Python: Arrow splits tokens, pandas siphash hashes every token in
+    one C call, shingle hashes are a k-step vectorized mix over the
+    flat cross-document token-hash array, and the (a*h+b) min-reduce
+    runs ``np.minimum.reduceat`` per permutation chunk.
+
+    Returns ``(doc_idx, sig)``: int64 indices of the documents that
+    HAVE shingles (>= k tokens — shingle-less docs are dropped, same
+    contract as :func:`shingles`), and their uint64 signature matrix
+    ``(len(doc_idx), num_perm)``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros((0, len(a)), np.uint64)
+    col = pc.utf8_trim_whitespace(pa.array(list(texts), pa.string()))
+    toks = pc.split_pattern_regex(col, pattern=r"\s+")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # flat-layout offsets come from the RAW split counts; a
+    # trimmed-empty text splits to [''] (one flat slot) but tokenizes
+    # to no tokens, so its EFFECTIVE count is zero
+    eff = counts.copy()
+    empty = pc.equal(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
+    eff[empty] = 0
+    flat = toks.flatten()
+    th = _token_hash_u64(flat.to_numpy(zero_copy_only=False))
+    if len(th) < k:
+        return np.zeros(0, np.int64), np.zeros((0, len(a)), np.uint64)
+    sh = _combine_shingle_hashes(th, k)          # flat, incl. straddles
+    # valid shingle windows live entirely inside one document
+    tok_start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    n_sh = np.maximum(eff - k + 1, 0)
+    has = n_sh > 0
+    doc_idx = np.nonzero(has)[0].astype(np.int64)
+    if not len(doc_idx):
+        return doc_idx, np.zeros((0, len(a)), np.uint64)
+    # gather the valid windows: for doc d they are the n_sh[d] flat
+    # positions starting at tok_start[d]
+    starts = tok_start[has]
+    lens = n_sh[has]
+    out_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = (np.arange(int(lens.sum()), dtype=np.int64)
+           - np.repeat(out_starts, lens) + np.repeat(starts, lens))
+    shv = sh[pos]
+    num_perm = len(a)
+    sig = np.empty((len(doc_idx), num_perm), dtype=np.uint64)
+    # chunk permutations to bound the (perm x n_shingles) intermediate;
+    # PERM-MAJOR orientation: the shingle-major broadcast costs ~7x
+    # (strided writes), and reduceat over axis=1 of a C-contiguous
+    # block is another ~5x over axis=0
+    for c0 in range(0, num_perm, 16):
+        c1 = min(c0 + 16, num_perm)
+        prod = a[c0:c1, None] * shv[None, :] + b[c0:c1, None]  # wrapping
+        sig[:, c0:c1] = np.minimum.reduceat(prod, out_starts, axis=1).T
+    return doc_idx, sig
+
+
+def band_digests(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signature matrix -> (n, bands) int64 digests, one
+    mixing chain per band (equality-only use; vectorized across the
+    batch — replaces a per-(doc, band) blake2b)."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    for bi in range(bands):
+        v = np.full(n, np.uint64(bi + 1), dtype=np.uint64)
+        for j in range(r):
+            v = _mix64(v ^ sig[:, bi * r + j])
+        out[:, bi] = v
+    return out.view(np.int64)
 
 
 _BIT_IDX = np.arange(64, dtype=np.uint64)

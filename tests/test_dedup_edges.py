@@ -63,3 +63,28 @@ def test_minhash_subset_of_ngram(ray_session):
     lsh = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(
         _docs(), num_perm=32, bands=8, threshold=0.3).take_all()}
     assert lsh <= exact
+
+
+def test_minhash_batch_matches_reference():
+    """The batch kernel must agree signature-for-signature with the
+    per-document reference implementation."""
+    import numpy as np
+
+    a, b = T.minhash_params(32)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",                      # shingle-less (empty)
+        "one two",               # shingle-less (< k tokens)
+        "alpha beta gamma",      # exactly k tokens -> 1 shingle
+        "  padded   tokens \t with   odd whitespace  runs here ",
+        "the quick brown fox jumps over the lazy dog",  # duplicate
+    ]
+    doc_idx, sig = T.minhash_batch(texts, a, b, k=3)
+    assert doc_idx.tolist() == [0, 3, 4, 5]
+    for row, d in enumerate(doc_idx):
+        ref = T.minhash_signature(texts[d], a, b, k=3)
+        assert np.array_equal(sig[row], ref), f"doc {d} diverged"
+    # identical texts -> identical signatures and band digests
+    bd = T.band_digests(sig, bands=8)
+    assert np.array_equal(sig[0], sig[3])          # rows 0 and 3 = docs 0, 5
+    assert np.array_equal(bd[0], bd[3])
