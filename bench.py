@@ -60,11 +60,19 @@ def build_bench_corpus():
     img_path = os.path.join(BENCH_CACHE, f"images_{BENCH_IMAGES}.parquet")
     seed_path = os.path.join(
         BENCH_CACHE, f"seeds_{BENCH_IMAGES}x{BENCH_SEED_MULT}")
+    # row groups sized so the keyed fetch stage reads a bounded slice
+    # per lookup (the 100-TB path: actors hold O(row group), not the
+    # corpus); stale single-row-group caches are rewritten
+    rg_size = max(256, BENCH_IMAGES // 64)
+    if os.path.exists(img_path) and \
+            pq.ParquetFile(img_path).metadata.num_row_groups == 1 and \
+            BENCH_IMAGES > rg_size:
+        os.remove(img_path)
     if not os.path.exists(img_path):
         from hepcrawl_ray import synth
 
         images, _ = synth.generate_corpus(BENCH_IMAGES, size_range=(48, 96))
-        pq.write_table(images, img_path)
+        pq.write_table(images, img_path, row_group_size=rg_size)
     images = pq.read_table(img_path)
     if not os.path.exists(seed_path):
         import numpy as np
@@ -117,7 +125,7 @@ def build_bench_corpus():
         "min_delay_ms": [0] * 32,
         "robots_disallow": [["/private/"]] * 32,
     })
-    return images, seed_path, politeness
+    return images, img_path, seed_path, politeness
 
 
 def run_crawl_bench(num_partitions: int = 16):
@@ -126,10 +134,13 @@ def run_crawl_bench(num_partitions: int = 16):
     experiment varies only compute."""
     from hepcrawl_ray.pipelines import crawl as cp
 
-    images, seed_path, politeness = build_bench_corpus()
+    images, img_path, seed_path, politeness = build_bench_corpus()
     t0 = time.time()
+    # pass the PATH, not the table: fetch actors do keyed row-group
+    # lookups (stages.KeyedFetchStage) instead of each holding the
+    # whole corpus — the only shape that survives 100 TB
     out = cp.run_crawl(
-        images, seed_path, politeness,
+        img_path, seed_path, politeness,
         num_partitions=num_partitions,
         salted_hosts={"host00.bench.org": max(2, num_partitions // 2)},
         fetch_concurrency=max(2, NUM_CPUS // 2),

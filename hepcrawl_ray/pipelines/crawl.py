@@ -132,10 +132,17 @@ def fetch_and_parse(admissions_ds, images, *, fetch_concurrency=4,
 
     ``num_blocks``: admissions arrive as one block per frontier
     partition; re-split so the fetch/parse actor pools can reach their
-    full concurrency (blocks gate task parallelism)."""
+    full concurrency (blocks gate task parallelism).
+
+    ``images`` may be a pyarrow Table (small corpus — broadcast to
+    every fetch actor) or a parquet path/dir (STORED corpus — actors
+    do keyed row-group lookups and hold O(batch) rows, see
+    stages.KeyedFetchStage; this is the only shape that survives a
+    corpus that doesn't fit one worker's heap)."""
     import ray
 
-    images_ref = ray.put(images)
+    images_ref = images if isinstance(images, (str, list, tuple)) \
+        else ray.put(images)
     if num_blocks:
         admissions_ds = admissions_ds.repartition(num_blocks)
     if fuse:
@@ -160,9 +167,13 @@ def fetch_and_parse(admissions_ds, images, *, fetch_concurrency=4,
             concurrency=n_actors, num_cpus=0.5,
             max_restarts=0)  # ctor args hold an ObjectRef; Ray Data
                              # retries tasks itself (ray#53727 warning)
+    from hepcrawl_ray.stages import KeyedFetchStage
+
+    fetch_cls = KeyedFetchStage if isinstance(images_ref, (str, list, tuple)) \
+        else FetchStage
     return (
         admissions_ds
-        .map_batches(FetchStage, fn_constructor_args=(images_ref,),
+        .map_batches(fetch_cls, fn_constructor_args=(images_ref,),
                      batch_format="pyarrow", batch_size=batch_size,
                      concurrency=(1, fetch_concurrency), num_cpus=0.5)
         .map_batches(ParseStage, fn_constructor_args=(verify_pixels, drop_bytes),

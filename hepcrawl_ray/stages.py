@@ -36,8 +36,38 @@ RECORD_FIELDS = ("title", "abstract", "authors", "collaborations", "dois",
                  "date_published", "document_type")
 
 
+PAYLOAD_COLS = ("bytes", "w", "h", "fmt", "caption", "phash")
+
+
+def _fetch_output(batch: pa.Table, image_ids, found: np.ndarray,
+                  taken: pa.Table) -> pa.Table:
+    """Assemble the fetch-stage output: batch + payload columns
+    (null where not found) + error ROWS for missing keys (reference:
+    error ParsedItem, hepcrawl/utils.py:492-502) — never exceptions."""
+    null_mask = pa.array(~found)
+    n = len(image_ids)
+
+    def col(name):
+        c = taken.column(name)
+        if found.all():
+            return c
+        return pa.compute.if_else(null_mask, pa.nulls(n, c.type), c)
+
+    out = batch.append_column("image_id", pa.array(image_ids))
+    for name in PAYLOAD_COLS:
+        out = out.append_column(name, col(name))
+    error = pa.array([None if ok else FETCH_ERROR_NOT_FOUND for ok in found],
+                     type=pa.string())
+    return out.append_column("fetch_error", error)
+
+
 class FetchStage:
-    """Resolve admitted URLs to corpus rows via a broadcast index."""
+    """Resolve admitted URLs to corpus rows via a broadcast index.
+
+    SMALL-CORPUS path only (dimension-sized image tables, tests, the
+    sf0.001 flagship): every actor holds the whole table.  The scale
+    path is :class:`KeyedFetchStage` — pass a corpus PATH instead of a
+    table/ref anywhere a pipeline accepts ``images``."""
 
     def __init__(self, images_ref):
         import ray
@@ -55,20 +85,101 @@ class FetchStage:
         found = rows >= 0
         # gather found rows from the corpus in one take()
         taken = self.images.take(pa.array(np.where(found, rows, 0)))
-        null_mask = pa.array(~found)
+        return _fetch_output(batch, image_ids, found, taken)
 
-        def col(name):
-            c = taken.column(name)
-            if found.all():
-                return c
-            return pa.compute.if_else(null_mask, pa.nulls(len(urls), c.type), c)
 
-        out = batch.append_column("image_id", pa.array(image_ids))
-        for name in ("bytes", "w", "h", "fmt", "caption", "phash"):
-            out = out.append_column(name, col(name))
-        error = pa.array([None if ok else FETCH_ERROR_NOT_FOUND for ok in found],
-                         type=pa.string())
-        return out.append_column("fetch_error", error)
+class KeyedFetchStage:
+    """Batched keyed lookup against the STORED corpus — the 100-TB
+    fetch shape.  Actors hold O(manifest + a few row groups), never
+    the corpus:
+
+    - ``__init__`` reads ONLY parquet row-group statistics (min/max
+      image_id per row group — a few bytes per GB of corpus) into a
+      range manifest.
+    - ``__call__`` maps the batch's keys onto candidate row groups via
+      searchsorted over the sorted key list, reads JUST those row
+      groups (one IO per group, LRU-cached across consecutive batches
+      — admission order is roughly key-clustered per frontier
+      partition), and gathers rows with one vectorized ``index_in``.
+
+    At real scale the same stage shape does Lance ``take`` / object-
+    store range reads; the row-group manifest generalizes to any
+    key-range-indexed layout.  ``max_resident_rows`` records the high
+    water mark of corpus rows held, so tests can assert O(batch)."""
+
+    def __init__(self, corpus_path, cache_rowgroups: int = 8):
+        import glob
+        import os
+        from collections import OrderedDict
+
+        import pyarrow.parquet as pq
+
+        if isinstance(corpus_path, (list, tuple)):
+            paths = list(corpus_path)
+        elif os.path.isdir(corpus_path):
+            paths = sorted(glob.glob(os.path.join(corpus_path, "*.parquet")))
+        else:
+            paths = [corpus_path]
+        self.files = []
+        mins, maxs, locs = [], [], []
+        for path in paths:
+            f = pq.ParquetFile(path)
+            ki = f.schema_arrow.get_field_index("image_id")
+            for rg in range(f.metadata.num_row_groups):
+                st = f.metadata.row_group(rg).column(ki).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"corpus {path} row group {rg} lacks image_id "
+                        "min/max statistics — rewrite with stats enabled")
+                mins.append(st.min)
+                maxs.append(st.max)
+                locs.append((len(self.files), rg))
+            self.files.append(f)
+        self.rg_min = np.array(mins, dtype=object)
+        self.rg_max = np.array(maxs, dtype=object)
+        self.rg_loc = locs
+        self.cache: "OrderedDict[tuple, pa.Table]" = OrderedDict()
+        self.cache_rowgroups = cache_rowgroups
+        self.max_resident_rows = 0
+
+    def _rowgroup(self, j: int) -> pa.Table:
+        key = self.rg_loc[j]
+        t = self.cache.pop(key, None)
+        if t is None:
+            fi, rg = key
+            t = self.files[fi].read_row_group(rg)
+        self.cache[key] = t                      # move to MRU
+        while len(self.cache) > self.cache_rowgroups:
+            self.cache.popitem(last=False)
+        return t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        image_ids = [urlkit.image_id_of(u) for u in urls]
+        su = np.unique(np.asarray(image_ids, dtype=object))
+        # row group j is a candidate iff some requested key falls in
+        # [min_j, max_j] — two searchsorteds per group over the sorted
+        # request keys (manifest loop is O(#row groups), fine up to
+        # ~10^5 groups; a sorted-manifest searchsorted is the next gear)
+        need = [j for j in range(len(self.rg_loc))
+                if np.searchsorted(su, self.rg_max[j], "right")
+                > np.searchsorted(su, self.rg_min[j], "left")]
+        n = len(image_ids)
+        if not need:
+            sch = self.files[0].schema_arrow
+            taken = pa.table({f.name: pa.nulls(n, f.type) for f in sch})
+            return _fetch_output(batch, image_ids, np.zeros(n, bool), taken)
+        corpus = pa.concat_tables([self._rowgroup(j) for j in need])
+        resident = corpus.num_rows + sum(
+            t.num_rows for k, t in self.cache.items()
+            if k not in {self.rg_loc[j] for j in need})
+        self.max_resident_rows = max(self.max_resident_rows, resident)
+        idx = pa.compute.index_in(
+            pa.array(image_ids, pa.string()),
+            value_set=corpus.column("image_id").combine_chunks())
+        found = pa.compute.is_valid(idx).to_numpy(zero_copy_only=False)
+        taken = corpus.take(pa.compute.fill_null(idx, 0))
+        return _fetch_output(batch, image_ids, found, taken)
 
 
 class FetchParseStage:
@@ -83,7 +194,11 @@ class FetchParseStage:
 
     def __init__(self, images_ref, verify_pixels: bool = True,
                  drop_bytes: bool = False):
-        self.fetch = FetchStage(images_ref)
+        # a str/list ref is a STORED corpus -> keyed lookup (scale
+        # path); a table/ObjectRef is the small-corpus broadcast
+        self.fetch = (KeyedFetchStage(images_ref)
+                      if isinstance(images_ref, (str, list, tuple))
+                      else FetchStage(images_ref))
         self.parse = ParseStage(verify_pixels=verify_pixels,
                                 drop_bytes=drop_bytes)
 
