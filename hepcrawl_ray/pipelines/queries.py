@@ -2314,6 +2314,137 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# Elsevier full-text XML parsing (SURVEY §2.3 — docsubtype/copyright
+# maps, RDF metadata extraction, harvest predicate over parsed fields)
+# ---------------------------------------------------------------------------
+
+def q_xml_elsevier_extract(sf_dir: str):
+    """Elsevier parser surface (reference:
+    hepcrawl/parsers/elsevier.py:92-696): one deterministic Elsevier
+    record per doc_id exercising the docsubtype-abbreviation map, the
+    copyright-type map (text-holder vs mapped-holder branches),
+    Section-stripped journal titles, conference detection via
+    issueName, the three coverDisplayDate shapes (full / month-range /
+    year-only), and the harvest predicate.  Generated AND parsed
+    inside map_batches — no driver step."""
+    from hepcrawl_ray.elsevier import parse_elsevier
+
+    abbrevs = ("fla", "err", "adv", "sco", "rev", "edi", "add", "cnf")
+    ctypes = ("crown", "free-of-copyright", "full-transfer", "joint",
+              "limited-transfer", "other", "society", "us-gov")
+    sections = ("A", "B", "C")
+
+    def gen_and_parse(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        cols = {k: [] for k in (
+            "article_type", "material", "document_type", "journal_title",
+            "journal_volume", "artid", "page_start", "year", "doi",
+            "copyright_holder", "harvest", "n_authors", "n_refs")}
+        for d in ids:
+            y = 2010 + d % 20
+            cover = (f"15 March {y}", f"July-September {y}",
+                     f"{y}")[d % 3]
+            artid = "" if d % 5 == 0 else f"<aid>a{d}</aid>"
+            pages = ("" if d % 7 == 0 else
+                     f"<startingPage>{d % 90 + 1}</startingPage>"
+                     f"<endingPage>{d % 90 + 8}</endingPage>")
+            issue = ("Proceedings 2020" if d % 4 == 0 else "Regular issue")
+            chold = f"© Text {d}" if d % 2 == 0 else ""
+            authors = "".join(
+                f"<author><given-name>G{d}_{a}</given-name>"
+                f"<surname>S{d}_{a}</surname></author>"
+                for a in range(d % 3 + 1))
+            refs = "".join(
+                f'<bib-reference id="b{i}"><label>[{i + 1}]</label>'
+                f"<reference><volume-nr>{i + 1}</volume-nr>"
+                f"<doi>10.5/{d}.{i}</doi></reference></bib-reference>"
+                for i in range(d % 4))
+            xml = (
+                "<doc><RDF><Description>"
+                f"<doi>10.1016/synth.{d}</doi>"
+                f"<publicationName>J Synth, Section "
+                f"{sections[d % 3]}</publicationName>"
+                f"<volume>{d % 50 + 1}</volume>{pages}"
+                f"<coverDisplayDate>{cover}</coverDisplayDate>"
+                f"<issueName>{issue}</issueName>"
+                "</Description></RDF>"
+                f'<article docsubtype="{abbrevs[d % 8]}">'
+                f"<item-info><jid>JS</jid>{artid}"
+                f'<copyright type="{ctypes[d * 3 % 8]}" '
+                f'year="{2000 + d % 25}">{chold}</copyright></item-info>'
+                f"<head><title>Title {d}</title>"
+                f"<author-group>{authors}</author-group>"
+                f"</head></article>{refs}</doc>")
+            rec = parse_elsevier(xml)
+            for k in ("article_type", "material", "document_type",
+                      "journal_title", "journal_volume", "artid",
+                      "page_start", "year", "harvest"):
+                cols[k].append(rec[k])
+            cols["doi"].append(rec["dois"][0]["doi"])
+            cols["copyright_holder"].append(rec["copyright"]["holder"])
+            cols["n_authors"].append(len(rec["authors"]))
+            cols["n_refs"].append(len(rec["references"]))
+        types = {"year": pa.int64(), "n_authors": pa.int64(),
+                 "n_refs": pa.int64(), "harvest": pa.bool_()}
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         **{k: pa.array(v, types.get(k, pa.string()))
+                            for k, v in cols.items()}})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_parse, batch_format="pyarrow"))
+
+
+QUERIES.update({"xml_elsevier_extract": q_xml_elsevier_extract})
+
+ORACLE_SQL.update({
+    "xml_elsevier_extract": """
+        SELECT doc_id,
+               CASE doc_id % 8 WHEN 0 THEN 'full-length article'
+                               WHEN 1 THEN 'erratum'
+                               WHEN 2 THEN 'advertisement'
+                               WHEN 3 THEN 'short communication'
+                               WHEN 4 THEN 'review article'
+                               WHEN 5 THEN 'editorial'
+                               WHEN 6 THEN 'addendum'
+                               ELSE 'conference' END AS article_type,
+               CASE doc_id % 8 WHEN 1 THEN 'erratum'
+                               WHEN 6 THEN 'addendum'
+                               WHEN 5 THEN 'editorial note'
+                               ELSE 'publication' END AS material,
+               CASE WHEN doc_id % 4 = 0 THEN 'conference paper'
+                    ELSE 'article' END AS document_type,
+               'J Synth ' || CASE doc_id % 3 WHEN 0 THEN 'A'
+                                             WHEN 1 THEN 'B'
+                                             ELSE 'C' END AS journal_title,
+               CAST(doc_id % 50 + 1 AS VARCHAR) AS journal_volume,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE 'a' || CAST(doc_id AS VARCHAR) END AS artid,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE CAST(doc_id % 90 + 1 AS VARCHAR) END AS page_start,
+               2010 + doc_id % 20 AS year,
+               '10.1016/synth.' || CAST(doc_id AS VARCHAR) AS doi,
+               CASE WHEN doc_id % 2 = 0
+                    THEN chr(169) || ' Text ' || CAST(doc_id AS VARCHAR)
+                    ELSE CASE doc_id * 3 % 8
+                         WHEN 0 THEN 'Crown copyright'
+                         WHEN 1 THEN 'None'
+                         WHEN 2 THEN 'Publisher'
+                         WHEN 3 THEN 'Publisher and scientific society'
+                         WHEN 4 THEN 'Authors and publisher'
+                         WHEN 5 THEN 'Authors'
+                         WHEN 6 THEN 'Scientific society'
+                         ELSE ' US government' END
+               END AS copyright_holder,
+               (doc_id % 8 IN (0, 1, 3, 4, 6)
+                AND NOT (doc_id % 5 = 0 AND doc_id % 7 = 0)) AS harvest,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS n_authors,
+               CAST(doc_id % 4 AS BIGINT) AS n_refs
+        FROM documents
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
