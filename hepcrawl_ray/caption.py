@@ -144,6 +144,8 @@ def parse_record(payload: str, record_format: str) -> dict:
         return _parse_xml_record(payload)
     if record_format == "marcxml":
         return _parse_marcxml_record(payload)
+    if record_format == "hepcrawl":
+        return _parse_hepcrawl_record(payload)
     return {**EMPTY_RECORD, "error": f"unknown record_format {record_format!r}"}
 
 
@@ -198,6 +200,32 @@ def _parse_marcxml_record(payload: str) -> dict:
         [a["full_name"] for a in rec["authors"]],
         rec["collaborations"], rec["dois"],
         rec["date_published"], rec["document_type"])
+
+
+def _parse_hepcrawl_record(payload: str) -> dict:
+    """Wide hepcrawl-format item (JSON) -> the same golden struct, via
+    the full tohep normalization layer (reference: hepcrawl/tohep.py:
+    89-357 — the 'hepcrawl' branch of ``ParsedItem.to_hep``,
+    hepcrawl/utils.py:504-550)."""
+    import json as _json
+
+    from hepcrawl_ray.tohep import hepcrawl_to_hep, normalize_hepcrawl_record
+
+    try:
+        item = _json.loads(payload)
+        source = item.get("acquisition_source", {}).get("source", "")
+        rec = hepcrawl_to_hep(normalize_hepcrawl_record(item, source))
+        title = rec.get("titles", [{}])[0].get("title")
+        abstract = rec.get("abstracts", [{}])[0].get("value")
+        return _normalize_fields(
+            title, abstract,
+            [a["full_name"] for a in rec.get("authors", [])],
+            [c["value"] for c in rec.get("collaborations", [])],
+            [d["value"] for d in rec.get("dois", [])],
+            rec.get("imprints", [{}])[0].get("date"),
+            rec["document_type"][0])
+    except Exception as exc:
+        return {**EMPTY_RECORD, "error": f"bad hepcrawl record: {exc}"}
 
 
 def _parse_xml_record(payload: str) -> dict:

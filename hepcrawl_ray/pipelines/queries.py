@@ -2445,6 +2445,156 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# hepcrawl -> hep normalization (SURVEY §2.3 — acquisition_source,
+# publication_info shaping, collection dispatch, documents patch join)
+# ---------------------------------------------------------------------------
+
+def q_to_hep_normalize(sf_dir: str):
+    """The tohep normalization surface (reference:
+    hepcrawl/tohep.py:38-357): one deterministic wide hepcrawl item
+    per doc_id run through normalize_hepcrawl_record ->
+    hepcrawl_to_hep, with the documents patch join applied for even
+    ids.  Exercises the publication-info presence predicate, the
+    collection -> flag/doctype dispatch, page_nr int coercion, and
+    the basename file join."""
+    from hepcrawl_ray.tohep import (
+        get_updated_documents,
+        hepcrawl_to_hep,
+        normalize_hepcrawl_record,
+    )
+
+    srcs = ("arXiv", "Elsevier", "Springer", "WSP")
+
+    def gen_and_normalize(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        cols = {k: [] for k in (
+            "title", "subtitle", "title_source", "imprint_date",
+            "pub_year", "journal_title", "page_start", "number_of_pages",
+            "citeable", "refereed", "doc_type_first", "n_doc_types",
+            "submission_number", "doc_url", "copyright_holder")}
+        for d in ids:
+            source = srcs[d % 4]
+            item = {
+                "title": f"T {d}",
+                "subtitle": f"Sub {d}" if d % 2 == 1 else "",
+                "abstract": f"Abs {d}",
+                "date_published": f"{2000 + d % 25}-{d % 12 + 1:02d}-15",
+                "copyright_holder": f"Holder {d % 4}",
+                "copyright_year": 2000 + d % 25,
+                "copyright_statement": "stmt",
+                "copyright_material": "publication",
+                "page_nr": [str(d % 40 + 1)] if d % 6 != 0 else ["n/a"],
+                "authors": [{"full_name": f"Auth, {d}",
+                             "affiliations": [{"value": f"Inst {d % 3}"},
+                                              {"value": ""}]}],
+                "dois": [{"value": f"10.7/{d}",
+                          "material": "publication"}],
+                "collections": [{"primary": "HEP"}],
+                "acquisition_source": {
+                    "method": "hepcrawl",
+                    "datetime": "2024-03-01T00:00:00",
+                    "source": source,
+                    "submission_number": f"s{d}"},
+                "documents": [{"url": f"http://pub.org/f/doc_{d}.pdf",
+                               "old_url": f"http://pub.org/f/doc_{d}.pdf",
+                               "key": f"doc_{d}.pdf"}],
+            }
+            if d % 2 == 0:
+                item["collections"].append({"primary": "Citeable"})
+            if d % 3 == 0:
+                item["collections"].append({"primary": "Published"})
+            if d % 5 == 0:
+                item["collections"].append({"primary": "ConferencePaper"})
+            if d % 7 == 0:
+                item["collections"].append({"primary": "Thesis"})
+            if d % 3 != 0:
+                item.update({
+                    "journal_title": f"J{d % 5}",
+                    "journal_volume": str(d % 50 + 1),
+                    "journal_fpage": str(d % 90 + 1),
+                    "journal_lpage": str(d % 90 + 9),
+                    "journal_year": 1990 + d % 30,
+                })
+            record_files = ([{"name": f"doc_{d}.pdf",
+                              "path": f"/store/{d % 16}/doc_{d}.pdf"}]
+                            if d % 2 == 0 else
+                            [{"name": "other.pdf", "path": "/store/x"}])
+            item["documents"] = get_updated_documents(
+                item["documents"], record_files)
+            rec = hepcrawl_to_hep(normalize_hepcrawl_record(item, source))
+            pub = rec.get("publication_info", [{}])[0]
+            cols["title"].append(rec["titles"][0]["title"])
+            cols["subtitle"].append(rec["titles"][0]["subtitle"] or None)
+            cols["title_source"].append(rec["titles"][0]["source"])
+            cols["imprint_date"].append(rec["imprints"][0]["date"])
+            cols["pub_year"].append(pub.get("year"))
+            cols["journal_title"].append(pub.get("journal_title"))
+            cols["page_start"].append(pub.get("page_start"))
+            cols["number_of_pages"].append(rec.get("number_of_pages"))
+            cols["citeable"].append(rec.get("citeable", False))
+            cols["refereed"].append(rec.get("refereed", False))
+            cols["doc_type_first"].append(rec["document_type"][0])
+            cols["n_doc_types"].append(len(rec["document_type"]))
+            cols["submission_number"].append(
+                rec["acquisition_source"]["submission_number"])
+            cols["doc_url"].append(rec["documents"][0]["url"])
+            cols["copyright_holder"].append(rec["copyright"][0]["holder"])
+        types = {"pub_year": pa.int64(), "number_of_pages": pa.int64(),
+                 "n_doc_types": pa.int64(), "citeable": pa.bool_(),
+                 "refereed": pa.bool_()}
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         **{k: pa.array(v, types.get(k, pa.string()))
+                            for k, v in cols.items()}})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_normalize, batch_format="pyarrow"))
+
+
+QUERIES.update({"to_hep_normalize": q_to_hep_normalize})
+
+ORACLE_SQL.update({
+    "to_hep_normalize": """
+        SELECT doc_id,
+               'T ' || CAST(doc_id AS VARCHAR) AS title,
+               CASE WHEN doc_id % 2 = 1
+                    THEN 'Sub ' || CAST(doc_id AS VARCHAR)
+                    ELSE NULL END AS subtitle,
+               CASE doc_id % 4 WHEN 0 THEN 'arXiv' WHEN 1 THEN 'Elsevier'
+                               WHEN 2 THEN 'Springer'
+                               ELSE 'WSP' END AS title_source,
+               CAST(2000 + doc_id % 25 AS VARCHAR) || '-'
+                   || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                   || '-15' AS imprint_date,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE 1990 + doc_id % 30 END AS pub_year,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE 'J' || CAST(doc_id % 5 AS VARCHAR)
+               END AS journal_title,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE CAST(doc_id % 90 + 1 AS VARCHAR)
+               END AS page_start,
+               CASE WHEN doc_id % 6 = 0 THEN NULL
+                    ELSE doc_id % 40 + 1 END AS number_of_pages,
+               doc_id % 2 = 0 AS citeable,
+               doc_id % 3 = 0 AS refereed,
+               CASE WHEN doc_id % 5 = 0 THEN 'conference paper'
+                    WHEN doc_id % 7 = 0 THEN 'thesis'
+                    ELSE 'article' END AS doc_type_first,
+               CAST(CASE WHEN doc_id % 35 = 0 THEN 2 ELSE 1 END
+                    AS BIGINT) AS n_doc_types,
+               's' || CAST(doc_id AS VARCHAR) AS submission_number,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '/store/' || CAST(doc_id % 16 AS VARCHAR)
+                         || '/doc_' || CAST(doc_id AS VARCHAR) || '.pdf'
+                    ELSE 'http://pub.org/f/doc_' || CAST(doc_id AS VARCHAR)
+                         || '.pdf' END AS doc_url,
+               'Holder ' || CAST(doc_id % 4 AS VARCHAR) AS copyright_holder
+        FROM documents
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

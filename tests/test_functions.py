@@ -182,11 +182,14 @@ class TestMultiFormatParsing:
             from_xml = parse_record(synth.render_record_xml(g), "xml")
             from_marc = parse_record(synth.render_record_marcxml(g),
                                      "marcxml")
+            from_hepcrawl = parse_record(synth.render_record_hepcrawl(g),
+                                         "hepcrawl")
             for f in fields:
                 assert from_caption[f] == g[f], ("caption", f)
                 assert from_json[f] == g[f], ("json", f)
                 assert from_xml[f] == g[f], ("xml", f)
                 assert from_marc[f] == g[f], ("marcxml", f)
+                assert from_hepcrawl[f] == g[f], ("hepcrawl", f)
             n += 1
         assert n > 80
 
@@ -196,6 +199,8 @@ class TestMultiFormatParsing:
         assert parse_record("{not json", "json")["error"].startswith("bad json")
         assert parse_record("<broken", "xml")["error"].startswith("bad xml")
         assert parse_record("<<<", "marcxml")["error"].startswith("bad marcxml")
+        assert parse_record("{bad", "hepcrawl")["error"].startswith(
+            "bad hepcrawl")
         assert "unknown record_format" in parse_record("x", "nope")["error"]
 
 
