@@ -506,63 +506,107 @@ def neardup_components(ds, pairs_ds, *, id_col="doc_id",
 # ---------------------------------------------------- embedding cosine ----
 
 def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",
-                            vec_col="embedding", block_col=None,
-                            max_ids=None, concurrency=4):
-    """Near-duplicate pairs by cosine similarity.
+                            vec_col="embedding", max_ids=None,
+                            concurrency=4, max_block_pairs=2048):
+    """EXACT near-duplicate pairs by cosine similarity, as a block-pair
+    cross product over object-store blocks.
 
-    Baseline: broadcast the (optionally truncated) normalized matrix,
-    compare each batch against it with one matmul (numpy), emit pairs
-    (a < b, cos >= threshold).  The scale path buckets by ``block_col``
-    (or an LSH sign-bucket) first; here the broadcast matrix IS the
-    documented partitioning assumption for the sandbox sizes.
+    Exact all-pairs cosine is inherently quadratic; the scale-correct
+    shape is the block decomposition: normalize each (id, vec) block
+    once, pin the blocks in the OBJECT STORE, then fan out one task
+    per unordered block pair (i <= j) that pulls just its two blocks
+    (zero-copy Arrow) and emits thresholded pairs from one matmul.
+    Nothing ever materializes on the driver and no worker holds more
+    than two blocks — vs the former ``take_all()`` + broadcast-matrix
+    baseline, which OOMs for any corpus that outgrows one heap.
+
+    ``max_block_pairs`` caps the task count (B blocks -> B(B+1)/2
+    tasks): the corpus is repartitioned down when it would exceed the
+    cap, trading per-task memory for task count.  At true 100-TB scale
+    exact all-pairs is the wrong tool no matter the decomposition —
+    ``embedding_lsh_neardup_pairs`` is the linear-cost path — but when
+    EXACT is required this is its distributable form.
     """
     import ray
 
-    src = ds.select_columns([c for c in (id_col, vec_col, block_col) if c])
+    src = ds.select_columns([id_col, vec_col])
     if max_ids is not None:
         src = src.map_batches(
             lambda t: t.filter(pa.compute.less(t.column(id_col), max_ids)),
             batch_format="pyarrow")
-    rows = src.take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    ref = ray.put((ids, mat))
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-            self.pos = {int(i): p for p, i in enumerate(self.ids)}
+    def prenormalize(t: pa.Table) -> pa.Table:
+        from hepcrawl_ray.ops.knn import list_column_to_matrix
+
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "vec_bin": pa.array([], pa.binary())})
+        v = list_column_to_matrix(t.column(vec_col)).astype(np.float64)
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        v = v / n[:, None]
+        return pa.table({"vec_id": t.column(id_col).cast(pa.int64()),
+                         "vec_bin": pa.array([r.tobytes() for r in v],
+                                             pa.binary())})
+
+    # normalize once per row, then pin blocks in the object store; cap
+    # the block count so the pair fan-out stays bounded
+    mat = src.map_batches(prenormalize, batch_format="pyarrow").materialize()
+    max_blocks = max(1, int((2 * max_block_pairs) ** 0.5))
+    if mat.num_blocks() > max_blocks:
+        mat = mat.repartition(max_blocks).materialize()
+    refs = [r for r in mat.to_arrow_refs()]
+
+    pair_idx = [(i, j) for i in range(len(refs))
+                for j in range(i, len(refs))]
+    pair_ds = ray.data.from_items(
+        [{"i": i, "j": j} for i, j in pair_idx])
+
+    class BlockPair:
+        """Compare two pinned blocks; holds only the tiny ref list
+        plus the two blocks of the current task."""
+
+        def __init__(self, block_refs):
+            self.refs = block_refs
+
+        @staticmethod
+        def _unpack(t: pa.Table):
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            if t.num_rows == 0:
+                return ids, np.zeros((0, 0))
+            m = np.stack([np.frombuffer(b)
+                          for b in t.column("vec_bin").to_pylist()])
+            return ids, m
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from hepcrawl_ray.ops.knn import list_column_to_matrix
-
-            if batch.num_rows == 0:
-                return pa.table({"vec_a": pa.array([], pa.int64()),
-                                 "vec_b": pa.array([], pa.int64())})
-            bids = batch.column(id_col).to_pylist()
-            vecs = list_column_to_matrix(batch.column(vec_col))
-            n = np.linalg.norm(vecs, axis=1)
-            n[n == 0] = 1.0
-            vecs = vecs / n[:, None]
-            sims = vecs @ self.mat.T
-            out_a, out_b = [], []
-            for r, i in enumerate(bids):
-                if int(i) not in self.pos:
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            for i, j in zip(batch.column("i").to_pylist(),
+                            batch.column("j").to_pylist()):
+                ids_i, m_i = self._unpack(ray.get(self.refs[i]))
+                ids_j, m_j = self._unpack(ray.get(self.refs[j]))
+                if not len(ids_i) or not len(ids_j):
                     continue
-                hits = np.nonzero(sims[r] >= threshold)[0]
-                for c in hits:
-                    j = int(self.ids[c])
-                    if int(i) < j:
-                        out_a.append(int(i))
-                        out_b.append(j)
-            return pa.table({"vec_a": pa.array(out_a, type=pa.int64()),
-                             "vec_b": pa.array(out_b, type=pa.int64())})
+                r, c = np.nonzero(m_i @ m_j.T >= threshold)
+                a, b = ids_i[r], ids_j[c]
+                if i == j:
+                    # symmetric matrix: (r,c) and (c,r) both fire —
+                    # a<b keeps exactly one and drops self-pairs
+                    keep = a < b
+                    out_a.append(a[keep])
+                    out_b.append(b[keep])
+                else:
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    out_a.append(lo)
+                    out_b.append(hi)
+            a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+            b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+            return pa.table({"vec_a": pa.array(a, type=pa.int64()),
+                             "vec_b": pa.array(b, type=pa.int64())})
 
-    return src.map_batches(PairFinder, batch_format="pyarrow",
-                           concurrency=(1, concurrency), num_cpus=0.5)
+    return pair_ds.map_batches(
+        BlockPair, fn_constructor_args=(refs,), batch_format="pyarrow",
+        batch_size=4, concurrency=(1, concurrency), num_cpus=0.5)
 
 
 def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
