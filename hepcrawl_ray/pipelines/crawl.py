@@ -234,7 +234,8 @@ def offer_tables(actors, offer_table, num_partitions, salted_hosts=None):
 
 def run_iterative_crawl(seeds, politeness, discover_fn, *,
                         num_partitions=4, salted_hosts=None,
-                        rounds_per_iter=1, max_iters=100_000):
+                        rounds_per_iter=1, max_iters=100_000,
+                        in_stage=False):
     """Crawl with mid-run URL discovery (the frontier LOOP).
 
     ``discover_fn(canonical_url, seq) -> list of seed-like dicts`` —
@@ -243,13 +244,19 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
     ``r+rounds_per_iter`` (spec: sim.simulate_iterative, which this
     must match exactly at rounds_per_iter=1).
 
-    Discovery here runs driver-side over each iteration's (small)
-    admission table for oracle-exactness; the production shape extracts
-    links inside the parse stage and routes them back through the same
-    ``offer_tables`` path, trading strict per-round eligibility for
-    fewer synchronization points (rounds_per_iter > 1).
+    ``in_stage=True`` is the production shape: each iteration's
+    admission table streams through a Dataset whose
+    :class:`~hepcrawl_ray.stages.DiscoverRouteStage` actors extract
+    links and push them to the frontier partitions directly
+    (worker -> actor, delivery awaited in-stage) — the driver only
+    runs the per-round seal barrier, never a per-row loop.  Admission
+    is decided over a seq-sorted view at seal, so both paths produce
+    the identical schedule (pinned in tests).  The driver-side loop
+    (default) remains the oracle-exact executable spec.
     """
     import ray
+
+    from hepcrawl_ray.stages import DiscoverRouteStage
 
     pol_rows = politeness.to_pylist() if isinstance(politeness, pa.Table) \
         else list(politeness)
@@ -266,6 +273,21 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
                 break
             continue
         admissions.append(t)
+        if in_stage:
+            # the per-partition drain refs already live in the object
+            # store; discovery+routing runs in the stage actors and
+            # each batch's offers are delivered before it returns, so
+            # consuming the Dataset IS the delivery barrier
+            refs = [ray.put(tb) for tb in tables if tb.num_rows]
+            (ray.data.from_arrow_refs(refs)
+             .map_batches(DiscoverRouteStage,
+                          fn_constructor_args=(discover_fn, actors,
+                                               num_partitions, salted_hosts),
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 4), num_cpus=0.25)
+             .count())
+            ray.get([a.seal.remote() for a in actors])  # no-op if empty
+            continue
         # discovery in deterministic admission order
         t_sorted = t.sort_by([("round", "ascending"), ("host", "ascending"),
                               ("pop_idx", "ascending")])

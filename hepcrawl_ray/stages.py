@@ -193,7 +193,7 @@ class FetchParseStage:
     """
 
     def __init__(self, images_ref, verify_pixels: bool = True,
-                 drop_bytes: bool = False):
+                 drop_bytes: bool = False, discover_args=None):
         # a str/list ref is a STORED corpus -> keyed lookup (scale
         # path); a table/ObjectRef is the small-corpus broadcast
         self.fetch = (KeyedFetchStage(images_ref)
@@ -201,9 +201,17 @@ class FetchParseStage:
                       else FetchStage(images_ref))
         self.parse = ParseStage(verify_pixels=verify_pixels,
                                 drop_bytes=drop_bytes)
+        # (discover_fn, actors, num_partitions, salted_hosts) enables
+        # in-stage link discovery: links found at parse time go back
+        # to the frontier from THIS actor (see DiscoverRouteStage)
+        self.discover = (DiscoverRouteStage(*discover_args)
+                         if discover_args else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.parse(self.fetch(batch))
+        out = self.parse(self.fetch(batch))
+        if self.discover is not None:
+            out = self.discover(out)
+        return out
 
 
 class ParseStage:
@@ -267,3 +275,68 @@ class ParseStage:
         out = out.append_column("pixels_verified", pa.array(verify_ok))
         out = out.append_column("phash_decoded", pa.array(phash_decoded))
         return out
+
+
+class DiscoverRouteStage:
+    """In-stage link discovery: links extracted from admitted rows are
+    routed straight back to the frontier actors (worker -> actor; no
+    driver round-trip per row).
+
+    The production shape of the iterative crawl (reference analog: the
+    PoS 3-hop chain, hepcrawl/spiders/pos_spider.py:93-199, where each
+    parse callback yields the next request): composed after parse in
+    :class:`FetchParseStage` or run standalone over an admission table.
+    Delivery is awaited INSIDE the call (``ray.get`` on the offer
+    refs), so when the Dataset consuming this stage completes, every
+    discovered link is already buffered in its frontier partition —
+    the driver can seal without polling.
+
+    Determinism: admission is decided over a seq-sorted view at seal
+    (frontier.seal), so the arbitrary arrival order of per-batch
+    offers cannot change the schedule — pinned by the in-stage ==
+    driver-loop == simulator test (tests/test_sources_iterative.py).
+    """
+
+    def __init__(self, discover_fn, actors, num_partitions,
+                 salted_hosts=None):
+        from hepcrawl_ray.frontier import (
+            canonicalize_batch,
+            route_partition_ids,
+        )
+
+        self.discover_fn = discover_fn
+        self.actors = actors
+        self.num_partitions = num_partitions
+        self.salted_hosts = salted_hosts
+        self._canon = canonicalize_batch
+        self._route_ids = route_partition_ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        n_links = np.zeros(batch.num_rows, dtype=np.int64)
+        new_rows: list[dict] = []
+        for i, (url, seq) in enumerate(zip(batch.column("url").to_pylist(),
+                                           batch.column("seq").to_pylist())):
+            found = self.discover_fn(url, seq)
+            n_links[i] = len(found)
+            new_rows.extend(found)
+        if new_rows:
+            raw = pa.table({
+                "url": [r["url"] for r in new_rows],
+                "priority": [float(r.get("priority", 0.0))
+                             for r in new_rows],
+                "seq": [int(r["seq"]) for r in new_rows],
+                "mtime": [int(r.get("mtime", 0)) for r in new_rows],
+                "set_id": [r.get("set_id", "") for r in new_rows],
+            })
+            offers = self._canon(raw)
+            parts = self._route_ids(offers.column("host").to_pylist(),
+                                    offers.column("url_hash").to_numpy(),
+                                    self.num_partitions, self.salted_hosts)
+            pending = []
+            for p in np.unique(parts):
+                sub = offers.filter(pa.array(parts == p))
+                pending.append(self.actors[int(p)].offer.remote(sub))
+            ray.get(pending)       # delivered before this batch returns
+        return batch.append_column("n_links", pa.array(n_links))

@@ -161,6 +161,79 @@ class TestIterativeCrawl:
         # discovery genuinely expanded the frontier
         assert len(got) > len(seeds)
 
+    def test_in_stage_discovery_matches_driver_and_sim(self, ray_session):
+        """The production path (links extracted + routed inside the
+        Dataset stage, DiscoverRouteStage) == the driver loop == the
+        simulator, on the same tree fixture."""
+        from hepcrawl_ray.pipelines import crawl as cp
+        from hepcrawl_ray.sim import simulate_iterative
+
+        n = 40
+        host = "host1.example.org"
+        seeds = pa.table({
+            "url": [f"http://{host}/seed/img{i:07d}" for i in range(3)],
+            "host": [host] * 3,
+            "set_id": ["seed"] * 3,
+            "priority": [0.0] * 3,
+            "seq": [0, 1, 2],
+            "mtime": [1000] * 3,
+            "dup_of": [None] * 3,
+        }, schema=synth.SEEDS_SCHEMA)
+        politeness = pa.table({
+            "host": [host], "max_concurrency": [2], "min_delay_ms": [0],
+            "robots_disallow": [[]],
+        }, schema=synth.POLITENESS_SCHEMA)
+        discover = make_tree_discover(n, host=host)
+
+        ref = simulate_iterative(seeds.to_pylist(), politeness.to_pylist(),
+                                 discover)
+
+        def admitted(out):
+            t = out["admissions"].sort_by(
+                [("round", "ascending"), ("host", "ascending"),
+                 ("pop_idx", "ascending")])
+            return list(zip(t.column("round").to_pylist(),
+                            t.column("url").to_pylist(),
+                            t.column("seq").to_pylist()))
+
+        in_stage = cp.run_iterative_crawl(seeds, politeness, discover,
+                                          num_partitions=2, in_stage=True)
+        driver = cp.run_iterative_crawl(seeds, politeness, discover,
+                                        num_partitions=2)
+        want = [(r, u, s) for (r, _h, u, s, _p, _m) in ref.admissions]
+        assert admitted(in_stage) == admitted(driver) == want
+        assert in_stage["seen"] == driver["seen"] == ref.seen_hashes
+
+    def test_in_stage_dedups_cross_batch(self, ray_session):
+        """Two parents in different partitions discovering the same
+        child through separate stage batches: crawled once."""
+        from hepcrawl_ray.pipelines import crawl as cp
+
+        host = "host1.example.org"
+
+        def discover(url, seq):
+            if url.endswith("/a") or url.endswith("/b"):
+                return [{"url": f"http://{host}/x/shared", "priority": 0.0,
+                         "seq": _CHILD_BASE + seq * 256, "mtime": 1000,
+                         "set_id": "x"}]
+            return []
+
+        seeds = pa.table({
+            "url": [f"http://{host}/x/a", f"http://{host}/x/b"],
+            "host": [host] * 2, "set_id": ["x"] * 2,
+            "priority": [0.0] * 2, "seq": [0, 1], "mtime": [1000] * 2,
+            "dup_of": [None] * 2,
+        }, schema=synth.SEEDS_SCHEMA)
+        politeness = pa.table({
+            "host": [host], "max_concurrency": [1], "min_delay_ms": [0],
+            "robots_disallow": [[]],
+        }, schema=synth.POLITENESS_SCHEMA)
+        out = cp.run_iterative_crawl(seeds, politeness, discover,
+                                     num_partitions=2, in_stage=True)
+        urls = out["admissions"].column("url").to_pylist()
+        assert urls.count(f"http://{host}/x/shared") == 1
+        assert len(urls) == 3
+
     def test_discovered_duplicates_deduped(self, ray_session):
         """Two parents linking the same child: crawled once."""
         from hepcrawl_ray.pipelines import crawl as cp
