@@ -2595,6 +2595,158 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# PoS / EDP spider-local builders (SURVEY §2.3 — proceedings chain
+# record assembly, EDP reference-string parsing)
+# ---------------------------------------------------------------------------
+
+def q_pos_conference_papers(sf_dir: str):
+    """PoS conference-paper builder surface (reference:
+    hepcrawl/spiders/pos_spider.py:201-427): one deterministic pex-dc
+    record + paper html page per doc_id, run through the pdf-link
+    extraction and the conference-paper item builder."""
+    from hepcrawl_ray import pos
+
+    def gen_and_build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        cols = {k: [] for k in (
+            "journal_title", "journal_volume", "journal_artid", "year",
+            "language", "title", "n_authors", "doc_key", "pdf_url")}
+        for d in ids:
+            vol = f"CONF{d % 12}"
+            artid = f"{d % 400:03d}"
+            lang = "en" if d % 3 != 0 else "fr"
+            creators = "".join(
+                f"<creator><name>Auth{a}, {d}</name>"
+                f"<affiliation>Inst {a}</affiliation></creator>"
+                for a in range(d % 3 + 1))
+            xml = (
+                "<record><metadata><pex-dc>"
+                f"<title>Talk {d}</title>{creators}"
+                f"<date>2014-03-{d % 28 + 1:02d}</date>"
+                "<publisher>Sissa Medialab</publisher>"
+                f"<identifier>PoS({vol}){artid}</identifier>"
+                f"<language>{lang}</language>"
+                "<rights>CC-BY-NC-SA</rights>"
+                "</pex-dc></metadata></record>")
+            html = (f'<html><a href="/archive/{d}/{vol}_{artid}.pdf">'
+                    f'pdf</a><a href="/cgi-bin/reader/conf.cgi?cid={d}">'
+                    f"{vol}</a></html>")
+            pdf = pos.get_conference_paper_pdf_url(
+                html, "https://pos.example.org/contribution")
+            item = pos.build_conference_paper_item(
+                xml, f"https://pos.example.org/contribution?id={d}", pdf)
+            cols["journal_title"].append(item["journal_title"])
+            cols["journal_volume"].append(item["journal_volume"])
+            cols["journal_artid"].append(item["journal_artid"])
+            cols["year"].append(item["journal_year"])
+            cols["language"].append(item["language"])
+            cols["title"].append(item["title"])
+            cols["n_authors"].append(len(item["authors"]))
+            cols["doc_key"].append(item["documents"][0]["key"])
+            cols["pdf_url"].append(item["documents"][0]["url"])
+        types = {"year": pa.int64(), "n_authors": pa.int64()}
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         **{k: pa.array(v, types.get(k, pa.string()))
+                            for k, v in cols.items()}})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_build, batch_format="pyarrow"))
+
+
+def q_edp_references(sf_dir: str):
+    """EDP reference-parser surface (reference:
+    hepcrawl/spiders/edp_spider.py:410-516): label+sublabel
+    composition, journal section folded into the volume, DOI href
+    stripping, author name joins."""
+    from hepcrawl_ray import edp
+
+    sections = "ABCDE"
+
+    def gen_and_parse(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        cols = {k: [] for k in (
+            "n_refs", "first_number", "journal_title", "journal_volume",
+            "doi", "ref_year", "author", "fpage")}
+        for d in ids:
+            n = d % 3 + 1
+            refs = "".join(
+                f'<ref id="R{i}"><label>[{d % 9 + 1 + i}]</label>'
+                f'<mixed-citation publication-type="journal" '
+                f'id="c{chr(97 + i)}">'
+                f"<string-name><surname>S{d}</surname>"
+                f"<given-names>G{i}</given-names></string-name>"
+                f"<source>Nucl. Phys. {sections[d % 5]}</source>"
+                f"<volume>{d % 60 + 1}</volume>"
+                f"<year>{1980 + d % 40}</year>"
+                f"<fpage>{d % 99 + 1}</fpage>"
+                f'<ext-link href="http://dx.doi.org/10.51/{d}.{i}">x'
+                "</ext-link></mixed-citation></ref>"
+                for i in range(n))
+            parsed = edp.get_references(
+                f"<article><back><ref-list>{refs}</ref-list></back>"
+                "</article>")
+            first = parsed[0]
+            cols["n_refs"].append(len(parsed))
+            cols["first_number"].append(first["number"])
+            cols["journal_title"].append(first["journal_title"])
+            cols["journal_volume"].append(first["journal_volume"])
+            cols["doi"].append(first["doi"])
+            cols["ref_year"].append(int(first["year"]))
+            cols["author"].append(first["authors"][0])
+            cols["fpage"].append(first["fpage"])
+        types = {"n_refs": pa.int64(), "ref_year": pa.int64()}
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         **{k: pa.array(v, types.get(k, pa.string()))
+                            for k, v in cols.items()}})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_and_parse, batch_format="pyarrow"))
+
+
+QUERIES.update({"pos_conference_papers": q_pos_conference_papers,
+                "edp_references": q_edp_references})
+
+ORACLE_SQL.update({
+    "pos_conference_papers": """
+        SELECT doc_id,
+               'PoS' AS journal_title,
+               'CONF' || CAST(doc_id % 12 AS VARCHAR) AS journal_volume,
+               lpad(CAST(doc_id % 400 AS VARCHAR), 3, '0')
+                   AS journal_artid,
+               CAST(2014 AS BIGINT) AS year,
+               CASE WHEN doc_id % 3 = 0 THEN 'fr' ELSE NULL END
+                   AS language,
+               'Talk ' || CAST(doc_id AS VARCHAR) AS title,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS n_authors,
+               'CONF' || CAST(doc_id % 12 AS VARCHAR) || '_'
+                   || lpad(CAST(doc_id % 400 AS VARCHAR), 3, '0')
+                   || '.pdf' AS doc_key,
+               'https://pos.example.org/archive/'
+                   || CAST(doc_id AS VARCHAR) || '/CONF'
+                   || CAST(doc_id % 12 AS VARCHAR) || '_'
+                   || lpad(CAST(doc_id % 400 AS VARCHAR), 3, '0')
+                   || '.pdf' AS pdf_url
+        FROM documents
+    """,
+    "edp_references": """
+        SELECT doc_id,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS n_refs,
+               CAST(doc_id % 9 + 1 AS VARCHAR) || 'a' AS first_number,
+               'Nucl. Phys.' AS journal_title,
+               CASE doc_id % 5 WHEN 0 THEN 'A' WHEN 1 THEN 'B'
+                               WHEN 2 THEN 'C' WHEN 3 THEN 'D'
+                               ELSE 'E' END
+                   || CAST(doc_id % 60 + 1 AS VARCHAR) AS journal_volume,
+               'doi:10.51/' || CAST(doc_id AS VARCHAR) || '.0' AS doi,
+               1980 + doc_id % 40 AS ref_year,
+               'S' || CAST(doc_id AS VARCHAR) || ', G0' AS author,
+               CAST(doc_id % 99 + 1 AS VARCHAR) AS fpage
+        FROM documents
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
