@@ -494,10 +494,15 @@ def neardup_components(ds, pairs_ds, *, id_col="doc_id",
             self.comp = ray.get(comp_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_pylist()
-            roots = [self.comp.get(int(i), int(i)) for i in ids]
+            ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            # dict-map in pandas C (ids outside the pair table keep
+            # themselves as root) — no per-row Python lookup
+            s = pd.Series(ids)
+            roots = s.map(self.comp).fillna(s).astype("int64")
             return pa.table({id_col: t.column(id_col),
-                             "root": pa.array(roots, pa.int64())})
+                             "root": pa.array(roots.to_numpy(),
+                                              pa.int64())})
 
     return ds.select_columns([id_col]).map_batches(
         MapRoot, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5)

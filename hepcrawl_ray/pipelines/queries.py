@@ -678,13 +678,31 @@ def q_text_fingerprint(sf_dir: str):
 # crawl-engine queries (non-SQL; deterministic synthetic corpus)
 # ---------------------------------------------------------------------------
 
-_CRAWL_N = 150
+_CRAWL_N = 150          # corpus size at sf0.001 (the entry() scale)
 
 
-def _crawl_tables():
+def _crawl_n(sf_dir: str) -> int:
+    """Scale the synthetic crawl corpus with the sf directory (150 at
+    sf0.001, 1,500 at sf0.01, 15,000 at sf0.1), so driver correctness
+    runs exercise a corpus proportional to every other query's input.
+    Unrecognized paths fall back to the sf0.001 size."""
+    import os
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    if not m:
+        return _CRAWL_N
+    try:
+        return max(_CRAWL_N, min(150_000, int(round(float(m.group(1))
+                                                    * 150_000))))
+    except ValueError:
+        return _CRAWL_N
+
+
+def _crawl_tables(sf_dir: str = ""):
     from hepcrawl_ray import synth
 
-    images, golden = synth.generate_corpus(_CRAWL_N)
+    images, golden = synth.generate_corpus(_crawl_n(sf_dir))
     seeds = synth.generate_seeds(images)
     politeness = synth.generate_politeness()
     return images, golden, seeds, politeness
@@ -697,7 +715,7 @@ def q_crawl_admissions(sf_dir: str):
 
     from hepcrawl_ray.pipelines import crawl as cp
 
-    images, _, seeds, politeness = _crawl_tables()
+    images, _, seeds, politeness = _crawl_tables(sf_dir)
     actors = cp.start_frontier(politeness.to_pylist(), num_partitions=2)
     cp.offer_seeds(actors, seeds, 2)
     # seal BEFORE drain: offers stay buffered until seal and drain only
@@ -716,7 +734,7 @@ def q_crawl_records(sf_dir: str):
     """Flagship crawl end-to-end: records with parse + verify columns."""
     from hepcrawl_ray.pipelines import crawl as cp
 
-    images, _, seeds, politeness = _crawl_tables()
+    images, _, seeds, politeness = _crawl_tables(sf_dir)
     out = cp.run_crawl(images, seeds, politeness, num_partitions=2,
                        fetch_concurrency=2, parse_concurrency=2)
     return out["records"].drop_columns(["bytes"])
@@ -777,7 +795,7 @@ def q_crawl_metrics(sf_dir: str):
 
     from hepcrawl_ray.pipelines import crawl as cp
 
-    _, _, seeds, politeness = _crawl_tables()
+    _, _, seeds, politeness = _crawl_tables(sf_dir)
     actors = cp.start_frontier(politeness.to_pylist(), num_partitions=4)
     cp.offer_seeds(actors, seeds, 4)
     ray.get([a.seal.remote() for a in actors])
@@ -803,7 +821,7 @@ def q_multimodal_image_verify(sf_dir: str):
 
     from hepcrawl_ray import codecs, synth
 
-    images, _, _, _ = _crawl_tables()
+    images, _, _, _ = _crawl_tables(sf_dir)
 
     def verify(t: pa.Table) -> pa.Table:
         ok, w_ok, ph_match = [], [], []
@@ -1290,7 +1308,7 @@ def q_multimodal_image_features(sf_dir: str):
 
     from hepcrawl_ray.ops.multimodal import ImageDecodeStage
 
-    images, _, _, _ = _crawl_tables()
+    images, _, _, _ = _crawl_tables(sf_dir)
     return ray.data.from_arrow(images.select(["image_id", "bytes", "fmt"])) \
         .map_batches(ImageDecodeStage,
                      fn_constructor_kwargs=dict(resize_to=8),
@@ -2045,7 +2063,7 @@ def q_crawl_seen_set(sf_dir: str):
 
     from hepcrawl_ray.pipelines import crawl as cp
 
-    _, _, seeds, politeness = _crawl_tables()
+    _, _, seeds, politeness = _crawl_tables(sf_dir)
     actors = cp.start_frontier(politeness.to_pylist(), num_partitions=2)
     cp.offer_seeds(actors, seeds, 2)
     ray.get([a.seal.remote() for a in actors])
