@@ -141,6 +141,13 @@ class KeyedFetchStage:
         self.cache: "OrderedDict[tuple, pa.Table]" = OrderedDict()
         self.cache_rowgroups = cache_rowgroups
         self.max_resident_rows = 0
+        # working-set memo: consecutive batches usually hit the SAME
+        # row-group set (key-clustered admissions, or a small corpus
+        # fitting the cache) — reuse the assembled table + dict index
+        # instead of re-concatenating and re-hashing per batch
+        self._ws_need: tuple = ()
+        self._ws_corpus: pa.Table | None = None
+        self._ws_index: dict[str, int] = {}
 
     def _rowgroup(self, j: int) -> pa.Table:
         key = self.rg_loc[j]
@@ -169,16 +176,22 @@ class KeyedFetchStage:
             sch = self.files[0].schema_arrow
             taken = pa.table({f.name: pa.nulls(n, f.type) for f in sch})
             return _fetch_output(batch, image_ids, np.zeros(n, bool), taken)
-        corpus = pa.concat_tables([self._rowgroup(j) for j in need])
-        resident = corpus.num_rows + sum(
-            t.num_rows for k, t in self.cache.items()
-            if k not in {self.rg_loc[j] for j in need})
-        self.max_resident_rows = max(self.max_resident_rows, resident)
-        idx = pa.compute.index_in(
-            pa.array(image_ids, pa.string()),
-            value_set=corpus.column("image_id").combine_chunks())
-        found = pa.compute.is_valid(idx).to_numpy(zero_copy_only=False)
-        taken = corpus.take(pa.compute.fill_null(idx, 0))
+        need_key = tuple(need)
+        if need_key != self._ws_need or self._ws_corpus is None:
+            corpus = pa.concat_tables([self._rowgroup(j) for j in need])
+            self._ws_need = need_key
+            self._ws_corpus = corpus
+            self._ws_index = {k: i for i, k in enumerate(
+                corpus.column("image_id").to_pylist())}
+            resident = corpus.num_rows + sum(
+                t.num_rows for k, t in self.cache.items()
+                if k not in {self.rg_loc[j] for j in need})
+            self.max_resident_rows = max(self.max_resident_rows, resident)
+        corpus, index = self._ws_corpus, self._ws_index
+        rows = np.array([index.get(k, -1) for k in image_ids],
+                        dtype=np.int64)
+        found = rows >= 0
+        taken = corpus.take(pa.array(np.where(found, rows, 0)))
         return _fetch_output(batch, image_ids, found, taken)
 
 
