@@ -2765,6 +2765,111 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# temporal joins (as-of / range) — ops/temporal.py
+# ---------------------------------------------------------------------------
+
+def q_asof_purchase_view(sf_dir: str):
+    """Backward as-of join: each purchase event attributed to the same
+    user's most recent prior-or-simultaneous view (ties on ts break to
+    max event_id).  The attribution shape Ray Data lacks natively;
+    reference analog: last-run incremental windows
+    (hepcrawl/spiders/common/lastrunstore_spider.py:52-88)."""
+    from hepcrawl_ray.ops import temporal as TJ
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def split(kind):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), kind))
+            return t.drop_columns(["event_type"])
+        return f
+
+    left = ev.map_batches(split("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(split("view"), batch_format="pyarrow")
+    joined = TJ.asof_join(left, right, by="user_id", on="ts",
+                          tie="event_id", payload=["event_id", "ts"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        l_ns = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        r_ns = t.column("ts_r").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "view_event_id": t.column("event_id_r"),
+            "view_gap_us": pc.subtract(l_ns, r_ns),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_range_join_clicks(sf_dir: str):
+    """Range-join aggregate: per purchase event, count + cents-sum of
+    the same user's clicks in the preceding hour (both bounds
+    inclusive).  LEFT semantics: purchases with no clicks get 0/0."""
+    from hepcrawl_ray.ops import temporal as TJ
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def left_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def right_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "cents": _cents(t.column("value").to_numpy())})
+
+    left = ev.map_batches(left_f, batch_format="pyarrow")
+    right = ev.map_batches(right_f, batch_format="pyarrow")
+    out = TJ.range_join_agg(left, right, by="user_id", on="ts",
+                            lo_us=-3_600_000_000, hi_us=0,
+                            val_col="cents", n_name="n_clicks",
+                            sum_name="sum_click_cents")
+    return out.select_columns(["event_id", "user_id", "n_clicks",
+                               "sum_click_cents"])
+
+
+QUERIES.update({"asof_purchase_view": q_asof_purchase_view,
+                "range_join_clicks": q_range_join_clicks})
+
+ORACLE_SQL.update({
+    "asof_purchase_view": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'view')
+        SELECT event_id, user_id, view_event_id, view_gap_us FROM (
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS view_event_id,
+                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT)
+                       AS view_gap_us,
+                   ROW_NUMBER() OVER (PARTITION BY l.event_id
+                       ORDER BY r.ts DESC, r.event_id DESC) AS rn
+            FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+        ) t WHERE rn = 1
+    """,
+    "range_join_clicks": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT user_id, ts,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              AS cents
+                   FROM events WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id,
+               count(r.ts) AS n_clicks,
+               CAST(coalesce(sum(r.cents), 0) AS BIGINT)
+                   AS sum_click_cents
+        FROM l LEFT JOIN r ON r.user_id = l.user_id
+            AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+        GROUP BY l.event_id, l.user_id
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
