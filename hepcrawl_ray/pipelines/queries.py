@@ -2766,6 +2766,157 @@ ORACLE_SQL.update({
 
 
 # ---------------------------------------------------------------------------
+# PII redaction / quality gate / langid oracle (training-data prep)
+# ---------------------------------------------------------------------------
+
+def q_text_pii_redact(sf_dir: str):
+    """PII scrub: deterministic synthetic PII (email always; phone,
+    SSN, IP on doc_id residues — the corpus itself has none, same
+    precedent as source_paged_harvest's synthesized DOIs) appended to
+    each doc, then counted and redacted by ops/pii.py's RE2 kernels.
+    Stateless streaming map — no shuffle."""
+    from hepcrawl_ray.ops import pii as P
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        txt = pd.Series(t.column("text").to_pylist())
+        s = lambda a: pd.Series(a).astype(str)  # noqa: E731
+        email = " contact u" + s(d) + "@ex" + s(d % 7) + ".org"
+        phone = pd.Series(np.where(
+            d % 3 == 0,
+            " call 555-" + s(d % 900 + 100) + "-" + s(d % 9000 + 1000),
+            ""))
+        ssn = pd.Series(np.where(
+            d % 4 == 0,
+            " ssn " + s(d % 900 + 100) + "-" + s(d % 90 + 10) + "-"
+            + s(d % 9000 + 1000),
+            ""))
+        host = pd.Series(np.where(
+            d % 5 == 0,
+            " host 10." + s(d % 256) + "." + s((d * 7) % 256) + "."
+            + s(d % 250 + 1),
+            ""))
+        aug = pa.array(txt + email + phone + ssn + host, pa.string())
+        counts = P.pii_counts(aug)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         **{k: pa.array(v) for k, v in counts.items()},
+                         "redacted": P.redact(aug)})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_text_quality_gate(sf_dir: str):
+    """Gopher-style quality filter with INTEGER-safe rules (ratios as
+    cross-multiplications so the SQL oracle hashes identically):
+    >=10 tokens, mean word length in [2, 8], stopword ratio >= 5%."""
+    def f(t: pa.Table) -> pa.Table:
+        stats = T.token_stats_arrow(t.column("text"))
+        nt, cw = stats["n_tokens"], stats["chars_no_ws"]
+        nsw = stats["n_stopwords"]
+        keep = ((nt >= 10) & (cw <= 8 * nt) & (cw >= 2 * nt)
+                & (nsw * 20 >= nt))
+        return pa.table({
+            "doc_id": t.column("doc_id").to_numpy()[keep],
+            "n_tokens": nt[keep], "chars_no_ws": cw[keep],
+            "n_stopwords": nsw[keep]})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def _pii_aug_sql() -> str:
+    return """text || ' contact u' || CAST(doc_id AS VARCHAR)
+        || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+        || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+             || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+             || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' ssn '
+             || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+             || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+             || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+             || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+             || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END"""
+
+
+def _pii_sql() -> str:
+    from hepcrawl_ray.ops.pii import PII_PATTERNS
+
+    counts = ",\n               ".join(
+        "len(regexp_extract_all(aug, '%s')) AS n_%ss" % (pat, name)
+        for name, pat, _ in PII_PATTERNS)
+    red = "aug"
+    for _, pat, repl in PII_PATTERNS:
+        red = "regexp_replace(%s, '%s', '%s', 'g')" % (red, pat, repl)
+    return ("WITH a AS (SELECT doc_id, " + _pii_aug_sql()
+            + " AS aug FROM documents)\n        SELECT doc_id,\n"
+            + "               " + counts + ",\n"
+            + "               " + red + " AS redacted\n        FROM a")
+
+
+def _langid_sql() -> str:
+    from hepcrawl_ray.ops.text import _LANG_MARKERS
+
+    def marks(lang):
+        return "[" + ", ".join(
+            "'%s'" % m for m in sorted(_LANG_MARKERS[lang])) + "]"
+
+    scores = ",\n                   ".join(
+        "len(list_intersect(toks, %s)) AS s_%s" % (marks(lang), lang)
+        for lang in _LANG_MARKERS)
+    # first-max-wins in _LANG_MARKERS order (the engine's tie rule)
+    langs = list(_LANG_MARKERS)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = ["s_%s >= s_%s" % (lang, o) for o in langs[i + 1:]]
+        conds.append("s_%s > 0" % lang)
+        branches.append("WHEN %s THEN '%s'" % (" AND ".join(conds), lang))
+    return """
+        WITH s AS (SELECT doc_id,
+                str_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents),
+        sc AS (SELECT doc_id,
+                   %s
+               FROM s)
+        SELECT doc_id,
+               CASE %s ELSE 'und' END AS lang_pred
+        FROM sc
+    """ % (scores, " ".join(branches))
+
+
+QUERIES.update({"text_pii_redact": q_text_pii_redact,
+                "text_quality_gate": q_text_quality_gate})
+
+ORACLE_SQL.update({
+    "text_pii_redact": _pii_sql(),
+    "text_langid": _langid_sql(),
+    "text_quality_gate": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                   END AS n_tokens,
+                   length(regexp_replace(text, '\\s', '', 'g'))
+                       AS chars_no_ws,
+                   len(list_filter(
+                       regexp_split_to_array(lower(trim(text)),
+                                             '\\s+'),
+                       x -> x IN ('{_STOP_SQL}'))) AS n_stopwords
+            FROM documents)
+        SELECT doc_id, n_tokens, chars_no_ws, n_stopwords
+        FROM s
+        WHERE n_tokens >= 10
+          AND chars_no_ws <= 8 * n_tokens
+          AND chars_no_ws >= 2 * n_tokens
+          AND n_stopwords * 20 >= n_tokens
+    """,
+})
+
+
+# ---------------------------------------------------------------------------
 # temporal joins (as-of / range) — ops/temporal.py
 # ---------------------------------------------------------------------------
 
