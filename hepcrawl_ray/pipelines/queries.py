@@ -2916,6 +2916,51 @@ ORACLE_SQL.update({
 })
 
 
+_OA_JOURNALS = frozenset({"src2", "src5", "src11", "src17"})
+
+
+def q_oa_conditional_fanout(sf_dir: str):
+    """Per-journal open-access conditional fan-out (SURVEY §2.5;
+    reference: EDPSpider OPEN_ACCESS_JOURNALS gate,
+    hepcrawl/spiders/edp_spider.py:125-127,243-255): every doc emits a
+    record row; docs WITH a DOI in an open-access journal also emit a
+    PDF-fetch row.  DOIs synthesized on even doc_ids (both sides)."""
+    from hepcrawl_ray.sources import expand as X
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        doi = pd.Series(np.where(
+            d % 2 == 0, "10.51/" + pd.Series(d).astype(str), None))
+        t = t.append_column("doi", pa.array(doi, pa.string()))
+        return X.open_access_fanout(t, journal_col="source",
+                                    doi_col="doi",
+                                    open_journals=_OA_JOURNALS)
+
+    return (_read(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+QUERIES.update({"oa_conditional_fanout": q_oa_conditional_fanout})
+
+ORACLE_SQL.update({
+    "oa_conditional_fanout": """
+        WITH d AS (SELECT doc_id, source,
+                CASE WHEN doc_id % 2 = 0
+                     THEN '10.51/' || CAST(doc_id AS VARCHAR) END AS doi
+            FROM documents)
+        SELECT doc_id, source, doi, 'record' AS kind,
+               CAST(NULL AS VARCHAR) AS fetch_url
+        FROM d
+        UNION ALL
+        SELECT doc_id, source, doi, 'fetch' AS kind,
+               'http://dx.doi.org/' || doi AS fetch_url
+        FROM d
+        WHERE doi IS NOT NULL
+          AND source IN ('src2', 'src5', 'src11', 'src17')
+    """,
+})
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (as-of / range) — ops/temporal.py
 # ---------------------------------------------------------------------------

@@ -165,3 +165,36 @@ def paged_enumerate(total: int, page_size: int) -> pa.Table:
     return pa.table({"page": pa.array(pages, pa.int32()),
                      "offset": pa.array(offsets, pa.int64()),
                      "token": pa.array(tokens, pa.string())})
+
+
+def open_access_fanout(batch: pa.Table, *, journal_col: str,
+                       doi_col: str, open_journals: frozenset,
+                       doi_resolver: str = "http://dx.doi.org/"
+                       ) -> pa.Table:
+    """Per-journal open-access conditional fan-out (reference:
+    EDPSpider.parse_node, hepcrawl/spiders/edp_spider.py:125-127,
+    243-255 — PDFs are fetched ONLY for open-access journals).
+
+    Every input row emits a ``record`` row; rows with a DOI whose
+    journal is in ``open_journals`` ALSO emit a ``fetch`` row carrying
+    the resolver URL — the 1->2 routing that feeds the fetch stage in
+    the crawl pipeline.  Fully vectorized (Arrow filter + concat); at
+    scale this is a stateless flat_map with no shuffle."""
+    import pyarrow.compute as pc
+
+    rec = batch.append_column("kind", pa.array(
+        ["record"] * batch.num_rows, pa.string()))
+    rec = rec.append_column("fetch_url",
+                            pa.nulls(batch.num_rows, pa.string()))
+    gate = pc.and_(
+        pc.is_valid(batch.column(doi_col)),
+        pc.is_in(batch.column(journal_col),
+                 value_set=pa.array(sorted(open_journals), pa.string())))
+    hits = batch.filter(gate)
+    urls = pc.binary_join_element_wise(
+        pa.array([doi_resolver] * hits.num_rows, pa.string()),
+        hits.column(doi_col).cast(pa.string()), "")
+    fetch = hits.append_column("kind", pa.array(
+        ["fetch"] * hits.num_rows, pa.string()))
+    fetch = fetch.append_column("fetch_url", urls)
+    return pa.concat_tables([rec, fetch])
