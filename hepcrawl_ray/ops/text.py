@@ -127,6 +127,26 @@ def langid(texts) -> list[str]:
     return out
 
 
+# GPT-2-style pre-tokenizer, simplified to RE2 (no lookahead, ASCII
+# classes): word runs, digit runs, punctuation runs — each with an
+# optional leading space — then residual whitespace.  RE2 is also
+# DuckDB's engine, so a SQL oracle counts identically.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col) -> np.ndarray:
+    """Per-row count of BPE-style pre-tokens (int64) — the token-count
+    estimate an LLM data pipeline budgets corpus size with."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.count_substring_regex(
+        col, pattern=BPE_SPLIT_PATTERN).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
 def fingerprint64(texts) -> np.ndarray:
     """Rolling polynomial fingerprint of the whole text, returned as
     int64 — the document-identity hash for exact dedup.

@@ -2916,6 +2916,113 @@ ORACLE_SQL.update({
 })
 
 
+def q_text_bpe_tokens(sf_dir: str):
+    """Token counting, whitespace + BPE-ish regex (the corpus-size
+    budget number): RE2 pattern shared verbatim with the oracle."""
+    def f(t: pa.Table) -> pa.Table:
+        stats = T.token_stats_arrow(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_ws_tokens": pa.array(stats["n_tokens"]),
+                         "n_bpe_tokens": pa.array(
+                             T.bpe_token_count(t.column("text")))})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_window_lag_lead(sf_dir: str):
+    """LAG/LEAD per user ordered by (ts, event_id): previous-event gap
+    in microseconds (-1 for the first) and next event type ('none' for
+    the last).  Bucket shuffle + pandas shift — the SQL window shape
+    without a global sort."""
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        return pa.table({"event_id": t.column("event_id"), "user_id": uid,
+                         "ts": t.column("ts"),
+                         "event_type": t.column("event_type"),
+                         "bucket": pc.bit_wise_and(uid, 63)})
+
+    def shifts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]) \
+            .reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[new_user] = -1
+        nxt = np.empty(n, dtype=object)
+        nxt[:-1] = g["event_type"].to_numpy()[1:]
+        nxt[-1] = "none"
+        last = np.zeros(n, dtype=bool)
+        last[:-1] = new_user[1:]
+        last[-1] = True
+        nxt[last] = "none"
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": uid,
+                             "prev_gap_us": gap, "next_type": nxt})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(shifts, batch_format="pandas"))
+
+
+def q_stratified_split(sf_dir: str):
+    """Deterministic stratified train/val/test split: hash(doc_id)
+    mod 100 -> 80/10/10 inside every source stratum.  Multiplier hash
+    is exact in int64 up to doc_id ~3.9e9 (both engines compute the
+    identical product; at larger ids swap in a splitmix on both
+    sides)."""
+    def f(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        h = (d * 2654435761) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "split": pa.array(split, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+QUERIES.update({"text_bpe_tokens": q_text_bpe_tokens,
+                "window_lag_lead": q_window_lag_lead,
+                "stratified_split": q_stratified_split})
+
+ORACLE_SQL.update({
+    "text_bpe_tokens": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_ws_tokens,
+               len(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    "window_lag_lead": """
+        SELECT event_id, user_id,
+               coalesce(CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             AS BIGINT), -1) AS prev_gap_us,
+               coalesce(lead(event_type) OVER w, 'none') AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "stratified_split": """
+        SELECT doc_id, source,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+})
+
+
 _OA_JOURNALS = frozenset({"src2", "src5", "src11", "src17"})
 
 
