@@ -274,9 +274,11 @@ def simhash_signatures(ds, id_col="doc_id", text_col="text", concurrency=4):
         sig, batch_format="pyarrow")
 
 
-def simhash_neardup_pairs(ds, *, max_distance=3, id_col="doc_id",
-                          text_col="text", max_bucket=4096, concurrency=4):
-    """EXACT Hamming-ball pairs over 64-bit SimHash signatures.
+def hamming_neardup_pairs(sigs, *, sig_col="sig", id_col="doc_id",
+                          max_distance=3, max_bucket=4096):
+    """EXACT Hamming-ball pairs over ANY 64-bit signature column
+    (SimHash text signatures, image perceptual hashes, audio
+    fingerprints — anything stored as int64).
 
     Pigeonhole blocking: the 64 bits split into ``max_distance + 1``
     disjoint bands — any pair within Hamming distance d agrees exactly
@@ -301,12 +303,10 @@ def simhash_neardup_pairs(ds, *, max_distance=3, id_col="doc_id",
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = np.cumsum([0] + widths[:-1])
-
-    sigs = simhash_signatures(ds, id_col=id_col, text_col=text_col,
-                              concurrency=concurrency)
+    signature_col = sig_col  # band_rows has a local list named sig_col
 
     def band_rows(t: pa.Table) -> pa.Table:
-        sig = t.column("simhash").to_numpy().view(np.uint64)
+        sig = t.column(signature_col).to_numpy().view(np.uint64)
         ids = t.column(id_col).combine_chunks() if isinstance(
             t.column(id_col), pa.ChunkedArray) else t.column(id_col)
         out_id = pa.concat_arrays([ids] * n_bands)
@@ -359,6 +359,19 @@ def simhash_neardup_pairs(ds, *, max_distance=3, id_col="doc_id",
             .map_groups(bucket_pairs, batch_format="pandas")
             .groupby("pair_bucket")
             .map_groups(distinct_pairs, batch_format="pandas"))
+
+
+def simhash_neardup_pairs(ds, *, max_distance=3, id_col="doc_id",
+                          text_col="text", max_bucket=4096, concurrency=4):
+    """EXACT Hamming-ball pairs over 64-bit SimHash text signatures:
+    ``simhash_signatures`` then the generic pigeonhole-banded
+    ``hamming_neardup_pairs`` (see there for the exactness argument
+    and the ``max_bucket`` trade)."""
+    sigs = simhash_signatures(ds, id_col=id_col, text_col=text_col,
+                              concurrency=concurrency)
+    return hamming_neardup_pairs(sigs, sig_col="simhash", id_col=id_col,
+                                 max_distance=max_distance,
+                                 max_bucket=max_bucket)
 
 
 # ------------------------------------------------------- n-gram Jaccard ----
