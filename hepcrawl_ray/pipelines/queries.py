@@ -3245,6 +3245,149 @@ ORACLE_SQL.update({
 })
 
 
+def q_contamination_check(sf_dir: str):
+    """Benchmark decontamination: flag every corpus document that
+    shares a 5-token shingle with a held-out benchmark set (docs with
+    doc_id % 20 == 0 stand in for the eval suite).  Scale shape: the
+    benchmark side is SMALL BY DEFINITION (an eval set, not a fact
+    table), so its distinct-shingle set is built distributed, collected
+    once, ``ray.put`` once, and read shared-memory by every scan task
+    — the corpus streams through ONE map_batches with no shuffle.
+    n_hits counts the doc's distinct shingles found in the benchmark."""
+    import ray as _ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_sh(t: pa.Table) -> pa.Table:
+        mask = (t.column("doc_id").to_numpy() % 20) == 0
+        t = t.filter(pa.array(mask))
+        ss: set = set()
+        for txt in t.column("text").to_pylist():
+            ss.update(T.shingles(txt, 5))
+        return pa.table({"s": pa.array(sorted(ss), pa.string())})
+
+    bench_set = frozenset(
+        r["s"] for r in
+        docs.map_batches(bench_sh, batch_format="pyarrow").take_all())
+    ref = _ray.put(bench_set)
+
+    def scan(t: pa.Table) -> pa.Table:
+        mask = (t.column("doc_id").to_numpy() % 20) != 0
+        t = t.filter(pa.array(mask))
+        bs = _ray.get(ref)
+        hits = np.fromiter(
+            (len(set(T.shingles(txt, 5)) & bs)
+             for txt in t.column("text").to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array((hits > 0).astype(np.int64),
+                                     pa.int64())})
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
+def q_text_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document: total /
+    distinct word-bigram counts, the hottest single bigram's count,
+    and integer-basis-point duplicate-bigram and top-bigram fractions
+    (integer arithmetic on BOTH sides so the oracle hash is exact).
+    Per-batch work explodes (doc, bigram) rows once and counts in a
+    pandas C groupby — no per-doc Counter loop over the hot path."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        di: list = []
+        bg: list = []
+        for i, txt in enumerate(texts):
+            toks = T.tokenize_ws(txt)
+            for j in range(len(toks) - 1):
+                di.append(i)
+                bg.append(toks[j] + " " + toks[j + 1])
+        n = np.zeros(len(ids), dtype=np.int64)
+        nd = np.zeros(len(ids), dtype=np.int64)
+        mx = np.zeros(len(ids), dtype=np.int64)
+        if bg:
+            df = pd.DataFrame({"i": np.asarray(di, dtype=np.int64),
+                               "b": bg})
+            per = df.groupby(["i", "b"], sort=False).size()
+            byi = per.groupby(level=0)
+            s_n = byi.sum()
+            s_nd = byi.size()
+            s_mx = byi.max()
+            n[s_n.index.to_numpy()] = s_n.to_numpy()
+            nd[s_nd.index.to_numpy()] = s_nd.to_numpy()
+            mx[s_mx.index.to_numpy()] = s_mx.to_numpy()
+        safe = np.maximum(n, 1)
+        dup_bp = ((n - nd) * 10000) // safe
+        top_bp = (mx * 10000) // safe
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bigrams": pa.array(n, pa.int64()),
+            "n_distinct_bigrams": pa.array(nd, pa.int64()),
+            "max_bigram_count": pa.array(mx, pa.int64()),
+            "dup_bigram_bp": pa.array(dup_bp, pa.int64()),
+            "top_bigram_bp": pa.array(top_bp, pa.int64())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+QUERIES.update({"contamination_check": q_contamination_check,
+                "text_repetition": q_text_repetition})
+
+ORACLE_SQL.update({
+    "contamination_check": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4] AS s
+            FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        hits AS (
+            SELECT sh.doc_id, count(*) AS n
+            FROM sh JOIN bench USING (s)
+            WHERE sh.doc_id % 20 != 0
+            GROUP BY sh.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(hits.n, 0) > 0 AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        WHERE d.doc_id % 20 != 0
+    """,
+    "text_repetition": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        bg AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+            FROM toks, UNNEST(range(1, len(t))) AS r(i)),
+        bgc AS (SELECT doc_id, b, count(*) AS c FROM bg
+                GROUP BY doc_id, b),
+        agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                       max(c) AS mx
+                FROM bgc GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(agg.nd, 0) AS BIGINT)
+                   AS n_distinct_bigrams,
+               CAST(coalesce(agg.mx, 0) AS BIGINT) AS max_bigram_count,
+               CAST(((coalesce(agg.n, 0) - coalesce(agg.nd, 0)) * 10000)
+                    // greatest(coalesce(agg.n, 0), 1) AS BIGINT)
+                   AS dup_bigram_bp,
+               CAST((coalesce(agg.mx, 0) * 10000)
+                    // greatest(coalesce(agg.n, 0), 1) AS BIGINT)
+                   AS top_bigram_bp
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
