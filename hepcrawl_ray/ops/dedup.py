@@ -465,7 +465,7 @@ def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
 
 
 def neardup_components(ds, pairs_ds, *, id_col="doc_id",
-                       pair_a="doc_a", pair_b="doc_b"):
+                       pair_a="doc_a", pair_b="doc_b", carry_cols=()):
     """Connected components over a near-dup pair table: every doc gets
     its component root (min id); docs in no pair are their own root.
 
@@ -477,6 +477,10 @@ def neardup_components(ds, pairs_ds, *, id_col="doc_id",
     itself never leaves the workers.  If pair volume ever outgrew the
     driver, the same contract is served by iterative bucketed
     min-label propagation (O(diameter) keyed shuffles).
+
+    ``carry_cols`` names payload columns of ``ds`` (e.g. a length /
+    quality score) to pass through unchanged next to the root label,
+    so downstream selection policies need no second corpus join.
     """
     import ray
 
@@ -513,12 +517,48 @@ def neardup_components(ds, pairs_ds, *, id_col="doc_id",
             # themselves as root) — no per-row Python lookup
             s = pd.Series(ids)
             roots = s.map(self.comp).fillna(s).astype("int64")
-            return pa.table({id_col: t.column(id_col),
-                             "root": pa.array(roots.to_numpy(),
-                                              pa.int64())})
+            cols = {id_col: t.column(id_col),
+                    "root": pa.array(roots.to_numpy(), pa.int64())}
+            for c in carry_cols:
+                cols[c] = t.column(c)
+            return pa.table(cols)
 
-    return ds.select_columns([id_col]).map_batches(
+    return ds.select_columns([id_col, *carry_cols]).map_batches(
         MapRoot, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5)
+
+
+def canonical_per_component(comp_ds, *, score_col, id_col="doc_id",
+                            root_col="root", n_buckets=64):
+    """Representative selection — the dedup DECISION step: within each
+    near-dup component keep exactly one document (highest ``score_col``,
+    ties broken by min ``id_col``), flag the rest as drops.
+
+    Component ids are high-cardinality (≈ one per unique doc), so the
+    per-root argmax runs as a hash-bucket shuffle with a pandas-in-C
+    group body (CLAUDE lesson 1) — one keyed exchange of (id, root,
+    score) rows only; no payload, no driver materialization.
+    """
+    def prep(t: pa.Table) -> pa.Table:
+        r = t.column(root_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column(
+            "_bucket", pa.array((r % n_buckets).astype(np.int64)))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        # lesson 13: re-pin key dtypes after the shuffle
+        g[id_col] = g[id_col].astype("int64")
+        g[root_col] = g[root_col].astype("int64")
+        srt = g.sort_values([root_col, score_col, id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        keep_ids = set(srt.drop_duplicates(root_col)[id_col].to_numpy())
+        g["keep"] = g[id_col].isin(keep_ids).astype("int64")
+        return g
+
+    return (comp_ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(pick, batch_format="pandas"))
 
 
 # ---------------------------------------------------- embedding cosine ----

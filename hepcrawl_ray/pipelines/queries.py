@@ -3388,6 +3388,281 @@ ORACLE_SQL.update({
 })
 
 
+def q_dedup_keep_canonical(sf_dir: str):
+    """End-to-end near-dup dedup DECISION: exact ngram pairs ->
+    connected components -> per component keep the longest document
+    (ties: min doc_id), flag the rest as drops.  The length score rides
+    through the component labeling (``carry_cols``) so no second corpus
+    join is needed; per-root argmax is a hash-bucket pandas shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pairs = D.ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]),
+        k_shingle=3, threshold=0.3, max_shingle_df=256)
+    comp = D.neardup_components(docs, pairs, carry_cols=("n_chars",))
+    return D.canonical_per_component(comp, score_col="n_chars")
+
+
+_PARA_TOKS = 16
+
+
+def q_dedup_paragraphs(sf_dir: str):
+    """Corpus-level exact paragraph dedup (the CCNet/RefinedWeb
+    repeated-line removal shape): split every document into fixed
+    16-token chunks, keep only the GLOBALLY FIRST occurrence of each
+    distinct chunk (min (doc_id, idx)), and reassemble each surviving
+    document from its remaining chunks in order.
+
+    Scale shape: explode (doc_id, idx, chunk) rows once; first-
+    occurrence selection is a hash(chunk)-bucket shuffle with a
+    pandas-in-C dedup body; reassembly is a doc_id-bucket shuffle with
+    an ordered string_agg.  Two keyed exchanges, chunk text moves once
+    each; no corpus broadcast, no driver materialization."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        d: list = []
+        ix: list = []
+        ch: list = []
+        for i, txt in enumerate(texts):
+            toks = T.tokenize_ws(txt)
+            for c in range(0, len(toks), _PARA_TOKS):
+                d.append(ids[i])
+                ix.append(c // _PARA_TOKS)
+                ch.append(" ".join(toks[c:c + _PARA_TOKS]))
+        h = pd.util.hash_array(np.asarray(ch, dtype=object))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(d, dtype=np.int64)),
+            "idx": pa.array(np.asarray(ix, dtype=np.int64)),
+            "chunk": pa.array(ch, pa.string()),
+            "_bucket": pa.array((h % n_buckets).astype(np.int64))})
+
+    def first_only(g: pd.DataFrame) -> pd.DataFrame:
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["idx"] = g["idx"].astype("int64")
+        srt = g.sort_values(["chunk", "doc_id", "idx"], kind="mergesort")
+        out = srt.drop_duplicates("chunk")
+        return out[["doc_id", "idx", "chunk"]]
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column(
+            "_bucket2", pa.array((ids % n_buckets).astype(np.int64)))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g["doc_id"] = g["doc_id"].astype("int64")
+        srt = g.sort_values(["doc_id", "idx"], kind="mergesort")
+        out = srt.groupby("doc_id", sort=True).agg(
+            text_kept=("chunk", " ".join),
+            n_kept=("chunk", "size")).reset_index()
+        out["n_kept"] = out["n_kept"].astype("int64")
+        return out
+
+    return (docs.map_batches(explode, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(first_only,
+                                           batch_format="pandas")
+            .map_batches(rebucket, batch_format="pyarrow")
+            .groupby("_bucket2").map_groups(rebuild,
+                                            batch_format="pandas"))
+
+
+def q_rollup_orders(sf_dir: str):
+    """ROLLUP aggregate: order revenue by (year, month), by year, and
+    grand total, with -1 sentinels for the rolled-up levels.  The fan-in
+    is a per-batch Arrow partial over the fact table (the only pass
+    over data); the rollup itself runs on the aggregated table, which
+    is SMALL BY CONSTRUCTION (|years| x |months| rows) — the legitimate
+    pre-aggregate-then-tiny-rollup shape, not a driver scan."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("o_orderdate"))
+        mo = pc.month(t.column("o_orderdate"))
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        tmp = pa.table({"yr": yr, "mo": mo,
+                        "cents": pa.array(cents),
+                        "one": pa.array(np.ones(t.num_rows, np.int64))})
+        g = tmp.group_by(["yr", "mo"]).aggregate([("cents", "sum"),
+                                                  ("one", "sum")])
+        return g.rename_columns(["yr", "mo", "cents", "n"])
+
+    # <= years*months rows per block after the partial; the global
+    # combine + rollup runs over that tiny table.
+    small = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    del orders
+    small["yr"] = small["yr"].astype("int64")
+    small["mo"] = small["mo"].astype("int64")
+    fine = small.groupby(["yr", "mo"], as_index=False).agg(
+        rev_cents=("cents", "sum"), n_orders=("n", "sum"))
+    by_year = fine.groupby("yr", as_index=False).agg(
+        rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum"))
+    by_year["mo"] = -1
+    total = pd.DataFrame({"yr": [-1], "mo": [-1],
+                          "rev_cents": [fine["rev_cents"].sum()],
+                          "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([fine, by_year[["yr", "mo", "rev_cents", "n_orders"]],
+                     total], ignore_index=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_left_join_customer_revenue(sf_dir: str):
+    """LEFT OUTER join: every customer with their order count and
+    revenue, zeros for customers with no orders.  Same union +
+    bucket-groupby pandas-merge gather as the inner-join queries
+    (Dataset.join crashes on empty LEFT partitions, CLAUDE lesson 11);
+    the orders side is pre-aggregated per batch so only (custkey,
+    partial_rev, partial_n) rows ride the shuffle."""
+    n_buckets = 64
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        tmp = pa.table({"custkey": t.column("o_custkey"),
+                        "rev": pa.array(cents),
+                        "one": pa.array(np.ones(t.num_rows, np.int64))})
+        g = (tmp.group_by("custkey")
+             .aggregate([("rev", "sum"), ("one", "sum")])
+             .rename_columns(["custkey", "rev", "n"]))
+        k = g.column("custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": g.column("custkey"),
+            "rev": g.column("rev"),
+            "n": g.column("n"),
+            "c_name": pa.nulls(g.num_rows, pa.string()),
+            "_side": pa.array(np.zeros(g.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": t.column("c_custkey"),
+            "rev": pa.nulls(t.num_rows, pa.int64()),
+            "n": pa.nulls(t.num_rows, pa.int64()),
+            "c_name": t.column("c_name"),
+            "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["_side"] == 1, ["custkey", "c_name"]].copy()
+        if dim.empty:
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype=str),
+                "rev_cents": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64")})
+        dim["custkey"] = dim["custkey"].astype("int64")  # lesson 13
+        fact = g[g["_side"] == 0]
+        agg = (fact.assign(custkey=lambda d: d["custkey"].astype("int64"))
+               .groupby("custkey", as_index=False)[["rev", "n"]].sum()
+               if not fact.empty else
+               pd.DataFrame({"custkey": pd.Series([], dtype="int64"),
+                             "rev": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")}))
+        m = dim.merge(agg, on="custkey", how="left")
+        return pd.DataFrame({
+            "c_custkey": m["custkey"].astype("int64"),
+            "c_name": m["c_name"],
+            "rev_cents": m["rev"].fillna(0).astype("int64"),
+            "n_orders": m["n"].fillna(0).astype("int64")})
+
+    return orders.union(cust).groupby("_bucket") \
+        .map_groups(gather, batch_format="pandas")
+
+
+QUERIES.update({"dedup_keep_canonical": q_dedup_keep_canonical,
+                "dedup_paragraphs": q_dedup_paragraphs,
+                "rollup_orders": q_rollup_orders,
+                "left_join_customer_revenue": q_left_join_customer_revenue})
+
+ORACLE_SQL.update({
+    "dedup_keep_canonical": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''),
+        sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+        nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        keep_s AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
+        cnt AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            JOIN keep_s k ON k.s = x.s
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc_a, doc_b FROM cnt
+            JOIN nsh na ON na.doc_id = doc_a
+            JOIN nsh nb ON nb.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.3),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id),
+        comp AS (
+            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS root
+            FROM reach GROUP BY id)
+        SELECT c.doc_id, c.root, d.n_chars,
+               CAST(CASE WHEN row_number() OVER (
+                        PARTITION BY c.root
+                        ORDER BY d.n_chars DESC, c.doc_id) = 1
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM comp c JOIN documents d USING (doc_id)
+    """,
+    "dedup_paragraphs": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''),
+        chunks AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                   array_to_string(t[i*16+1 : (i+1)*16], ' ') AS chunk
+            FROM toks,
+                 UNNEST(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT)))
+                     AS r(i)),
+        ranked AS (
+            SELECT doc_id, idx, chunk,
+                   row_number() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, idx) AS rn
+            FROM chunks)
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_kept,
+               count(*) AS n_kept
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+    "rollup_orders": """
+        WITH base AS (
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders)
+        SELECT CAST(coalesce(yr, -1) AS BIGINT) AS yr,
+               CAST(coalesce(mo, -1) AS BIGINT) AS mo,
+               CAST(sum(cents) AS BIGINT) AS rev_cents,
+               count(*) AS n_orders
+        FROM base GROUP BY ROLLUP (yr, mo)
+    """,
+    "left_join_customer_revenue": """
+        SELECT c_custkey, c_name,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS rev_cents,
+               CAST(count(o_custkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

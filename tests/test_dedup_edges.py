@@ -88,3 +88,38 @@ def test_minhash_batch_matches_reference():
     bd = T.band_digests(sig, bands=8)
     assert np.array_equal(sig[0], sig[3])          # rows 0 and 3 = docs 0, 5
     assert np.array_equal(bd[0], bd[3])
+
+
+def test_canonical_per_component_tiebreaks():
+    """Highest score wins; score ties break to MIN id; singleton
+    components keep themselves."""
+    import ray
+
+    comp = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "root":   [0, 0, 0, 3, 3, 5],
+        "score":  [10, 30, 30, 7, 7, 1],
+    }))
+    out = (D.canonical_per_component(comp, score_col="score")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # component 0: docs 1 and 2 tie at 30 -> doc 1 kept
+    # component 3: docs 3 and 4 tie at 7 -> doc 3 kept
+    # singleton 5 keeps itself
+    assert out["keep"].tolist() == [0, 1, 0, 1, 0, 1]
+    assert set(out.columns) == {"doc_id", "root", "score", "keep"}
+    assert str(out["keep"].dtype) == "int64"
+
+
+def test_components_carry_cols_passthrough():
+    import ray
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["one two three four", "one two three four", "unrelated words here now"],
+        "n_chars": [18, 18, 24],
+    }))
+    pairs = ray.data.from_arrow(pa.table({"doc_a": [0], "doc_b": [1]}))
+    out = (D.neardup_components(docs, pairs, carry_cols=("n_chars",))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["root"].tolist() == [0, 0, 2]
+    assert out["n_chars"].tolist() == [18, 18, 24]
