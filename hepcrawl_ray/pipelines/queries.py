@@ -3579,10 +3579,109 @@ def q_left_join_customer_revenue(sf_dir: str):
         .map_groups(gather, batch_format="pandas")
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 terms per document by a deterministic integer tf-idf
+    surrogate ``score = (tf * N) // df`` (N = corpus doc count; no
+    float log, so the oracle hash is exact).
+
+    Scale shape: (doc, term, tf) rows explode once per batch (pandas C
+    groupby); document frequency is computed INSIDE the term-hash
+    bucket shuffle via a groupby-transform — terms co-locate, so tf and
+    df meet without a second corpus pass or a df broadcast; the top-3
+    per doc is a doc-bucket shuffle with a sort-head body.  Two keyed
+    exchanges of (id, term, int) rows total."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_total = docs.count()
+    n_buckets = 64
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        di: list = []
+        tm: list = []
+        for i, txt in enumerate(texts):
+            for tok in T.tokenize_ws(txt):
+                di.append(ids[i])
+                tm.append(tok)
+        df = (pd.DataFrame({"doc_id": np.asarray(di, dtype=np.int64),
+                            "term": tm})
+              .groupby(["doc_id", "term"], sort=False)
+              .size().reset_index(name="tf"))
+        h = pd.util.hash_array(df["term"].to_numpy(dtype=object))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(df["term"].tolist(), pa.string()),
+            "tf": pa.array(df["tf"].to_numpy().astype(np.int64)),
+            "_bucket": pa.array((h % n_buckets).astype(np.int64))})
+
+    def score_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["tf"] = g["tf"].astype("int64")
+        df_per_term = g.groupby("term")["doc_id"].transform("size")
+        g["score"] = (g["tf"] * np.int64(n_total)) // df_per_term
+        g["_bucket2"] = (g["doc_id"] % n_buckets).astype("int64")
+        return g[["doc_id", "term", "score", "_bucket2"]]
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["score"] = g["score"].astype("int64")
+        srt = g.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        srt["rank"] = srt.groupby("doc_id").cumcount() + 1
+        out = srt[srt["rank"] <= 3]
+        return out[["doc_id", "term", "score", "rank"]].astype(
+            {"rank": "int64"})
+
+    return (docs.map_batches(explode_tf, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(score_in_bucket,
+                                           batch_format="pandas")
+            .groupby("_bucket2").map_groups(top3, batch_format="pandas"))
+
+
+def q_grouped_quantiles_chars(sf_dir: str):
+    """Exact per-group quantiles (p50/p90 of document length by
+    source) without sorting rows: each batch emits a (source, n_chars)
+    VALUE-HISTOGRAM partial; the merged histogram is small by
+    construction (|sources| x |distinct lengths|), so the discrete
+    quantile (DuckDB quantile_disc: 0-based index ceil(q*n)-1) is read
+    off the cumulative counts driver-side."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (pa.table({"source": t.column("source"),
+                       "n_chars": t.column("n_chars"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["source", "n_chars"]).aggregate([("one", "sum")]))
+        return g.rename_columns(["source", "n_chars", "cnt"])
+
+    small = docs.map_batches(hist, batch_format="pyarrow").to_pandas()
+    small["n_chars"] = small["n_chars"].astype("int64")
+    merged = (small.groupby(["source", "n_chars"], as_index=False)
+              ["cnt"].sum().sort_values(["source", "n_chars"]))
+
+    rows = []
+    for src, g in merged.groupby("source", sort=True):
+        counts = g["cnt"].to_numpy()
+        vals = g["n_chars"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        p50 = vals[np.searchsorted(cum, (n + 1) // 2)]
+        p90 = vals[np.searchsorted(cum, (9 * n + 9) // 10)]
+        rows.append((src, int(p50), int(p90), n))
+    out = pd.DataFrame(rows, columns=["source", "p50_chars",
+                                      "p90_chars", "n_docs"])
+    for c in ("p50_chars", "p90_chars", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES.update({"dedup_keep_canonical": q_dedup_keep_canonical,
                 "dedup_paragraphs": q_dedup_paragraphs,
                 "rollup_orders": q_rollup_orders,
-                "left_join_customer_revenue": q_left_join_customer_revenue})
+                "left_join_customer_revenue": q_left_join_customer_revenue,
+                "tfidf_top_terms": q_tfidf_top_terms,
+                "grouped_quantiles_chars": q_grouped_quantiles_chars})
 
 ORACLE_SQL.update({
     "dedup_keep_canonical": """
@@ -3659,6 +3758,34 @@ ORACLE_SQL.update({
                CAST(count(o_custkey) AS BIGINT) AS n_orders
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name
+    """,
+    "tfidf_top_terms": """
+        WITH n AS (SELECT count(*) AS nn FROM documents),
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''),
+        terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+               GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST((tf.tf * nn) // df.df AS BIGINT) AS score
+            FROM tf JOIN df USING (term), n),
+        ranked AS (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rn
+            FROM scored)
+        SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 3
+    """,
+    "grouped_quantiles_chars": """
+        SELECT source,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
+               count(*) AS n_docs
+        FROM documents GROUP BY source
     """,
 })
 
