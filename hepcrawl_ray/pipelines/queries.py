@@ -3676,12 +3676,86 @@ def q_grouped_quantiles_chars(sf_dir: str):
     return out
 
 
+def q_semi_join_active_customers(sf_dir: str):
+    """Semi-join (EXISTS): customers with at least one event — the
+    inverse of the anti-join manifest check (reference analog:
+    FTP listing ∩ done set).  Same broadcast key-set shape as
+    q_anti_join_inactive_customers: the distinct user set is small
+    relative to the fact table, ships once via ``ray.put``, and the
+    customer stream filters row-locally — no shuffle."""
+    import ray
+
+    users = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    seen = pa.array(sorted(int(u) for u in users), type=pa.int64())
+    seen_ref = ray.put(seen)
+
+    class SemiJoin:
+        def __init__(self):
+            self.seen = ray.get(seen_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("c_custkey"),
+                                     value_set=self.seen))
+
+    return (_read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(SemiJoin, batch_format="pyarrow",
+                         concurrency=(1, 2), num_cpus=0.5))
+
+
+_PIVOT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+def q_pivot_event_counts(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user with a count
+    column per event type (SQL ``count(*) FILTER (WHERE ...)``).
+    Per-batch Arrow partial — group_by(user) over 0/1 indicator
+    columns — then one built-in grouped Sum per pivot column; never a
+    per-group Python body and the shuffle moves pre-aggregated rows."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cols = {"user_id": t.column("user_id")}
+        for name in _PIVOT_TYPES:
+            cols[f"n_{name}"] = pc.cast(pc.equal(et, name), pa.int64())
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [(f"n_{name}", "sum") for name in _PIVOT_TYPES])
+        return g.rename_columns(
+            ["user_id"] + [f"n_{name}" for name in _PIVOT_TYPES])
+
+    aggs = [Sum(f"n_{name}", alias_name=f"n_{name}")
+            for name in _PIVOT_TYPES]
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(*aggs))
+
+
+def q_dedup_minhash_pipeline(sf_dir: str):
+    """The COMPLETE scalable dedup pipeline end-to-end: MinHash-LSH
+    candidate pairs (Jaccard-verified) -> connected components ->
+    per-component canonical selection (longest doc, min-id ties).
+    Output: (doc_id, root, n_chars, keep) for every document.
+    Rows-only: LSH recall is probabilistic by design; the exact twin
+    of each stage is oracle-checked separately (q_dedup_ngram_jaccard,
+    q_dedup_components, q_dedup_keep_canonical)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pairs = D.minhash_lsh_pairs(
+        docs.select_columns(["doc_id", "text"]),
+        num_perm=64, bands=16, threshold=0.3)
+    comp = D.neardup_components(docs, pairs, carry_cols=("n_chars",))
+    return D.canonical_per_component(comp, score_col="n_chars")
+
+
 QUERIES.update({"dedup_keep_canonical": q_dedup_keep_canonical,
                 "dedup_paragraphs": q_dedup_paragraphs,
                 "rollup_orders": q_rollup_orders,
                 "left_join_customer_revenue": q_left_join_customer_revenue,
                 "tfidf_top_terms": q_tfidf_top_terms,
-                "grouped_quantiles_chars": q_grouped_quantiles_chars})
+                "grouped_quantiles_chars": q_grouped_quantiles_chars,
+                "semi_join_active_customers": q_semi_join_active_customers,
+                "pivot_event_counts": q_pivot_event_counts,
+                "dedup_minhash_pipeline": q_dedup_minhash_pipeline})
 
 ORACLE_SQL.update({
     "dedup_keep_canonical": """
@@ -3786,6 +3860,24 @@ ORACLE_SQL.update({
                CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
                count(*) AS n_docs
         FROM documents GROUP BY source
+    """,
+    "semi_join_active_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+    """,
+    "pivot_event_counts": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                   AS n_click,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                   AS n_view,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS n_error,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                   AS n_signup
+        FROM events GROUP BY user_id
     """,
 })
 
