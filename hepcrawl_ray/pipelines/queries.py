@@ -3882,6 +3882,248 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# window / stats / sampling batch 2 (SURVEY §2.7, §2.9 analogs)
+# ---------------------------------------------------------------------------
+
+def q_running_total_customer(sf_dir: str):
+    """Running cumulative revenue per customer ordered by
+    (o_orderdate, o_orderkey) — the SQL ``SUM() OVER (PARTITION BY ..
+    ORDER BY .. ROWS UNBOUNDED PRECEDING)`` shape (reference analog:
+    per-source harvested-count accumulation across a crawl,
+    hepcrawl/spiders/common/lastrunstore_spider.py).  One keyed bucket
+    shuffle; the cumsum body is pandas-in-C per bucket, never a global
+    sort."""
+    def prep(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey")
+        return pa.table({
+            "o_custkey": ck, "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "cents": pa.array(_cents(t.column("o_totalprice")
+                                     .to_numpy())),
+            "bucket": pc.bit_wise_and(ck, 63)})
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g["o_custkey"] = g["o_custkey"].astype("int64")
+        g["o_orderkey"] = g["o_orderkey"].astype("int64")
+        g["cents"] = g["cents"].astype("int64")
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort").reset_index(drop=True)
+        g["run_cents"] = g.groupby("o_custkey")["cents"].cumsum() \
+            .astype("int64")
+        return g[["o_custkey", "o_orderkey", "run_cents"]]
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate",
+                   "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket").map_groups(cumsum, batch_format="pandas"))
+
+
+def q_ntile_parts_by_brand(sf_dir: str):
+    """NTILE(4) + per-partition row_number per brand over retail price
+    — partitioned ranking without a global sort: brands shard by a
+    deterministic hash bucket, each pandas group computes the standard
+    SQL NTILE split (first n%k tiles get one extra row) vectorized."""
+    n_tiles = 4
+
+    def prep(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand")
+        h = pd.util.hash_array(
+            np.asarray(brand.to_pylist(), dtype=object))
+        return pa.table({
+            "p_partkey": t.column("p_partkey"), "p_brand": brand,
+            "price_cents": pa.array(_cents(t.column("p_retailprice")
+                                           .to_numpy())),
+            "bucket": pa.array((h % 16).astype(np.int64))})
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        g["p_partkey"] = g["p_partkey"].astype("int64")
+        g["price_cents"] = g["price_cents"].astype("int64")
+        g = g.sort_values(["p_brand", "price_cents", "p_partkey"],
+                          kind="mergesort").reset_index(drop=True)
+        sizes = g.groupby("p_brand", sort=False)["p_partkey"] \
+            .transform("size").to_numpy()
+        idx = g.groupby("p_brand", sort=False).cumcount().to_numpy()
+        q, r = sizes // n_tiles, sizes % n_tiles
+        big = np.maximum(q + 1, 1)
+        in_big = idx < big * r
+        tile_no = np.where(
+            in_big, idx // big,
+            r + (idx - big * r) // np.maximum(q, 1)) + 1
+        g["quartile"] = tile_no.astype("int64")
+        g["brand_rank"] = (idx + 1).astype("int64")
+        return g[["p_partkey", "p_brand", "price_cents", "quartile",
+                  "brand_rank"]]
+
+    return (_read(sf_dir, "part",
+                  ["p_partkey", "p_brand", "p_retailprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket").map_groups(tile, batch_format="pandas"))
+
+
+def q_stats_corr_partials(sf_dir: str):
+    """Correlation/variance sufficient statistics per group — the
+    distributed-numerics shape behind corr()/stddev(): each batch emits
+    integer partial sums (n, Σq, Σd, Σq², Σd², Σqd) via an Arrow
+    group_by, one tiny grouped Sum merges them.  All-integer so the
+    value-hash cannot drift on float addition order; the final
+    corr/stddev is a driver-side closed form over six numbers."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t.column("l_quantity").to_numpy() + 0.5) \
+            .astype(np.int64)
+        d = np.floor(t.column("l_discount").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        g = (pa.table({"l_returnflag": t.column("l_returnflag"),
+                       "one": pa.array(np.ones(len(q), np.int64)),
+                       "q": pa.array(q), "d": pa.array(d),
+                       "qq": pa.array(q * q), "dd": pa.array(d * d),
+                       "qd": pa.array(q * d)})
+             .group_by("l_returnflag")
+             .aggregate([("one", "sum"), ("q", "sum"), ("d", "sum"),
+                         ("qq", "sum"), ("dd", "sum"), ("qd", "sum")]))
+        return g.rename_columns(["l_returnflag", "n", "sum_q", "sum_d",
+                                 "sum_qq", "sum_dd", "sum_qd"])
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_quantity", "l_discount"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_q", alias_name="sum_q"),
+                       Sum("sum_d", alias_name="sum_d"),
+                       Sum("sum_qq", alias_name="sum_qq"),
+                       Sum("sum_dd", alias_name="sum_dd"),
+                       Sum("sum_qd", alias_name="sum_qd")))
+
+
+_MIX_MULT = 2654435761  # Knuth multiplicative hash; doc_id*mult must
+                        # stay under 2^63 on BOTH sides (doc_id<3.4e9).
+
+
+def q_mix_weighted_sample(sf_dir: str):
+    """Deterministic weighted corpus mixing: per-stratum keep rates
+    (en=80%, other=30%) decided by a pure arithmetic hash of doc_id so
+    the SQL twin reproduces the EXACT row set — the training-data
+    mixture/subsample shape.  Stateless row-local filter: no shuffle,
+    no RNG state, resumable by construction."""
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h = (ids * _MIX_MULT) % 1000
+        w = np.where(np.asarray(t.column("lang")) == "en", 800, 300)
+        return t.filter(pa.array(h < w))
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang", "source"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+def q_iqr_outlier_events(sf_dir: str):
+    """Tukey-fence outlier detection on event values (skewed, so the
+    fences actually fire): exact Q1/Q3 from a distributed value
+    histogram over INTEGER CENTS (bounded by the value range, not row
+    count), then a second row-local filter pass with the fences
+    broadcast in the closure.  The fence comparison is kept in
+    integers (2·c vs 2·q ± 3·IQR) so both sides agree exactly."""
+    from ray.data.aggregate import Sum
+
+    h = (_read(sf_dir, "events", ["value"])
+         .map_batches(
+             lambda t: (lambda v: pa.table(
+                 {"c": v[0], "p_n": v[1].astype(np.int64)}))(
+                 np.unique(_cents(t.column("value").to_numpy()),
+                           return_counts=True)),
+             batch_format="pyarrow")
+         .groupby("c").aggregate(Sum("p_n", alias_name="n"))
+         .sort("c").take_all())
+    vals = np.array([r["c"] for r in h], dtype=np.int64)
+    cum = np.cumsum(np.array([r["n"] for r in h], dtype=np.int64))
+    total = int(cum[-1])
+    qv = []
+    for q in (0.25, 0.75):
+        idx = max(int(np.ceil(q * total)) - 1, 0)
+        qv.append(int(vals[np.searchsorted(cum, idx + 1)]))
+    q1, q3 = qv
+    iqr = q3 - q1
+
+    def f(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("value").to_numpy())
+        mask = (2 * c < 2 * q1 - 3 * iqr) | (2 * c > 2 * q3 + 3 * iqr)
+        out = t.filter(pa.array(mask))
+        return pa.table({"event_id": out.column("event_id"),
+                         "value_cents": pa.array(
+                             _cents(out.column("value").to_numpy()))})
+
+    return (_read(sf_dir, "events", ["event_id", "value"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+QUERIES.update({
+    "running_total_customer": q_running_total_customer,
+    "ntile_parts_by_brand": q_ntile_parts_by_brand,
+    "stats_corr_partials": q_stats_corr_partials,
+    "mix_weighted_sample": q_mix_weighted_sample,
+    "iqr_outlier_events": q_iqr_outlier_events,
+})
+
+ORACLE_SQL.update({
+    "running_total_customer": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS run_cents
+        FROM orders
+    """,
+    "ntile_parts_by_brand": """
+        SELECT p_partkey, p_brand,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               CAST(row_number() OVER w AS BIGINT) AS brand_rank
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand
+                     ORDER BY floor(p_retailprice * 100 + 0.5),
+                              p_partkey)
+    """,
+    "stats_corr_partials": """
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+            FROM lineitem)
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               CAST(sum(d) AS BIGINT) AS sum_d,
+               CAST(sum(q * q) AS BIGINT) AS sum_qq,
+               CAST(sum(d * d) AS BIGINT) AS sum_dd,
+               CAST(sum(q * d) AS BIGINT) AS sum_qd
+        FROM b GROUP BY l_returnflag
+    """,
+    "mix_weighted_sample": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE (doc_id * 2654435761) % 1000 <
+              CASE WHEN lang = 'en' THEN 800 ELSE 300 END
+    """,
+    "iqr_outlier_events": """
+        WITH d AS (SELECT event_id,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              AS value_cents
+                   FROM events),
+        q AS (SELECT CAST(quantile_disc(value_cents, 0.25) AS BIGINT)
+                         AS q1,
+                     CAST(quantile_disc(value_cents, 0.75) AS BIGINT)
+                         AS q3
+              FROM d)
+        SELECT event_id, value_cents FROM d, q
+        WHERE 2 * value_cents < 2 * q1 - 3 * (q3 - q1)
+           OR 2 * value_cents > 2 * q3 + 3 * (q3 - q1)
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
