@@ -4124,6 +4124,64 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# clustering / semantic dedup (SemDeDup; training-data curation ops)
+# ---------------------------------------------------------------------------
+
+def q_cluster_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table (full
+    Lloyd's passes, ops/cluster.py): per-cluster member count and mean
+    centroid similarity.  Rows-only (iterative float algorithm — no
+    SQL twin); the distributed==single-process equivalence is pinned
+    in tests/test_cluster.py."""
+    from ray.data.aggregate import Sum
+
+    from hepcrawl_ray.ops import cluster as C
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = C.kmeans_fit(emb, k=10, iters=4)
+    assigned = C.kmeans_assign(emb, cent, pack_vec=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"cluster": t.column("cluster"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64)),
+                       "sim_milli": pa.array(
+                           np.floor(t.column("centroid_sim").to_numpy()
+                                    * 1000.0 + 0.5).astype(np.int64))})
+             .group_by("cluster")
+             .aggregate([("one", "sum"), ("sim_milli", "sum")]))
+        return g.rename_columns(["cluster", "n", "sim_sum"])
+
+    out = (assigned.map_batches(partial, batch_format="pyarrow")
+           .groupby("cluster")
+           .aggregate(Sum("n", alias_name="n_members"),
+                      Sum("sim_sum", alias_name="sim_milli_sum"))
+           .to_pandas())
+    out["mean_sim_milli"] = (out["sim_milli_sum"]
+                             // out["n_members"]).astype("int64")
+    return out[["cluster", "n_members", "mean_sim_milli"]]
+
+
+def q_semdedup_prune(sf_dir: str):
+    """SemDeDup semantic dedup (arXiv:2303.09540): k-means clusters,
+    then within-cluster cosine>=tau pruning keeping the member
+    farthest from the centroid.  One cluster-keyed shuffle; pairwise
+    work is numpy inside the group.  Rows-only; the planted-duplicate
+    recall and keep-rule invariants are pinned in
+    tests/test_cluster.py."""
+    from hepcrawl_ray.ops import cluster as C
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = C.kmeans_fit(emb, k=10, iters=4)
+    return C.semdedup(emb, cent, tau=0.8)
+
+
+QUERIES.update({
+    "cluster_kmeans": q_cluster_kmeans,
+    "semdedup_prune": q_semdedup_prune,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
