@@ -4182,6 +4182,115 @@ QUERIES.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# image-corpus curation stages (decode is REAL — own codecs)
+# ---------------------------------------------------------------------------
+
+def _images_ds(sf_dir: str, columns):
+    """Synthetic image corpus as a MULTI-BLOCK dataset (a single
+    from_arrow table is one block -> one task, CLAUDE.md lesson #3)."""
+    import ray
+
+    images, _, _, _ = _crawl_tables(sf_dir)
+    t = images.select(columns)
+    step = max(64, t.num_rows // 16)
+    chunks = [t.slice(i, step) for i in range(0, t.num_rows, step)]
+    return ray.data.from_arrow(chunks)
+
+
+def q_image_quality_gate(sf_dir: str):
+    """LAION-style image corpus gate: real decode + size/aspect/
+    contrast/entropy thresholds (ops.multimodal.ImageQualityStage).
+    Rows-only; threshold behavior pinned in tests/test_image_ops.py."""
+    from hepcrawl_ray.ops.multimodal import ImageQualityStage
+
+    return _images_ds(sf_dir, ["image_id", "bytes", "fmt"]) \
+        .map_batches(ImageQualityStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=(1, 4), num_cpus=0.5)
+
+
+def q_image_caption_align(sf_dir: str):
+    """Image-caption alignment scores (CLIP-score gating shape): the
+    dual-encoder 'model' is a documented deterministic stand-in, the
+    batched-inference actor plumbing is real (built once per actor in
+    __init__, two matmuls per batch)."""
+    from hepcrawl_ray.ops.multimodal import CaptionAlignStage
+
+    return _images_ds(sf_dir, ["image_id", "bytes", "fmt", "caption"]) \
+        .map_batches(CaptionAlignStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=(1, 4), num_cpus=0.5)
+
+
+def q_image_thumbnails_area(sf_dir: str):
+    """Decode -> anti-aliased area resize to 16x16 -> re-encode PNG:
+    the standard training-data image-normalization stage.  Emits the
+    thumbnail length and a decode-stable checksum per image."""
+    import zlib
+
+    from hepcrawl_ray import codecs as CZ
+    from hepcrawl_ray.ops.multimodal import area_resize
+
+    def thumbs(t: pa.Table) -> pa.Table:
+        ids, lens, crcs = [], [], []
+        for blob, fmt, iid in zip(t.column("bytes").to_pylist(),
+                                  t.column("fmt").to_pylist(),
+                                  t.column("image_id").to_pylist()):
+            try:
+                px = CZ.decode(blob, fmt)
+            except Exception:
+                continue
+            tb = CZ.encode_png(area_resize(px, 16, 16))
+            ids.append(iid)
+            lens.append(len(tb))
+            crcs.append(zlib.crc32(tb))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "thumb_len": pa.array(lens, pa.int64()),
+                         "thumb_crc": pa.array(crcs, pa.int64())})
+
+    return _images_ds(sf_dir, ["image_id", "bytes", "fmt"]) \
+        .map_batches(thumbs, batch_format="pyarrow", batch_size=64)
+
+
+_ASPECT_BUCKETS = ((1000, "square"), (1334, "4:3"), (1778, "16:9"),
+                   (10**9, "wide"))
+
+
+def q_image_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing for batch-efficient image training
+    (SDXL-style): classify every image by aspect band from the stored
+    (w, h) metadata — no decode — and count per (bucket, fmt)."""
+    from ray.data.aggregate import Sum
+
+    def classify(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        a = np.maximum(w, h) * 1000 // np.maximum(np.minimum(w, h), 1)
+        names = np.empty(len(a), dtype=object)
+        done = np.zeros(len(a), dtype=bool)
+        for lim, name in _ASPECT_BUCKETS:
+            sel = (~done) & (a <= lim)
+            names[sel] = name
+            done |= sel
+        g = (pa.table({"bucket": pa.array(names.tolist(), pa.string()),
+                       "fmt": t.column("fmt"),
+                       "one": pa.array(np.ones(len(a), np.int64))})
+             .group_by(["bucket", "fmt"]).aggregate([("one", "sum")]))
+        return g.rename_columns(["bucket", "fmt", "n"])
+
+    return (_images_ds(sf_dir, ["image_id", "w", "h", "fmt"])
+            .map_batches(classify, batch_format="pyarrow")
+            .groupby(["bucket", "fmt"])
+            .aggregate(Sum("n", alias_name="n_images")))
+
+
+QUERIES.update({
+    "image_quality_gate": q_image_quality_gate,
+    "image_caption_align": q_image_caption_align,
+    "image_thumbnails_area": q_image_thumbnails_area,
+    "image_aspect_buckets": q_image_aspect_buckets,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

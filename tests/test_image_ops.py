@@ -1,0 +1,99 @@
+"""Image-curation operators: area resize exactness, quality-gate
+thresholds, caption-align batching invariance (ops/multimodal.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from hepcrawl_ray import codecs
+from hepcrawl_ray.ops.multimodal import (CaptionAlignStage,
+                                         ImageQualityStage, area_resize)
+
+
+def test_area_resize_block_means():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = area_resize(px, 2, 2)
+    expect = np.array([[np.floor(px[:2, :2].mean() + 0.5),
+                        np.floor(px[:2, 2:].mean() + 0.5)],
+                       [np.floor(px[2:, :2].mean() + 0.5),
+                        np.floor(px[2:, 2:].mean() + 0.5)]],
+                      dtype=np.uint8)
+    assert (out == expect).all()
+
+
+def test_area_resize_constant_and_dtype():
+    px = np.full((30, 50, 3), 77, dtype=np.uint8)
+    out = area_resize(px, 7, 13)
+    assert out.shape == (7, 13, 3)
+    assert out.dtype == np.uint8
+    assert (out == 77).all()
+
+
+def test_area_resize_non_divisible_preserves_mean():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(17, 23), dtype=np.uint8).astype(np.uint8)
+    out = area_resize(px, 5, 7)
+    assert abs(float(out.mean()) - float(px.mean())) < 8.0
+
+
+def test_area_resize_upsample_nearest():
+    px = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    out = area_resize(px, 4, 4)
+    assert out.shape == (4, 4)
+    assert out[0, 0] == 1 and out[3, 3] == 4
+
+
+def _img_batch(pixels_list, ids=None, captions=None):
+    blobs = [codecs.encode_png(p) for p in pixels_list]
+    n = len(blobs)
+    cols = {"image_id": pa.array(ids or [f"i{k}" for k in range(n)]),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["png"] * n)}
+    if captions is not None:
+        cols["caption"] = pa.array(captions)
+    return pa.table(cols)
+
+
+def test_quality_gate_thresholds():
+    rng = np.random.default_rng(5)
+    flat = np.full((32, 32, 3), 128, dtype=np.uint8)          # no contrast
+    noisy = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    tiny = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    skinny = rng.integers(0, 256, size=(16, 160, 3)).astype(np.uint8)
+    out = ImageQualityStage()(_img_batch([flat, noisy, tiny, skinny]))
+    d = {r["image_id"]: r for r in out.to_pylist()}
+    assert d["i0"]["passed"] == 0 and d["i0"]["contrast_milli"] == 0
+    assert d["i1"]["passed"] == 1
+    assert d["i2"]["passed"] == 0          # min side
+    assert d["i3"]["passed"] == 0          # aspect 10:1
+    assert d["i3"]["aspect_milli"] == 10000
+
+
+def test_quality_gate_undecodable_row():
+    t = pa.table({"image_id": pa.array(["bad"]),
+                  "bytes": pa.array([b"notanimage"], pa.binary()),
+                  "fmt": pa.array(["png"])})
+    out = ImageQualityStage()(t).to_pylist()[0]
+    assert out["decoded"] is False and out["passed"] == 0
+
+
+def test_caption_align_batching_invariant():
+    rng = np.random.default_rng(9)
+    pix = [rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+           for _ in range(6)]
+    caps = [f"the quick image number {i} shows pattern {i * 7}"
+            for i in range(6)]
+    batch = _img_batch(pix, captions=caps)
+    stage = CaptionAlignStage()
+    whole = stage(batch).to_pylist()
+    single = [stage(batch.slice(i, 1)).to_pylist()[0] for i in range(6)]
+    assert whole == single
+    assert all(-1000 <= r["align_milli"] <= 1000 for r in whole)
+
+
+def test_caption_align_deterministic_across_instances():
+    rng = np.random.default_rng(13)
+    pix = [rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)]
+    batch = _img_batch(pix, captions=["a lone test caption"])
+    a = CaptionAlignStage()(batch).to_pylist()
+    b = CaptionAlignStage()(batch).to_pylist()
+    assert a == b
