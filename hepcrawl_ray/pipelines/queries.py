@@ -4291,6 +4291,296 @@ QUERIES.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# substring-duplication coverage, funnel, group sampling, histogram
+# ---------------------------------------------------------------------------
+
+_SUB_K = 8  # sliding k-gram width for substring-duplication coverage
+
+
+def q_dedup_substring_coverage(sf_dir: str):
+    """Exact-substring duplication coverage (the suffix-array dedup
+    measurement of Lee et al. 2022, 'Deduplicating Training Data Makes
+    Language Models Better', at fixed k): every SLIDING k-token gram
+    (stride 1 — unlike dedup_paragraphs' disjoint chunks), a gram is
+    duplicated when it occurs >1 time in the whole corpus, and a token
+    is covered when any gram window containing it is duplicated.
+    Returns per doc (n_tokens, n_dup_tokens).
+
+    Scale shape: grams bucket-shuffle by gram hash, so the global
+    occurrence count is bucket-local; duplicated positions come back
+    through ONE doc-keyed shuffle unioned with the per-doc token
+    counts (lesson #11 gather — no join), and coverage is a
+    difference-array sweep in numpy.  Gram text rides the first
+    shuffle only; at 100 TB you'd ship a 128-bit gram hash instead
+    (collision-safe), which drops that stage's bytes ~6x."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        gd, gp, gs = [], [], []
+        ld, ln = [], []
+        for i, txt in enumerate(texts):
+            toks = T.tokenize_ws(txt)
+            if not toks:
+                continue
+            ld.append(ids[i])
+            ln.append(len(toks))
+            for j in range(0, len(toks) - _SUB_K + 1):
+                gd.append(ids[i])
+                gp.append(j)
+                gs.append(" ".join(toks[j:j + _SUB_K]))
+        h = pd.util.hash_array(np.asarray(gs, dtype=object)) \
+            if gs else np.array([], dtype=np.uint64)
+        grams = pa.table({
+            "doc_id": pa.array(np.asarray(gd, dtype=np.int64)),
+            "pos": pa.array(np.asarray(gp, dtype=np.int64)),
+            "gram": pa.array(gs, pa.string()),
+            "n_tokens": pa.array(np.full(len(gd), -1, np.int64)),
+            "bucket": pa.array((h % n_buckets).astype(np.int64))})
+        lens = pa.table({
+            "doc_id": pa.array(np.asarray(ld, dtype=np.int64)),
+            "pos": pa.array(np.full(len(ld), -1, np.int64)),
+            "gram": pa.array([""] * len(ld), pa.string()),
+            "n_tokens": pa.array(np.asarray(ln, dtype=np.int64)),
+            # length rows skip the gram stage: route to bucket by doc
+            "bucket": pa.array(
+                (np.asarray(ld, dtype=np.int64) % n_buckets)
+                + n_buckets)})
+        return pa.concat_tables([grams, lens])
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        # length rows (bucket >= n_buckets) pass through untouched
+        if (g["pos"] < 0).all():
+            return g[["doc_id", "pos", "n_tokens"]]
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["pos"] = g["pos"].astype("int64")
+        cnt = g.groupby("gram")["doc_id"].transform("size")
+        out = g[cnt > 1]
+        return out[["doc_id", "pos", "n_tokens"]]
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column(
+            "bucket2", pa.array((ids % n_buckets).astype(np.int64)))
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["pos"] = g["pos"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        rows = []
+        lens = g[g["pos"] < 0].set_index("doc_id")["n_tokens"]
+        dups = g[g["pos"] >= 0]
+        by_doc = dict(iter(dups.groupby("doc_id"))) if len(dups) else {}
+        for doc_id, n in lens.items():
+            d = by_doc.get(doc_id)
+            if d is None or n <= 0:
+                rows.append((doc_id, int(n), 0))
+                continue
+            diff = np.zeros(n + 1, dtype=np.int64)
+            starts = d["pos"].to_numpy()
+            ends = np.minimum(starts + _SUB_K, n)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, ends, -1)
+            covered = int((np.cumsum(diff[:-1]) > 0).sum())
+            rows.append((doc_id, int(n), covered))
+        out = pd.DataFrame(rows, columns=["doc_id", "n_tokens",
+                                          "n_dup_tokens"])
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (docs.map_batches(explode, batch_format="pyarrow")
+            .groupby("bucket").map_groups(dup_positions,
+                                          batch_format="pandas")
+            .map_batches(rebucket, batch_format="pyarrow")
+            .groupby("bucket2").map_groups(coverage,
+                                           batch_format="pandas"))
+
+
+def q_funnel_stages(sf_dir: str):
+    """Ordered conversion funnel signup -> click -> purchase: each
+    user's stage is the longest strictly-time-ordered prefix reached
+    (first signup, first later click, first later purchase).  User
+    rows bucket-shuffle once; stage logic is three pandas
+    min-aggregations + merges inside the bucket — per-key work in C."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "click",
+                                            "purchase"]))
+        t = t.filter(keep)
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t.column("user_id"), 63))
+
+    def stage(g: pd.DataFrame) -> pd.DataFrame:
+        g["user_id"] = g["user_id"].astype("int64")
+        users = g[["user_id"]].drop_duplicates()
+        s = (g[g["event_type"] == "signup"]
+             .groupby("user_id")["ts"].min().rename("ts_s"))
+        c = (g[g["event_type"] == "click"]
+             .merge(s, on="user_id"))
+        c = (c[c["ts"] > c["ts_s"]]
+             .groupby("user_id")["ts"].min().rename("ts_c"))
+        p = (g[g["event_type"] == "purchase"]
+             .merge(c, on="user_id"))
+        p = (p[p["ts"] > p["ts_c"]]
+             .groupby("user_id")["ts"].min().rename("ts_p"))
+        st = users.set_index("user_id")
+        st["stage"] = 0
+        st.loc[st.index.isin(s.index), "stage"] = 1
+        st.loc[st.index.isin(c.index), "stage"] = 2
+        st.loc[st.index.isin(p.index), "stage"] = 3
+        out = (st.groupby("stage").size().rename("n_users")
+               .reset_index())
+        out["stage"] = out["stage"].astype("int64")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket").map_groups(stage, batch_format="pandas")
+            .groupby("stage").aggregate(Sum("n_users",
+                                            alias_name="n_users")))
+
+
+def q_groupwise_sample_docs(sf_dir: str):
+    """Deterministic per-group sampling: the 5 documents per source
+    with the smallest multiplicative id hash — the reproducible,
+    shuffle-light analog of reservoir sampling per stratum (order and
+    membership identical at any partition count).  Per-batch local
+    top-5 per source prunes before the single small shuffle."""
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h = (ids * _MIX_MULT) % (1 << 31)
+        df = pd.DataFrame({"doc_id": ids,
+                           "source": t.column("source").to_pylist(),
+                           "h": h})
+        out = (df.sort_values(["source", "h", "doc_id"])
+               .groupby("source").head(5))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final_top(g: pd.DataFrame) -> pd.DataFrame:
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["h"] = g["h"].astype("int64")
+        g = (g.sort_values(["source", "h", "doc_id"])
+             .groupby("source").head(5).copy())
+        g["sample_rank"] = (g.groupby("source").cumcount() + 1) \
+            .astype("int64")
+        return g[["source", "doc_id", "sample_rank"]]
+
+    return (_read(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(local_top, batch_format="pyarrow")
+            .groupby("source").map_groups(final_top,
+                                          batch_format="pandas"))
+
+
+def q_histogram_orders(sf_dir: str):
+    """Fixed-width histogram of order totals (10 x $60k bins): bin id
+    and count + revenue sum per bin — one vectorized pass, partial
+    Arrow group_by per batch, tiny grouped Sum merge."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        dollars = np.floor(t.column("o_totalprice").to_numpy()) \
+            .astype(np.int64)
+        b = np.minimum(dollars // 60000, 9)
+        g = (pa.table({"bin": pa.array(b),
+                       "one": pa.array(np.ones(len(b), np.int64)),
+                       "cents": pa.array(_cents(
+                           t.column("o_totalprice").to_numpy()))})
+             .group_by("bin")
+             .aggregate([("one", "sum"), ("cents", "sum")]))
+        return g.rename_columns(["bin", "n", "cents"])
+
+    return (_read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n", alias_name="n_orders"),
+                       Sum("cents", alias_name="rev_cents")))
+
+
+QUERIES.update({
+    "dedup_substring_coverage": q_dedup_substring_coverage,
+    "funnel_stages": q_funnel_stages,
+    "groupwise_sample_docs": q_groupwise_sample_docs,
+    "histogram_orders": q_histogram_orders,
+})
+
+ORACLE_SQL.update({
+    "dedup_substring_coverage": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''),
+        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(t[i+1 : i+8], ' ') AS g
+            FROM toks,
+                 UNNEST(range(0, GREATEST(len(t) - 7, 0))) AS r(i)),
+        dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        dpos AS (SELECT doc_id, pos FROM grams
+                 WHERE g IN (SELECT g FROM dupg)),
+        cover AS (
+            SELECT DISTINCT p.doc_id, p.pos + u.i AS tok
+            FROM dpos p, UNNEST(range(0, 8)) AS u(i)
+            JOIN lens l ON l.doc_id = p.doc_id
+            WHERE p.pos + u.i < l.n)
+        SELECT l.doc_id, l.n AS n_tokens,
+               CAST(coalesce(count(c.tok), 0) AS BIGINT)
+                   AS n_dup_tokens
+        FROM lens l LEFT JOIN cover c ON c.doc_id = l.doc_id
+        GROUP BY l.doc_id, l.n
+    """,
+    "funnel_stages": """
+        WITH u AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type IN ('signup','click','purchase')),
+        s AS (SELECT user_id, min(ts) AS ts_s FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS ts_c
+              FROM events e JOIN s USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s.ts_s
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS ts_p
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.ts_c
+              GROUP BY e.user_id)
+        SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         WHEN s.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS stage,
+               count(*) AS n_users
+        FROM u LEFT JOIN s USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+        GROUP BY 1
+    """,
+    "groupwise_sample_docs": """
+        SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+        FROM (SELECT source, doc_id,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY (doc_id * 2654435761) % 2147483648,
+                                  doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 5
+    """,
+    "histogram_orders": """
+        SELECT LEAST(CAST(floor(o_totalprice) AS BIGINT) // 60000, 9)
+                   AS bin,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
