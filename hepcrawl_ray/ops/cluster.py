@@ -33,8 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from hepcrawl_ray.ops.knn import (_fixed_pool, _normalize,
-                                  list_column_to_matrix)
+from hepcrawl_ray.ops.knn import _normalize, list_column_to_matrix
 
 _HASH_MULT = 2654435761  # Knuth multiplicative hash (deterministic init)
 
@@ -78,47 +77,52 @@ def _init_centroids(ds, k, *, id_col, vec_col) -> np.ndarray:
 
 
 def kmeans_fit(ds, k=10, *, iters=6, id_col="vec_id",
-               vec_col="embedding"):
+               vec_col="embedding", cache=True):
     """Spherical k-means over the full dataset.  Returns
-    (centroids (k, d) unit rows, per-iteration inertia list)."""
-    import ray
+    (centroids (k, d) unit rows, per-iteration inertia list).
 
+    ``cache=True`` materializes the projected vector column once so
+    the ``iters`` passes re-read object-store blocks instead of the
+    source parquet (Ray spills if it outgrows memory).  Pass False to
+    keep every pass fully streaming from the source."""
     cent = _init_centroids(ds, k, id_col=id_col, vec_col=vec_col)
+    vecs = ds.select_columns([vec_col])
+    if cache:
+        vecs = vecs.materialize()
     inertia_log = []
     for _ in range(iters):
-        cent_ref = ray.put(cent)
+        # centroids ride the TASK closure: k x d floats is small enough
+        # to serialize per task, and stateless tasks skip the per-pass
+        # actor-pool spin-up that dominated an actor version (measured
+        # ~4 s/pass overhead at trivial data sizes).  For k*d beyond
+        # ~1e6 switch to ray.put + lookup inside the fn.
+        cur = cent
 
-        class PartialSums:
-            def __init__(self):
-                self.cent = ray.get(cent_ref)
+        def partial_sums(t: pa.Table, cent=cur) -> pa.Table:
+            kk, d = cent.shape
+            if t.num_rows == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "sums": pa.array([], pa.binary()),
+                                 "loss": pa.array([], pa.float64())})
+            mat = _normalize(list_column_to_matrix(t.column(vec_col)))
+            sims = mat @ cent.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(mat)), assign]
+            sums = np.zeros((kk, d), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=kk)
+            loss = np.bincount(assign, weights=1.0 - best,
+                               minlength=kk)
+            present = np.nonzero(counts)[0]
+            return pa.table({
+                "cluster": pa.array(present.astype(np.int64)),
+                "n": pa.array(counts[present].astype(np.int64)),
+                "sums": pa.array([sums[c].tobytes()
+                                  for c in present], pa.binary()),
+                "loss": pa.array(loss[present])})
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                kk, d = self.cent.shape
-                if t.num_rows == 0:
-                    return pa.table({"cluster": pa.array([], pa.int64()),
-                                     "n": pa.array([], pa.int64()),
-                                     "sums": pa.array([], pa.binary()),
-                                     "loss": pa.array([], pa.float64())})
-                mat = _normalize(list_column_to_matrix(t.column(vec_col)))
-                sims = mat @ self.cent.T
-                assign = np.argmax(sims, axis=1)
-                best = sims[np.arange(len(mat)), assign]
-                sums = np.zeros((kk, d), dtype=np.float64)
-                np.add.at(sums, assign, mat)
-                counts = np.bincount(assign, minlength=kk)
-                loss = np.bincount(assign, weights=1.0 - best,
-                                   minlength=kk)
-                present = np.nonzero(counts)[0]
-                return pa.table({
-                    "cluster": pa.array(present.astype(np.int64)),
-                    "n": pa.array(counts[present].astype(np.int64)),
-                    "sums": pa.array([sums[c].tobytes()
-                                      for c in present], pa.binary()),
-                    "loss": pa.array(loss[present])})
-
-        rows = (ds.select_columns([vec_col])
-                .map_batches(PartialSums, batch_format="pyarrow",
-                             concurrency=_fixed_pool(4), num_cpus=0.5)
+        rows = (vecs.map_batches(partial_sums, batch_format="pyarrow")
                 .take_all())
         kk, d = cent.shape
         tot = np.zeros((kk, d), dtype=np.float64)
@@ -142,38 +146,32 @@ def kmeans_assign(ds, centroids: np.ndarray, *, id_col="vec_id",
                   vec_col="embedding", pack_vec=True):
     """Attach ``cluster`` (argmax cosine) and ``centroid_sim``; with
     ``pack_vec`` also carry the normalized vector as binary so it can
-    ride a cluster-keyed shuffle."""
-    import ray
+    ride a cluster-keyed shuffle.  Stateless task stage (centroids in
+    the closure — see kmeans_fit note)."""
+    cent = centroids
 
-    cent_ref = ray.put(centroids)
-
-    class Assign:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                cols = {id_col: pa.array([], pa.int64()),
-                        "cluster": pa.array([], pa.int64()),
-                        "centroid_sim": pa.array([], pa.float64())}
-                if pack_vec:
-                    cols["vec"] = pa.array([], pa.binary())
-                return pa.table(cols)
-            mat = _normalize(list_column_to_matrix(t.column(vec_col)))
-            sims = mat @ self.cent.T
-            assign = np.argmax(sims, axis=1)
-            best = sims[np.arange(len(mat)), assign]
-            cols = {id_col: t.column(id_col),
-                    "cluster": pa.array(assign.astype(np.int64)),
-                    "centroid_sim": pa.array(best)}
+    def assign_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "centroid_sim": pa.array([], pa.float64())}
             if pack_vec:
-                cols["vec"] = pa.array([m.tobytes() for m in mat],
-                                       pa.binary())
+                cols["vec"] = pa.array([], pa.binary())
             return pa.table(cols)
+        mat = _normalize(list_column_to_matrix(t.column(vec_col)))
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(mat)), assign]
+        cols = {id_col: t.column(id_col),
+                "cluster": pa.array(assign.astype(np.int64)),
+                "centroid_sim": pa.array(best)}
+        if pack_vec:
+            cols["vec"] = pa.array([m.tobytes() for m in mat],
+                                   pa.binary())
+        return pa.table(cols)
 
     return (ds.select_columns([id_col, vec_col])
-            .map_batches(Assign, batch_format="pyarrow",
-                         concurrency=_fixed_pool(4), num_cpus=0.5))
+            .map_batches(assign_fn, batch_format="pyarrow"))
 
 
 def semdedup(ds, centroids: np.ndarray, *, tau=0.9, id_col="vec_id",

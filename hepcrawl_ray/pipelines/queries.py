@@ -14,6 +14,7 @@ deterministic synthetic corpus; they get rows-only checks.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -700,9 +701,18 @@ def _crawl_n(sf_dir: str) -> int:
 
 
 def _crawl_tables(sf_dir: str = ""):
+    """Synthetic corpus generation is deterministic in n and driver-
+    side (~20 s for the sf0.1 15k-image corpus), so memoize it: the
+    driver runs every crawl_*/image_* query in one process and would
+    otherwise regenerate identical tables per query."""
+    return _crawl_tables_impl(_crawl_n(sf_dir))
+
+
+@functools.lru_cache(maxsize=2)
+def _crawl_tables_impl(n: int):
     from hepcrawl_ray import synth
 
-    images, golden = synth.generate_corpus(_crawl_n(sf_dir))
+    images, golden = synth.generate_corpus(n)
     seeds = synth.generate_seeds(images)
     politeness = synth.generate_politeness()
     return images, golden, seeds, politeness
