@@ -4522,6 +4522,152 @@ QUERIES.update({
     "histogram_orders": q_histogram_orders,
 })
 
+# ---------------------------------------------------------------------------
+# set operators, share-of-total, arg-min per group
+# ---------------------------------------------------------------------------
+
+def q_set_ops_users(sf_dir: str):
+    """INTERSECT / EXCEPT over distinct user sets (clickers vs
+    purchasers): per-batch Arrow distinct partials tag membership bits,
+    one grouped Max merges them, the set operator is a row-local flag
+    comparison — never a row-level shuffle of the fact table."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        click = pc.equal(et, "click")
+        buy = pc.equal(et, "purchase")
+        keep = pc.or_(click, buy)
+        t2 = t.filter(keep)
+        is_click = pc.equal(t2.column("event_type"), "click")
+        g = (pa.table({
+                "user_id": t2.column("user_id"),
+                "clicked": pc.cast(is_click, pa.int64()),
+                "bought": pc.cast(pc.invert(is_click), pa.int64())})
+             .group_by("user_id")
+             .aggregate([("clicked", "max"), ("bought", "max")]))
+        return g.rename_columns(["user_id", "clicked", "bought"])
+
+    merged = (ev.map_batches(tag, batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(Max("clicked", alias_name="clicked"),
+                         Max("bought", alias_name="bought")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        c = t.column("clicked").to_numpy().astype(bool)
+        b = t.column("bought").to_numpy().astype(bool)
+        op = np.where(c & b, "intersect", "except_click_only")
+        keep = c  # EXCEPT side is clickers-minus-purchasers
+        out = pa.table({"user_id": t.column("user_id"),
+                        "set_op": pa.array(op.tolist(), pa.string())})
+        return out.filter(pa.array(keep))
+
+    return merged.map_batches(classify, batch_format="pyarrow")
+
+
+def q_revenue_share_by_nation(sf_dir: str):
+    """Percent-of-total (share window shape): per-nation revenue in
+    basis points of the global total.  Reuses the distributed
+    custkey->nation bucket gather; the share division happens on the
+    25-row aggregate driver-side — the global total is one scalar."""
+    base = q_join_revenue_by_nation(sf_dir)
+    df = base.to_pandas() if not isinstance(base, pd.DataFrame) else base
+    total = int(df["revenue_cents"].sum())
+    out = df.copy()
+    out["share_bps"] = (out["revenue_cents"] * 10000 // max(total, 1)) \
+        .astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out[["n_name", "revenue_cents", "share_bps"]]
+
+
+def q_first_order_per_customer(sf_dir: str):
+    """Arg-min aggregate (min_by / FIRST_VALUE shape): each customer's
+    earliest order (by date, orderkey tiebreak) with its price.
+    Per-batch pandas idxmin partials shrink every batch to <=1 row per
+    customer before the single keyed shuffle re-reduces them."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "cents": pa.array(_cents(t.column("o_totalprice")
+                                     .to_numpy()))}).to_pandas()
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        out = df.drop_duplicates("o_custkey")
+        out = out.assign(bucket=(out["o_custkey"] % 64).astype("int64"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g["o_custkey"] = g["o_custkey"].astype("int64")
+        g["o_orderkey"] = g["o_orderkey"].astype("int64")
+        g["cents"] = g["cents"].astype("int64")
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        out = g.drop_duplicates("o_custkey")
+        return out[["o_custkey", "o_orderkey", "cents"]] \
+            .rename(columns={"o_orderkey": "first_orderkey",
+                             "cents": "first_cents"})
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate",
+                   "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(final, batch_format="pandas"))
+
+
+QUERIES.update({
+    "set_ops_users": q_set_ops_users,
+    "revenue_share_by_nation": q_revenue_share_by_nation,
+    "first_order_per_customer": q_first_order_per_customer,
+})
+
+ORACLE_SQL.update({
+    "set_ops_users": """
+        WITH c AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase')
+        SELECT user_id, 'intersect' AS set_op
+        FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        UNION ALL
+        SELECT user_id, 'except_click_only' AS set_op
+        FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+    """,
+    "revenue_share_by_nation": """
+        WITH rev AS (
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice *
+                                       (1 - l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name)
+        SELECT n_name, revenue_cents,
+               CAST(revenue_cents * 10000 //
+                    GREATEST((SELECT sum(revenue_cents) FROM rev), 1)
+                    AS BIGINT) AS share_bps
+        FROM rev
+    """,
+    "first_order_per_customer": """
+        SELECT o_custkey, first_orderkey, first_cents
+        FROM (SELECT o_custkey,
+                     o_orderkey AS first_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS first_cents,
+                     row_number() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn = 1
+    """,
+})
+
+
 ORACLE_SQL.update({
     "dedup_substring_coverage": """
         WITH toks AS (
