@@ -48,6 +48,10 @@ QUERY_NAMES = [
     "dedup_minhash_lsh", "dedup_embedding_lsh",
     "fn_range_years", "sessionize_events", "topk_orders_per_customer",
     "distinct_users_by_type",
+    # round-3 additions (first measured in BENCH_r03; BASELINE.md
+    # carries their idle-box reference numbers)
+    "dedup_substring_coverage", "semdedup_prune", "cluster_kmeans",
+    "image_quality_gate",
 ]
 
 

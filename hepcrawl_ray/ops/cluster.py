@@ -203,3 +203,76 @@ def semdedup(ds, centroids: np.ndarray, *, tau=0.9, id_col="vec_id",
 
     return assigned.groupby("cluster").map_groups(
         prune, batch_format="pandas")
+
+
+def mean_vector(ds, *, vec_col="embedding") -> tuple[np.ndarray, int]:
+    """One streaming pass: global mean vector + row count via
+    per-batch (sum, n) partials (binary-packed, driver-reduced in a
+    deterministic order)."""
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.binary()),
+                             "n": pa.array([], pa.int64())})
+        mat = list_column_to_matrix(t.column(vec_col))
+        return pa.table({"s": pa.array([mat.sum(axis=0).tobytes()],
+                                       pa.binary()),
+                         "n": pa.array([len(mat)], pa.int64())})
+
+    rows = (ds.select_columns([vec_col])
+            .map_batches(partial, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r["s"])
+    tot = None
+    n = 0
+    for r in rows:
+        v = np.frombuffer(r["s"], dtype=np.float64)
+        tot = v.copy() if tot is None else tot + v
+        n += int(r["n"])
+    return tot / max(n, 1), n
+
+
+def power_iteration_top_pc(ds, *, iters=12, vec_col="embedding",
+                           seed=29):
+    """Top principal component of the (mean-centered) embedding
+    covariance by distributed power iteration.
+
+    Each pass is one streaming ``map_batches``: a batch contributes
+    the d-vector partial ``M^T (M v)`` (two matmuls), and the driver
+    applies the centering correction ``- n * mean (mean . v)``
+    closed-form — the covariance matrix is never formed and no pass
+    shuffles rows.  Deterministic start vector (seeded RNG on the
+    driver).  Returns (unit component (d,), explained variance)."""
+    mean, n = mean_vector(ds, vec_col=vec_col)
+    d = mean.shape[0]
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=d)
+    v /= np.linalg.norm(v)
+    lam = 0.0
+    for _ in range(iters):
+        cur = v
+
+        def partial(t: pa.Table, v=cur) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"s": pa.array([], pa.binary())})
+            mat = list_column_to_matrix(t.column(vec_col))
+            contrib = mat.T @ (mat @ v)
+            return pa.table({"s": pa.array([contrib.tobytes()],
+                                           pa.binary())})
+
+        rows = (ds.select_columns([vec_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .take_all())
+        rows.sort(key=lambda r: r["s"])
+        acc = np.zeros(d, dtype=np.float64)
+        for r in rows:
+            acc += np.frombuffer(r["s"], dtype=np.float64)
+        # Cv = (1/n) sum x (x.v) - mean (mean.v)
+        cv = acc / max(n, 1) - mean * float(mean @ v)
+        lam = float(np.linalg.norm(cv))
+        if lam == 0.0:
+            break
+        v = cv / lam
+    # sign convention: first nonzero coordinate positive
+    nz = np.nonzero(np.abs(v) > 1e-12)[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return v, lam

@@ -4618,10 +4618,32 @@ def q_first_order_per_customer(sf_dir: str):
             .groupby("bucket").map_groups(final, batch_format="pandas"))
 
 
+def q_embedding_top_pc(sf_dir: str):
+    """Top principal component of the embedding covariance by
+    distributed power iteration (ops.cluster.power_iteration_top_pc):
+    one streaming M^T(Mv) partial per pass, covariance never formed.
+    Returns the component as (dim_idx, loading_micro) rows plus the
+    explained variance.  Rows-only (iterative float algorithm); the
+    numpy-eigendecomposition equivalence is pinned in
+    tests/test_cluster.py."""
+    from hepcrawl_ray.ops import cluster as C
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    v, lam = C.power_iteration_top_pc(emb, iters=12)
+    return pa.table({
+        "dim_idx": pa.array(np.arange(len(v), dtype=np.int64)),
+        "loading_micro": pa.array(
+            np.floor(v * 1e6 + 0.5).astype(np.int64)),
+        "explained_var_micro": pa.array(
+            np.full(len(v), int(np.floor(lam * 1e6 + 0.5)), np.int64)),
+    })
+
+
 QUERIES.update({
     "set_ops_users": q_set_ops_users,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "first_order_per_customer": q_first_order_per_customer,
+    "embedding_top_pc": q_embedding_top_pc,
 })
 
 ORACLE_SQL.update({

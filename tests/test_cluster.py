@@ -156,3 +156,33 @@ def test_semdedup_singletons_kept(semdedup_case):
     lonely = set(all_ids[(s < 0.95).all(axis=1)].tolist())
     kept = set(out[out["keep"] == 1]["vec_id"].tolist())
     assert lonely <= kept
+
+
+def test_power_iteration_matches_numpy_eig(ray_session):
+    rng = np.random.default_rng(21)
+    # anisotropic cloud: strong direction along a planted axis
+    d = 12
+    axis = rng.normal(size=d)
+    axis /= np.linalg.norm(axis)
+    mat = (rng.normal(size=(300, 1)) * 3.0) @ axis[None, :] \
+        + 0.3 * rng.normal(size=(300, d)) + 5.0
+    ids = np.arange(300, dtype=np.int64)
+    ds = _to_ds(ids, mat, chunks=5)
+    v, lam = C.power_iteration_top_pc(ds, iters=30)
+    cov = np.cov(mat.astype(np.float64).T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    ref_v = vecs[:, -1]
+    ref_lam = w[-1]
+    assert abs(abs(float(v @ ref_v)) - 1.0) < 1e-4
+    assert abs(lam - ref_lam) / ref_lam < 1e-4
+
+
+def test_mean_vector_exact(ray_session):
+    rng = np.random.default_rng(22)
+    mat = rng.normal(size=(101, 7))
+    ids = np.arange(101, dtype=np.int64)
+    m, n = C.mean_vector(_to_ds(ids, mat, chunks=4))
+    assert n == 101
+    # float32 storage in the list column bounds the comparison
+    assert np.allclose(m, mat.astype(np.float32).mean(axis=0),
+                       atol=1e-5)
