@@ -4639,11 +4639,88 @@ def q_embedding_top_pc(sf_dir: str):
     })
 
 
+_PROBE_OFFSET = 10 ** 8  # planted lossy re-encode ids
+
+
+def q_image_dedup_pipeline(sf_dir: str):
+    """End-to-end IMAGE near-dup dedup over real payloads: decode ->
+    REAL perceptual hash (verified bit-exact against the corpus
+    phash column) -> pigeonhole Hamming pairs -> connected components
+    -> keep the highest-entropy member per component.
+
+    Every 20th image also emits a PLANTED probe: its pixels re-encoded
+    through the lossy codec (id + 1e8), a genuine near-duplicate whose
+    phash drifts 0-4 bits — so the pipeline demonstrably collapses
+    re-encoded copies (pinned in tests/test_image_ops.py).  Probe
+    entropy loses quantization detail, so the original wins the
+    canonical pick deterministically more often.
+
+    Scale shape: decode+phash is the fused per-batch hot loop
+    (codecs.phash64_many_from_luma); pairs/components/selection reuse
+    the generic signature machinery (ops/dedup.py) — one keyed shuffle
+    each, payload bytes never leave stage 1."""
+    from hepcrawl_ray import codecs as CZ
+    from hepcrawl_ray.ops import dedup as D
+
+    def feats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        fmts = t.column("fmt").to_pylist()
+        stored = t.column("phash").to_numpy()
+        nums, grays, ent, ver, probe = [], [], [], [], []
+        for iid, blob, fmt, sp in zip(ids, blobs, fmts, stored):
+            num = int(iid[3:])
+            try:
+                gray, _, _ = CZ.decode_luma(blob, fmt)
+            except Exception:
+                continue
+            nums.append(num)
+            grays.append(gray.astype(np.float32))
+            counts = np.bincount(gray.ravel().astype(np.int64),
+                                 minlength=256)
+            p = counts[counts > 0] / gray.size
+            ent.append(int(-(p * np.log2(p)).sum() * 1000))
+            ver.append(int(sp))
+            probe.append(False)
+            if num % 20 == 0:
+                px = CZ.decode(blob, fmt)
+                g2, _, _ = CZ.decode_luma(CZ.encode_lossy(px), "jpeg")
+                nums.append(num + _PROBE_OFFSET)
+                grays.append(g2.astype(np.float32))
+                c2 = np.bincount(g2.ravel().astype(np.int64),
+                                 minlength=256)
+                p2 = c2[c2 > 0] / g2.size
+                ent.append(int(-(p2 * np.log2(p2)).sum() * 1000))
+                ver.append(0)
+                probe.append(True)
+        ph = CZ.phash64_many_from_luma(grays) if grays \
+            else np.array([], dtype=np.int64)
+        verified = [(p or int(h) == v)
+                    for h, v, p in zip(ph, ver, probe)]
+        return pa.table({
+            "img_num": pa.array(np.asarray(nums, dtype=np.int64)),
+            "phash": pa.array(ph.astype(np.int64)),
+            "entropy_milli": pa.array(np.asarray(ent, np.int64)),
+            "is_probe": pa.array(probe),
+            "verified": pa.array(verified)})
+
+    sigs = _images_ds(sf_dir, ["image_id", "bytes", "fmt", "phash"]) \
+        .map_batches(feats, batch_format="pyarrow", batch_size=128)
+    pairs = D.hamming_neardup_pairs(sigs, sig_col="phash",
+                                    id_col="img_num", max_distance=6)
+    comp = D.neardup_components(sigs, pairs, id_col="img_num",
+                                carry_cols=("entropy_milli",
+                                            "verified"))
+    return D.canonical_per_component(comp, score_col="entropy_milli",
+                                     id_col="img_num")
+
+
 QUERIES.update({
     "set_ops_users": q_set_ops_users,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "first_order_per_customer": q_first_order_per_customer,
     "embedding_top_pc": q_embedding_top_pc,
+    "image_dedup_pipeline": q_image_dedup_pipeline,
 })
 
 ORACLE_SQL.update({

@@ -97,3 +97,27 @@ def test_caption_align_deterministic_across_instances():
     a = CaptionAlignStage()(batch).to_pylist()
     b = CaptionAlignStage()(batch).to_pylist()
     assert a == b
+
+
+def test_image_dedup_pipeline_collapses_probes(ray_session):
+    from hepcrawl_ray.pipelines.queries import (_PROBE_OFFSET,
+                                                q_image_dedup_pipeline)
+
+    out = q_image_dedup_pipeline("/root/testdata/sf0.001").to_pandas()
+    # every original decoded and its real phash matched the corpus
+    originals = out[out["img_num"] < _PROBE_OFFSET]
+    assert len(originals) == 150
+    assert originals["verified"].all()
+    probes = out[out["img_num"] >= _PROBE_OFFSET]
+    assert len(probes) == len(originals[originals["img_num"] % 20 == 0])
+    roots = out.set_index("img_num")["root"]
+    keeps = out.set_index("img_num")["keep"]
+    same_comp = 0
+    for pid in probes["img_num"]:
+        orig = pid - _PROBE_OFFSET
+        if roots[pid] == roots[orig]:
+            same_comp += 1
+            # exactly one of the pair survives within its component
+            assert keeps[pid] + keeps[orig] <= 1
+    # phash drift is 0-4 bits vs max_distance=6: all must collapse
+    assert same_comp == len(probes)
