@@ -4715,12 +4715,68 @@ def q_image_dedup_pipeline(sf_dir: str):
                                      id_col="img_num")
 
 
+def q_global_rank_sample(sf_dir: str):
+    """Distributed global ROW_NUMBER without a global sort of rows:
+    events ranked by (ts, event_id), every 997th row returned (ordered
+    systematic sample).
+
+    Two passes.  Pass 1 streams per-batch COUNTS per coarse time
+    bucket (days); the driver cumsums the bucket histogram into start
+    offsets — dimension-sized, never rows.  Pass 2 shuffles rows once
+    keyed by day bucket; inside each group (all rows of those days)
+    a pandas sort assigns local ranks and the broadcast offset lifts
+    them to global ranks.  This is how OFFSET/LIMIT pagination and
+    percentile ranks shard at 100 TB: the only row movement is one
+    keyed exchange, and the driver state is |buckets| integers."""
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    day_us = 86_400_000_000
+
+    def counts(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // day_us
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(vals),
+                         "p_n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (ev.map_batches(counts, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("p_n", alias_name="n"))
+            .sort("day").take_all())
+    days = [int(r["day"]) for r in hist]
+    ns = [int(r["n"]) for r in hist]
+    offsets = dict(zip(days, np.concatenate(
+        [[0], np.cumsum(ns)[:-1]]).astype(np.int64)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({"event_id": t.column("event_id"),
+                         "ts_us": pa.array(ts),
+                         "day": pa.array(ts // day_us)})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g["event_id"] = g["event_id"].astype("int64")
+        g["ts_us"] = g["ts_us"].astype("int64")
+        g["day"] = g["day"].astype("int64")
+        g = g.sort_values(["day", "ts_us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        local = g.groupby("day").cumcount().to_numpy()
+        base = g["day"].map(offsets).to_numpy(dtype=np.int64)
+        g["global_rank"] = (base + local).astype("int64")
+        out = g[g["global_rank"] % 997 == 0]
+        return out[["event_id", "ts_us", "global_rank"]]
+
+    return (ev.map_batches(tag, batch_format="pyarrow")
+            .groupby("day").map_groups(rank, batch_format="pandas"))
+
+
 QUERIES.update({
     "set_ops_users": q_set_ops_users,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "first_order_per_customer": q_first_order_per_customer,
     "embedding_top_pc": q_embedding_top_pc,
     "image_dedup_pipeline": q_image_dedup_pipeline,
+    "global_rank_sample": q_global_rank_sample,
 })
 
 ORACLE_SQL.update({
@@ -4763,6 +4819,14 @@ ORACLE_SQL.update({
                          ORDER BY o_orderdate, o_orderkey) AS rn
               FROM orders)
         WHERE rn = 1
+    """,
+    "global_rank_sample": """
+        SELECT event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(row_number() OVER (ORDER BY ts, event_id) - 1
+                    AS BIGINT) AS global_rank
+        FROM events
+        QUALIFY global_rank % 997 = 0
     """,
 })
 
