@@ -4770,6 +4770,118 @@ def q_global_rank_sample(sf_dir: str):
             .groupby("day").map_groups(rank, batch_format="pandas"))
 
 
+_PACK_BLOCK = 512    # tokens per packed training sequence
+_PACK_BUCKET = 1024  # doc_ids per offset bucket (ordered buckets)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (GPT-style concat-and-chunk): documents
+    concatenated in doc_id order and cut into fixed 512-token training
+    blocks; each doc reports the block span it lands in.
+
+    The global running token offset uses the same two-pass bucket-
+    offset machinery as q_global_rank_sample: pass 1 streams per-
+    bucket token sums (driver holds |buckets| integers), pass 2 is one
+    keyed shuffle where each ordered bucket cumsums locally and lifts
+    by its broadcast offset.  This is how a 100 TB pretraining corpus
+    shards its packing step — no global sort, no driver rows."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        n = np.array([len(T.tokenize_ws(x)) for x in texts],
+                     dtype=np.int64)
+        keep = n > 0
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_tokens": pa.array(n[keep]),
+                         "bucket": pa.array(ids[keep] // _PACK_BUCKET)})
+
+    counted = docs.map_batches(tok_counts, batch_format="pyarrow")
+
+    hist = (counted.map_batches(
+                lambda t: pa.table(
+                    {"bucket": t.column("bucket"),
+                     "p_n": t.column("n_tokens")}),
+                batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("p_n", alias_name="n"))
+            .sort("bucket").take_all())
+    buckets = [int(r["bucket"]) for r in hist]
+    sums = [int(r["n"]) for r in hist]
+    offsets = dict(zip(buckets, np.concatenate(
+        [[0], np.cumsum(sums)[:-1]]).astype(np.int64)))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        g["bucket"] = g["bucket"].astype("int64")
+        g = g.sort_values(["bucket", "doc_id"], kind="mergesort") \
+            .reset_index(drop=True)
+        within = (g.groupby("bucket")["n_tokens"].cumsum()
+                  - g["n_tokens"]).to_numpy()
+        base = g["bucket"].map(offsets).to_numpy(dtype=np.int64)
+        before = base + within
+        g["start_blk"] = (before // _PACK_BLOCK).astype("int64")
+        g["end_blk"] = ((before + g["n_tokens"].to_numpy() - 1)
+                        // _PACK_BLOCK).astype("int64")
+        return g[["doc_id", "n_tokens", "start_blk", "end_blk"]]
+
+    return (counted.groupby("bucket")
+            .map_groups(pack, batch_format="pandas"))
+
+
+class _QualityModelStage:
+    """fastText-style quality classifier shape: token-hash bag-of-
+    words features -> linear model -> sigmoid score.  The weight
+    vector is a clearly-marked DETERMINISTIC STAND-IN (seeded random
+    projection — no ML libs in this container); the plumbing is the
+    real batched-inference pattern (weights built once per actor,
+    one sparse accumulate + dot per batch).  Swap the weights for a
+    trained classifier and nothing else changes."""
+
+    DIM = 1024
+
+    def __init__(self, seed: int = 41):
+        rng = np.random.default_rng(seed)
+        self.w = rng.normal(size=self.DIM) / np.sqrt(self.DIM)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = t.column("text").to_pylist()
+        scores = np.zeros(len(texts), dtype=np.float64)
+        for i, txt in enumerate(texts):
+            toks = txt.lower().split()
+            if not toks:
+                continue
+            idx = np.frombuffer(
+                b"".join(hashlib.blake2b(w.encode(), digest_size=2)
+                         .digest() for w in toks),
+                dtype="<u2") % self.DIM
+            feat = np.bincount(idx, minlength=self.DIM).astype(
+                np.float64)
+            feat /= max(len(toks), 1)
+            scores[i] = feat @ self.w
+        prob = 1.0 / (1.0 + np.exp(-scores * 10.0))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "quality_milli": pa.array(
+                np.floor(prob * 1000.0 + 0.5).astype(np.int64)),
+            "keep": pa.array((prob >= 0.5).astype(np.int64))})
+
+
+def q_text_quality_model(sf_dir: str):
+    """Model-based quality filtering (the DCLM/FineWeb-Edu classifier
+    gate shape) over the documents table — rows-only (stand-in
+    weights); batching invariance pinned in tests."""
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_QualityModelStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 4),
+                         num_cpus=0.5))
+
+
 QUERIES.update({
     "set_ops_users": q_set_ops_users,
     "revenue_share_by_nation": q_revenue_share_by_nation,
@@ -4777,6 +4889,8 @@ QUERIES.update({
     "embedding_top_pc": q_embedding_top_pc,
     "image_dedup_pipeline": q_image_dedup_pipeline,
     "global_rank_sample": q_global_rank_sample,
+    "pack_sequences": q_pack_sequences,
+    "text_quality_model": q_text_quality_model,
 })
 
 ORACLE_SQL.update({
@@ -4827,6 +4941,26 @@ ORACLE_SQL.update({
                     AS BIGINT) AS global_rank
         FROM events
         QUALIFY global_rank % 997 = 0
+    """,
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents WHERE trim(text) <> ''),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS before
+            FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(before // 512 AS BIGINT) AS start_blk,
+               CAST((before + n_tokens - 1) // 512 AS BIGINT)
+                   AS end_blk
+        FROM c
     """,
 })
 
