@@ -692,49 +692,51 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
     (n_tables x n_planes x dim) plane tensor; no corpus ever sits on
     the driver or in one worker.
     """
-    import ray
+    # Deterministic projection planes: derived from (seed, n_tables,
+    # n_planes, dim) alone, so every task regenerates IDENTICAL planes
+    # from the batch's own dim — no up-front take(1) pipeline, no
+    # broadcast object, and the stage stays a stateless TASK (a 32 KB
+    # plane tensor doesn't justify an actor pool; see CLAUDE lesson 15).
+    _plane_cache: dict = {}
 
-    # deterministic projection planes; dim inferred from the first row
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-    planes_ref = ray.put(planes)
+    def _planes_for(dim: int) -> np.ndarray:
+        p = _plane_cache.get(dim)
+        if p is None:
+            rng = np.random.default_rng(seed)
+            p = rng.standard_normal((n_tables, n_planes, dim))
+            _plane_cache[dim] = p
+        return p
 
-    class BucketKeys:
+    def bucket_keys(t: pa.Table) -> pa.Table:
         """One row per (vector, table): LSH key + the normalized
         vector packed to binary (pandas/Arrow-shuffle-safe)."""
+        from hepcrawl_ray.ops.knn import list_column_to_matrix
 
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            from hepcrawl_ray.ops.knn import list_column_to_matrix
-
-            if t.num_rows == 0:
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "table": pa.array([], pa.int32()),
-                                 "key": pa.array([], pa.int64()),
-                                 "vec_bin": pa.array([], pa.binary())})
-            v = list_column_to_matrix(t.column(vec_col))
-            n = np.linalg.norm(v, axis=1)
-            n[n == 0] = 1.0
-            v = v / n[:, None]
-            packed = [row.tobytes() for row in v]
-            n_tab = len(self.planes)
-            ids = t.column(id_col)
-            out_id = pa.concat_arrays([ids.combine_chunks()] * n_tab)
-            out_tab, out_key = [], []
-            for tab in range(n_tab):
-                signs = (v @ self.planes[tab].T) > 0           # (n, planes)
-                keys = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
-                out_tab.append(np.full(len(v), tab, dtype=np.int32))
-                out_key.append(keys.astype(np.int64))
-            return pa.table({"vec_id": out_id,
-                             "table": np.concatenate(out_tab),
-                             "key": np.concatenate(out_key),
-                             "vec_bin": pa.array(packed * n_tab,
-                                                 pa.binary())})
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "table": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "vec_bin": pa.array([], pa.binary())})
+        v = list_column_to_matrix(t.column(vec_col))
+        planes = _planes_for(v.shape[1])
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        v = v / n[:, None]
+        packed = [row.tobytes() for row in v]
+        n_tab = len(planes)
+        ids = t.column(id_col)
+        out_id = pa.concat_arrays([ids.combine_chunks()] * n_tab)
+        out_tab, out_key = [], []
+        for tab in range(n_tab):
+            signs = (v @ planes[tab].T) > 0           # (n, planes)
+            keys = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+            out_tab.append(np.full(len(v), tab, dtype=np.int32))
+            out_key.append(keys.astype(np.int64))
+        return pa.table({"vec_id": out_id,
+                         "table": np.concatenate(out_tab),
+                         "key": np.concatenate(out_key),
+                         "vec_bin": pa.array(packed * n_tab,
+                                             pa.binary())})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Candidates AND exact-cosine verification within one hash
@@ -749,6 +751,9 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
         g = g.reset_index(drop=True)
         m = g.reset_index().merge(g.reset_index(), on=["table", "key"])
         m = m[m["vec_id_x"] < m["vec_id_y"]]
+        # a pair colliding in several tables of this bucket needs ONE
+        # cosine check, not one per table
+        m = m.drop_duplicates(["vec_id_x", "vec_id_y"])
         if not len(m):
             return empty
         mat = np.stack([np.frombuffer(x) for x in g["vec_bin"]])
@@ -772,8 +777,7 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
         return g[["vec_a", "vec_b"]].drop_duplicates()
 
     return (ds.select_columns([id_col, vec_col])
-            .map_batches(BucketKeys, batch_format="pyarrow",
-                         concurrency=(1, concurrency), num_cpus=0.5)
+            .map_batches(bucket_keys, batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(bucket_pairs, batch_format="pandas")
