@@ -159,37 +159,36 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 # ---------------------------------------------------------- minhash LSH ----
 
-class MinHashStage:
-    """Actor-pool UDF: minhash signatures + banded LSH keys per doc."""
+def make_minhash_stage(num_perm=64, bands=16, k_shingle=3,
+                       id_col="doc_id", text_col="text"):
+    """Stateless-task UDF: minhash signatures + banded LSH keys per
+    doc.  The (a, b) permutation params are deterministic from
+    ``num_perm`` and tiny, so they ride the task closure — no actor
+    pool to ramp (CLAUDE lesson 15)."""
+    a, b = T.minhash_params(num_perm)
 
-    def __init__(self, num_perm=64, bands=16, k_shingle=3,
-                 id_col="doc_id", text_col="text"):
-        self.a, self.b = T.minhash_params(num_perm)
-        self.num_perm, self.bands = num_perm, bands
-        self.rows_per_band = num_perm // bands
-        self.k = k_shingle
-        self.id_col, self.text_col = id_col, text_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def minhash_bands(batch: pa.Table) -> pa.Table:
         """Fully batch-vectorized: shingle-less docs emit no band rows
         (would otherwise sentinel-collide with every other short doc;
         the exact twin emits no pairs for them either)."""
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(self.text_col).to_numpy(zero_copy_only=False)
-        doc_idx, sig = T.minhash_batch(texts, self.a, self.b, self.k)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        doc_idx, sig = T.minhash_batch(texts, a, b, k_shingle)
         if not len(doc_idx):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "band": pa.array([], pa.int64()),
                              "band_val": pa.array([], pa.int64())})
-        vals = T.band_digests(sig, self.bands)            # (n, bands)
+        vals = T.band_digests(sig, bands)                 # (n, bands)
         n = len(doc_idx)
         return pa.table({
             "doc_id": pa.array(np.repeat(
-                ids[doc_idx].astype(np.int64), self.bands)),
+                ids[doc_idx].astype(np.int64), bands)),
             "band": pa.array(np.tile(
-                np.arange(self.bands, dtype=np.int64), n)),
+                np.arange(bands, dtype=np.int64), n)),
             "band_val": pa.array(vals.reshape(-1)),
         })
+
+    return minhash_bands
 
 
 def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
@@ -204,11 +203,10 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, k_shingle=3,
     corpus broadcast).
     """
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   k_shingle=k_shingle, id_col=id_col,
-                                   text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5)
+        make_minhash_stage(num_perm=num_perm, bands=bands,
+                           k_shingle=k_shingle, id_col=id_col,
+                           text_col=text_col),
+        batch_format="pyarrow")
 
     n_hash_buckets = 64
 
@@ -620,51 +618,45 @@ def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",
     pair_ds = ray.data.from_items(
         [{"i": i, "j": j} for i, j in pair_idx])
 
-    class BlockPair:
-        """Compare two pinned blocks; holds only the tiny ref list
-        plus the two blocks of the current task."""
+    def _unpack(t: pa.Table):
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            return ids, np.zeros((0, 0))
+        m = np.stack([np.frombuffer(b)
+                      for b in t.column("vec_bin").to_pylist()])
+        return ids, m
 
-        def __init__(self, block_refs):
-            self.refs = block_refs
+    def block_pair(batch: pa.Table) -> pa.Table:
+        """Compare two pinned blocks per row; the closure carries only
+        the tiny ref list (stateless task — lesson 15), blocks come
+        zero-copy from the object store."""
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ids_i, m_i = _unpack(ray.get(refs[i]))
+            ids_j, m_j = _unpack(ray.get(refs[j]))
+            if not len(ids_i) or not len(ids_j):
+                continue
+            r, c = np.nonzero(m_i @ m_j.T >= threshold)
+            a, b = ids_i[r], ids_j[c]
+            if i == j:
+                # symmetric matrix: (r,c) and (c,r) both fire —
+                # a<b keeps exactly one and drops self-pairs
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+            else:
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(lo)
+                out_b.append(hi)
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pa.table({"vec_a": pa.array(a, type=pa.int64()),
+                         "vec_b": pa.array(b, type=pa.int64())})
 
-        @staticmethod
-        def _unpack(t: pa.Table):
-            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-            if t.num_rows == 0:
-                return ids, np.zeros((0, 0))
-            m = np.stack([np.frombuffer(b)
-                          for b in t.column("vec_bin").to_pylist()])
-            return ids, m
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_a: list[np.ndarray] = []
-            out_b: list[np.ndarray] = []
-            for i, j in zip(batch.column("i").to_pylist(),
-                            batch.column("j").to_pylist()):
-                ids_i, m_i = self._unpack(ray.get(self.refs[i]))
-                ids_j, m_j = self._unpack(ray.get(self.refs[j]))
-                if not len(ids_i) or not len(ids_j):
-                    continue
-                r, c = np.nonzero(m_i @ m_j.T >= threshold)
-                a, b = ids_i[r], ids_j[c]
-                if i == j:
-                    # symmetric matrix: (r,c) and (c,r) both fire —
-                    # a<b keeps exactly one and drops self-pairs
-                    keep = a < b
-                    out_a.append(a[keep])
-                    out_b.append(b[keep])
-                else:
-                    lo, hi = np.minimum(a, b), np.maximum(a, b)
-                    out_a.append(lo)
-                    out_b.append(hi)
-            a = np.concatenate(out_a) if out_a else np.array([], np.int64)
-            b = np.concatenate(out_b) if out_b else np.array([], np.int64)
-            return pa.table({"vec_a": pa.array(a, type=pa.int64()),
-                             "vec_b": pa.array(b, type=pa.int64())})
-
-    return pair_ds.map_batches(
-        BlockPair, fn_constructor_args=(refs,), batch_format="pyarrow",
-        batch_size=4, concurrency=(1, concurrency), num_cpus=0.5)
+    return pair_ds.map_batches(block_pair, batch_format="pyarrow",
+                               batch_size=4)
 
 
 def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",

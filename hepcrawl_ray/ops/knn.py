@@ -81,42 +81,39 @@ def knn_bruteforce(ds, query_ids, *, k=10, id_col="vec_id",
         batch_format="pyarrow").take_all()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
-    q_ref = ray.put((q_ids, q_mat))
 
-    class LocalTopK:
-        def __init__(self):
-            self.q_ids, self.q_mat = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _TOPK_EMPTY
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
-            sims = self.q_mat @ mat.T          # (nq, nbatch)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(self.q_ids)):
-                s = sims[qi]
-                mask = ids != self.q_ids[qi]   # exclude self
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                sc = s[cand_idx]
-                top = min(k, len(cand_idx))
-                # local top-k: order by (-sim, id)
-                order = np.lexsort((ids[cand_idx], -sc))[:top]
-                sel = cand_idx[order]
-                out_q.extend([int(self.q_ids[qi])] * len(sel))
-                out_n.extend(int(x) for x in ids[sel])
-                out_s.extend(float(x) for x in s[sel])
-            return pa.table({
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
-            })
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # query matrix rides the task closure (tiny, stateless task —
+        # no actor pool to ramp; CLAUDE lesson 15)
+        if batch.num_rows == 0:
+            return _TOPK_EMPTY
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
+        sims = q_mat @ mat.T               # (nq, nbatch)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            s = sims[qi]
+            mask = ids != q_ids[qi]        # exclude self
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            sc = s[cand_idx]
+            top = min(k, len(cand_idx))
+            # local top-k: order by (-sim, id)
+            order = np.lexsort((ids[cand_idx], -sc))[:top]
+            sel = cand_idx[order]
+            out_q.extend([int(q_ids[qi])] * len(sel))
+            out_n.extend(int(x) for x in ids[sel])
+            out_s.extend(float(x) for x in s[sel])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        LocalTopK, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5)
+        local_topk, batch_format="pyarrow")
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"],
@@ -135,7 +132,6 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
 
     cent = _train_centroids(ds, n_centroids=n_centroids, id_col=id_col,
                             vec_col=vec_col, seed=seed)
-    cent_ref = ray.put(cent)
 
     qset = pa.array(sorted(set(int(q) for q in query_ids)), type=pa.int64())
     q_rows = ds.select_columns([id_col, vec_col]).map_batches(
@@ -144,42 +140,38 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
     q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
-    q_ref = ray.put((q_ids, q_mat, q_probe))
 
-    class BucketTopK:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.q_ids, self.q_mat, self.q_probe = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _TOPK_EMPTY
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
-            bucket = np.argmax(mat @ self.cent.T, axis=1)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(self.q_ids)):
-                probes = set(int(p) for p in self.q_probe[qi])
-                mask = np.isin(bucket, list(probes)) & (ids != self.q_ids[qi])
-                cand = np.nonzero(mask)[0]
-                if not len(cand):
-                    continue
-                s = mat[cand] @ self.q_mat[qi]
-                top = min(k, len(cand))
-                order = np.lexsort((ids[cand], -s))[:top]
-                sel = cand[order]
-                out_q.extend([int(self.q_ids[qi])] * len(sel))
-                out_n.extend(int(x) for x in ids[sel])
-                out_s.extend(float(x) for x in s[order])
-            return pa.table({
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
-            })
+    def bucket_topk(batch: pa.Table) -> pa.Table:
+        # centroids + query pack ride the task closure (tiny,
+        # stateless task — lesson 15)
+        if batch.num_rows == 0:
+            return _TOPK_EMPTY
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
+        bucket = np.argmax(mat @ cent.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            probes = set(int(p) for p in q_probe[qi])
+            mask = np.isin(bucket, list(probes)) & (ids != q_ids[qi])
+            cand = np.nonzero(mask)[0]
+            if not len(cand):
+                continue
+            s = mat[cand] @ q_mat[qi]
+            top = min(k, len(cand))
+            order = np.lexsort((ids[cand], -s))[:top]
+            sel = cand[order]
+            out_q.extend([int(q_ids[qi])] * len(sel))
+            out_n.extend(int(x) for x in ids[sel])
+            out_s.extend(float(x) for x in s[order])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        BucketTopK, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.5)
+        bucket_topk, batch_format="pyarrow")
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"],
