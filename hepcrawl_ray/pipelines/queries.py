@@ -5034,6 +5034,230 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# round-3 session-3 additions: FULL OUTER join, RANK ties, cohort
+# retention, modal value (analytics shapes the reference's result
+# accumulation never needed but a warehouse replacement does)
+# ---------------------------------------------------------------------------
+
+def q_full_outer_daily_activity(sf_dir: str):
+    """FULL OUTER join of two aggregates with disjoint support:
+    per-(user, day) click counts vs purchase counts — click-only and
+    purchase-only cells survive with zero on the other side.  Shape:
+    per-batch Arrow partials tagged with a side flag -> ONE bucket
+    shuffle keyed on user -> pandas outer merge per bucket (Ray's
+    Dataset.join crashes on empty LEFT shuffle partitions, CLAUDE
+    lesson 11, and sparse activity cells hit that constantly)."""
+    n_buckets = 64
+
+    def partial(kind: str, flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t.column("event_type"), kind)
+            sub = t.filter(mask)
+            d = (sub.column("ts").to_numpy()
+                 .astype("datetime64[D]").astype(np.int64))
+            g = (pa.table({"user_id": sub.column("user_id"),
+                           "d": pa.array(d),
+                           "one": pa.array(
+                               np.ones(sub.num_rows, np.int64))})
+                 .group_by(["user_id", "d"]).aggregate([("one", "sum")])
+                 .rename_columns(["user_id", "d", "n"]))
+            k = g.column("user_id").to_numpy(zero_copy_only=False)
+            return g.append_column(
+                "_side", pa.array(np.full(g.num_rows, flag, np.int8))) \
+                .append_column("_bucket", pa.array(
+                    (k % n_buckets).astype(np.int64)))
+        return f
+
+    def outer_merge(g: pd.DataFrame) -> pd.DataFrame:
+        for c in ("user_id", "d", "n"):
+            g[c] = g[c].astype("int64")
+        c = (g[g["_side"] == 0].groupby(["user_id", "d"], as_index=False)
+             ["n"].sum().rename(columns={"n": "n_clicks"}))
+        p = (g[g["_side"] == 1].groupby(["user_id", "d"], as_index=False)
+             ["n"].sum().rename(columns={"n": "n_purchases"}))
+        m = c.merge(p, on=["user_id", "d"], how="outer")
+        for col in ("n_clicks", "n_purchases"):
+            m[col] = m[col].fillna(0).astype("int64")
+        # merge degrades int64 keys to float64 on outer nulls
+        m["user_id"] = m["user_id"].astype("int64")
+        m["d"] = m["d"].astype("int64")
+        return m
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    clicks = ev.map_batches(partial("click", 0), batch_format="pyarrow")
+    purch = ev.map_batches(partial("purchase", 1), batch_format="pyarrow")
+    return (clicks.union(purch)
+            .groupby("_bucket")
+            .map_groups(outer_merge, batch_format="pandas"))
+
+
+def q_rank_parts_ties(sf_dir: str):
+    """RANK / DENSE_RANK with tie semantics: top-3 price ranks per
+    brand, ties sharing a rank (no arbitrary tiebreak — every tied row
+    is kept, which is what ROW_NUMBER queries cannot express).  Brand
+    is the partition key, so one hash-bucket shuffle colocates each
+    brand and pandas ranks in C."""
+    def project(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("p_retailprice").to_numpy())
+        h = T.content_hash64(t.column("p_brand").to_pylist())
+        return pa.table({"p_brand": t.column("p_brand"),
+                         "p_partkey": t.column("p_partkey"),
+                         "cents": pa.array(cents),
+                         "_bucket": pa.array((h % 16).astype(np.int64))})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g["cents"] = g["cents"].astype("int64")
+        by = g.groupby("p_brand")["cents"]
+        g["rnk"] = by.rank(method="min", ascending=False).astype("int64")
+        g["drnk"] = by.rank(method="dense", ascending=False).astype("int64")
+        out = g[g["rnk"] <= 3].copy()
+        out["p_partkey"] = out["p_partkey"].astype("int64")
+        return out[["p_brand", "p_partkey", "cents", "rnk", "drnk"]]
+
+    return (_read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+            .map_batches(project, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(rank, batch_format="pandas"))
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in every week they return.  One keyed shuffle on user_id
+    (distinct weeks + cohort min computed inside the bucket group,
+    where each user is fully resident); the per-bucket partial is
+    already (cohort_wk, wk, n) — the driver combine is |weeks|^2
+    rows."""
+    n_buckets = 64
+
+    def pairs(t: pa.Table) -> pa.Table:
+        wk = (t.column("ts").to_numpy().astype("datetime64[D]")
+              .astype(np.int64) // 7)
+        g = (pa.table({"user_id": t.column("user_id"),
+                       "wk": pa.array(wk)})
+             .group_by(["user_id", "wk"]).aggregate([]))
+        k = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket", pa.array(
+            (k % n_buckets).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g["user_id"] = g["user_id"].astype("int64")
+        g["wk"] = g["wk"].astype("int64")
+        g = g.drop_duplicates(["user_id", "wk"]).copy()
+        g["cohort_wk"] = g.groupby("user_id")["wk"].transform("min")
+        out = (g.groupby(["cohort_wk", "wk"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return out
+
+    part = (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .to_pandas())
+    out = (part.groupby(["cohort_wk", "wk"], as_index=False)["n"].sum()
+           .rename(columns={"n": "n_users"}))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_mode_part_size(sf_dir: str):
+    """Modal value per group (mode of p_size per brand, smallest size
+    winning ties — DuckDB's mode() leaves ties unspecified, so the
+    oracle spells the tiebreak out with a window).  Per-batch Arrow
+    (brand, size, n) partials; the combine table is |brands|x|sizes|
+    rows — driver-small by construction."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"p_brand": t.column("p_brand"),
+                       "p_size": t.column("p_size").cast(pa.int64()),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["p_brand", "p_size"]).aggregate([("one", "sum")])
+             .rename_columns(["p_brand", "p_size", "n"]))
+        return g
+
+    small = (_read(sf_dir, "part", ["p_brand", "p_size"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    small["p_size"] = small["p_size"].astype("int64")
+    comb = small.groupby(["p_brand", "p_size"], as_index=False)["n"].sum()
+    comb = comb.sort_values(["p_brand", "n", "p_size"],
+                            ascending=[True, False, True])
+    out = comb.groupby("p_brand", as_index=False).head(1).copy()
+    out = out.rename(columns={"p_size": "mode_size", "n": "n_parts"})
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out[["p_brand", "mode_size", "n_parts"]].reset_index(drop=True)
+
+
+QUERIES.update({
+    "full_outer_daily_activity": q_full_outer_daily_activity,
+    "rank_parts_ties": q_rank_parts_ties,
+    "cohort_retention": q_cohort_retention,
+    "mode_part_size": q_mode_part_size,
+})
+
+ORACLE_SQL.update({
+    "full_outer_daily_activity": """
+        WITH c AS (
+            SELECT user_id,
+                   CAST(date_diff('day', TIMESTAMP '1970-01-01', ts)
+                        AS BIGINT) AS d,
+                   count(*) AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+            SELECT user_id,
+                   CAST(date_diff('day', TIMESTAMP '1970-01-01', ts)
+                        AS BIGINT) AS d,
+                   count(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.d, p.d) AS d,
+               CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+               CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
+        FROM c FULL OUTER JOIN p
+          ON c.user_id = p.user_id AND c.d = p.d
+    """,
+    "rank_parts_ties": """
+        SELECT p_brand, p_partkey, cents,
+               CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk
+        FROM (SELECT p_brand, p_partkey,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                         AS cents,
+                     rank() OVER (PARTITION BY p_brand
+                                  ORDER BY CAST(floor(p_retailprice * 100
+                                                      + 0.5) AS BIGINT)
+                                      DESC) AS rnk,
+                     dense_rank() OVER (PARTITION BY p_brand
+                                        ORDER BY CAST(floor(p_retailprice
+                                                            * 100 + 0.5)
+                                                      AS BIGINT) DESC)
+                         AS drnk
+              FROM part)
+        WHERE rnk <= 3
+    """,
+    "cohort_retention": """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_diff('day', TIMESTAMP '1970-01-01', ts) // 7
+                        AS BIGINT) AS wk
+            FROM events),
+        fw AS (SELECT user_id, min(wk) AS cohort_wk
+               FROM uw GROUP BY user_id)
+        SELECT cohort_wk, wk, CAST(count(*) AS BIGINT) AS n_users
+        FROM uw JOIN fw USING (user_id)
+        GROUP BY cohort_wk, wk
+    """,
+    "mode_part_size": """
+        SELECT p_brand, CAST(p_size AS BIGINT) AS mode_size,
+               CAST(n AS BIGINT) AS n_parts
+        FROM (SELECT p_brand, p_size, count(*) AS n,
+                     row_number() OVER (
+                         PARTITION BY p_brand
+                         ORDER BY count(*) DESC, p_size ASC) AS rn
+              FROM part GROUP BY p_brand, p_size)
+        WHERE rn = 1
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
