@@ -5258,6 +5258,248 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# round-3 session-3: inverted index, DSIR importance weights, grouped MAD
+# ---------------------------------------------------------------------------
+
+def _explode_terms(t: pa.Table, extra_cols=()) -> tuple:
+    """Vectorized whitespace tokenization: Arrow RE2 split + flatten
+    (no per-doc Python loop).  Returns (flat_terms, parent_row_idx)
+    with empty terms removed — matches DuckDB's
+    ``unnest(regexp_split_to_array(trim(text), '\\s+'))`` modulo the
+    empty-string row a trimmed-empty doc produces (filtered on BOTH
+    sides)."""
+    txt = pc.utf8_trim_whitespace(t.column("text").combine_chunks())
+    lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+    flat = pc.list_flatten(lists)
+    n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), n)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), parent[keep]
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index build (term -> posting list) over documents,
+    restricted to terms with df >= 2 (singletons carry no retrieval
+    signal).  Each doc lives in exactly one batch, so per-batch
+    distinct (term, doc) pairs are globally distinct; df and the
+    postings then need only the ONE term-keyed bucket shuffle."""
+    n_buckets = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        docs = t.column("doc_id").to_numpy()[parent]
+        g = (pa.table({"term": flat, "doc_id": pa.array(docs)})
+             .group_by(["term", "doc_id"]).aggregate([]))
+        h = T.content_hash64(g.column("term").to_pylist())
+        return g.append_column("_bucket", pa.array(
+            (h % n_buckets).astype(np.int64)))
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["term", "doc_id"]].copy()
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["df"] = g.groupby("term")["doc_id"].transform("size") \
+            .astype("int64")
+        return g[g["df"] >= 2]
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(postings, batch_format="pandas"))
+
+
+_DSIR_VOCAB = 256
+_DSIR_TOPN = 200
+
+
+def q_dsir_importance(sf_dir: str):
+    """DSIR-style importance scoring (Xie et al. 2023 shape): rate
+    each document by how much its unigrams look like a target slice
+    (lang='en' docs).  Two passes, both streaming: (1) term counts
+    (overall + target) via Arrow partials -> bucket shuffle with a
+    per-bucket top-V prune (each term lives in one bucket, so the
+    global top-V by overall count survives) -> a V-row broadcast
+    weight table; (2) per-batch vectorized scoring (pandas hash-map
+    lookup over the flattened token stream) with per-batch top-N
+    pruning — each doc is in exactly one batch, so the driver merge
+    sees <= batches x N candidate rows.  Weights are integer
+    fixed-point ((1e6*tgt + all//2) // all) so the SQL twin hashes
+    identically."""
+    n_buckets = 64
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        tgt = pc.equal(t.column("lang").combine_chunks(), "en") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        g = (pa.table({"term": flat,
+                       "one": pa.array(np.ones(len(flat), np.int64)),
+                       "tgt": pa.array(tgt)})
+             .group_by("term").aggregate([("one", "sum"), ("tgt", "sum")])
+             .rename_columns(["term", "all_cnt", "tgt_cnt"]))
+        h = T.content_hash64(g.column("term").to_pylist())
+        return g.append_column("_bucket", pa.array(
+            (h % n_buckets).astype(np.int64)))
+
+    def topv(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby("term", as_index=False)[["all_cnt", "tgt_cnt"]]
+             .sum())
+        g = g.sort_values(["all_cnt", "term"], ascending=[False, True])
+        return g.head(_DSIR_VOCAB)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    cand = (docs.map_batches(cnt_partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(topv, batch_format="pandas")
+            .to_pandas())
+    cand = cand.sort_values(["all_cnt", "term"],
+                            ascending=[False, True]).head(_DSIR_VOCAB)
+    a = cand["all_cnt"].to_numpy(dtype=np.int64)
+    tg = cand["tgt_cnt"].to_numpy(dtype=np.int64)
+    w = (1_000_000 * tg + a // 2) // a
+    weights = pd.Series(w, index=cand["term"].to_numpy())
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        wvals = pd.Series(flat.to_pandas()).map(weights).to_numpy()
+        hit = ~np.isnan(wvals)
+        if not hit.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        sums = np.bincount(parent[hit], weights=wvals[hit],
+                           minlength=t.num_rows).astype(np.int64)
+        nz = np.flatnonzero(
+            np.bincount(parent[hit], minlength=t.num_rows))
+        docs_ = t.column("doc_id").to_numpy()[nz]
+        sc = sums[nz]
+        order = np.lexsort((docs_, -sc))[:_DSIR_TOPN]
+        return pa.table({"doc_id": pa.array(docs_[order]),
+                         "score": pa.array(sc[order])})
+
+    part = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(_DSIR_TOPN)
+    part["doc_id"] = part["doc_id"].astype("int64")
+    part["score"] = part["score"].astype("int64")
+    return part.reset_index(drop=True)
+
+
+def q_mad_event_values(sf_dir: str):
+    """Robust statistics: per-event-type median + median absolute
+    deviation (exact, integer cents).  Two value-histogram passes —
+    per-batch (type, cents, n) partials ride a type-keyed shuffle
+    (group size = DISTINCT values per type, not rows), medians walk
+    the sorted cumsum with the quantile_disc rule (0-based
+    ceil(q*n)-1); pass 2 repeats on |cents - median|."""
+    from ray.data.aggregate import Sum
+
+    def hist(vals_fn):
+        def f(t: pa.Table) -> pa.Table:
+            types = t.column("event_type").to_pandas()
+            cents = vals_fn(t, types)
+            g = (pa.table({"event_type": pa.array(types),
+                           "cents": pa.array(cents),
+                           "one": pa.array(
+                               np.ones(len(cents), np.int64))})
+                 .group_by(["event_type", "cents"])
+                 .aggregate([("one", "sum")])
+                 .rename_columns(["event_type", "cents", "n"]))
+            return g
+
+        return f
+
+    def median_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("cents", as_index=False)["n"].sum() \
+            .sort_values("cents")
+        cum = g["n"].cumsum().to_numpy()
+        idx = max(int(np.ceil(0.5 * cum[-1])) - 1, 0)
+        med = int(g["cents"].to_numpy()[np.searchsorted(cum, idx + 1)])
+        return pd.DataFrame({"med": [med]})
+
+    def grouped_median(ds):
+        part = ds.groupby("event_type") \
+            .map_groups(lambda g: median_of(g).assign(
+                event_type=g["event_type"].iloc[0]),
+                batch_format="pandas").to_pandas()
+        return dict(zip(part["event_type"], part["med"].astype("int64")))
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    raw = lambda t, ty: _cents(t.column("value").to_numpy())
+    meds = grouped_median(ev.map_batches(hist(raw),
+                                         batch_format="pyarrow"))
+
+    def dev(t: pa.Table, types: pd.Series) -> np.ndarray:
+        c = _cents(t.column("value").to_numpy())
+        m = types.map(meds).to_numpy(dtype=np.int64)
+        return np.abs(c - m)
+
+    mads = grouped_median(ev.map_batches(hist(dev),
+                                         batch_format="pyarrow"))
+    keys = sorted(meds)
+    return pd.DataFrame({
+        "event_type": keys,
+        "median_cents": [int(meds[k]) for k in keys],
+        "mad_cents": [int(mads[k]) for k in keys]})
+
+
+QUERIES.update({
+    "inverted_index": q_inverted_index,
+    "dsir_importance": q_dsir_importance,
+    "mad_event_values": q_mad_event_values,
+})
+
+ORACLE_SQL.update({
+    "inverted_index": """
+        WITH raw AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents),
+        toks AS (SELECT DISTINCT doc_id, term FROM raw
+                 WHERE term <> ''),
+        d AS (SELECT term, doc_id,
+                     count(*) OVER (PARTITION BY term) AS df
+              FROM toks)
+        SELECT term, doc_id, CAST(df AS BIGINT) AS df
+        FROM d WHERE df >= 2
+    """,
+    "dsir_importance": """
+        WITH raw AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents),
+        tok AS (SELECT * FROM raw WHERE term <> ''),
+        cnt AS (SELECT term, count(*) AS all_cnt,
+                       count(*) FILTER (WHERE lang = 'en') AS tgt_cnt
+                FROM tok GROUP BY term),
+        vocab AS (SELECT term,
+                         (1000000 * tgt_cnt + all_cnt // 2) // all_cnt
+                             AS w
+                  FROM cnt
+                  ORDER BY all_cnt DESC, term LIMIT 256),
+        sc AS (SELECT t.doc_id, CAST(sum(v.w) AS BIGINT) AS score
+               FROM tok t JOIN vocab v USING (term)
+               GROUP BY t.doc_id)
+        SELECT doc_id, score FROM sc
+        ORDER BY score DESC, doc_id LIMIT 200
+    """,
+    "mad_event_values": """
+        WITH c AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              AS cents
+                   FROM events),
+        m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+              FROM c GROUP BY event_type)
+        SELECT c.event_type,
+               CAST(any_value(m.med) AS BIGINT) AS median_cents,
+               CAST(quantile_disc(abs(cents - med), 0.5) AS BIGINT)
+                   AS mad_cents
+        FROM c JOIN m USING (event_type)
+        GROUP BY c.event_type
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
