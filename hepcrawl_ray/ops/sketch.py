@@ -190,3 +190,105 @@ def approx_heavy_hitters(ds, column: str, k: int = 10, *,
     order = np.lexsort((cand_arr, -est))[:k]
     return pa.table({column: pa.array(cand_arr[order]),
                      "est_count": pa.array(est[order].astype(np.int64))})
+
+
+# ------------------------------------------------------------- KLL-lite ---
+
+class QuantileSketch:
+    """Mergeable quantile sketch (KLL-style compacting sampler,
+    Karnin/Lang/Liberty's public construction, simplified): level i
+    holds at most ``k`` sorted values of weight 2^i; a full level
+    compacts by keeping alternate values (parity alternates per
+    compaction — DETERMINISTIC, trading KLL's randomized unbiasedness
+    for reproducible tests).  Rank error is O(levels / k); with k=256
+    observed error on 100k-row streams is well under 1% of rank.
+
+    Merge = concatenate level-wise then recompact: the same kilobyte-
+    per-batch reduce shape as the HLL/CountMin layers — a 100 TB
+    quantile never sorts rows globally."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.int64)]
+        self._parity: list[int] = [0]
+
+    def _compact(self, lvl: int) -> None:
+        while len(self.levels[lvl]) > self.k:
+            if lvl + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.int64))
+                self._parity.append(0)
+            vals = np.sort(self.levels[lvl], kind="mergesort")
+            keep = vals[self._parity[lvl]::2]
+            self._parity[lvl] ^= 1
+            self.levels[lvl] = np.empty(0, np.int64)
+            self.levels[lvl + 1] = np.concatenate(
+                [self.levels[lvl + 1], keep])
+            lvl += 1
+
+    def add_many(self, values) -> "QuantileSketch":
+        v = np.asarray(values, dtype=np.int64)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact(0)
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        assert self.k == other.k
+        for i, vals in enumerate(other.levels):
+            if i >= len(self.levels):
+                self.levels.append(np.empty(0, np.int64))
+                self._parity.append(0)
+            self.levels[i] = np.concatenate([self.levels[i], vals])
+        for i in range(len(self.levels)):
+            self._compact(i)
+        return self
+
+    def quantile(self, q: float) -> int:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, np.int64)
+             for i, lv in enumerate(self.levels)])
+        order = np.argsort(vals, kind="mergesort")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        target = max(int(np.ceil(q * cum[-1])), 1)
+        return int(vals[np.searchsorted(cum, target)])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            (self.k, [lv.tobytes() for lv in self.levels], self._parity))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "QuantileSketch":
+        import pickle
+
+        k, raw, parity = pickle.loads(blob)
+        s = cls(k)
+        s.levels = [np.frombuffer(b, np.int64).copy() for b in raw]
+        s._parity = list(parity)
+        return s
+
+
+def approx_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75), *,
+                     k: int = 256, transform=None):
+    """Approximate quantiles of ``column``: one KLL sketch per batch,
+    merged on the driver (kilobytes per batch — never a row shuffle,
+    never a global sort).  ``transform`` maps the raw numpy column to
+    int64 (default: plain cast)."""
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        raw = t.column(column).to_numpy(zero_copy_only=False)
+        v = transform(raw) if transform else raw.astype(np.int64)
+        s = QuantileSketch(k).add_many(v)
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = QuantileSketch(k)
+    for row in ds.map_batches(sketch_batch,
+                              batch_format="pyarrow").take_all():
+        merged.merge(QuantileSketch.from_bytes(row["sketch"]))
+    return pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "approx_value": pa.array([merged.quantile(q) for q in qs],
+                                 pa.int64())})

@@ -710,11 +710,36 @@ def _crawl_tables(sf_dir: str = ""):
 
 @functools.lru_cache(maxsize=2)
 def _crawl_tables_impl(n: int):
+    import pyarrow.parquet as pq
+
     from hepcrawl_ray import synth
 
+    names = ("images", "golden", "seeds", "politeness")
+    cache = os.path.join(
+        os.environ.get("HEPCRAWL_CORPUS_CACHE", "/tmp/hepcrawl_ray_corpus"),
+        f"n{n}")
+    if all(os.path.exists(os.path.join(cache, f"{x}.parquet"))
+           for x in names):
+        return tuple(pq.read_table(os.path.join(cache, f"{x}.parquet"))
+                     for x in names)
     images, golden = synth.generate_corpus(n)
     seeds = synth.generate_seeds(images)
     politeness = synth.generate_politeness()
+    if n >= 1500:
+        # gen is driver-side and ~20 s at the 15k-image sf0.1 size;
+        # the driver/bench re-run queries in FRESH processes, so the
+        # lru_cache alone re-pays it — persist to disk, publish
+        # atomically (rename) so concurrent sessions can't read halves
+        tmpdir = f"{cache}.tmp{os.getpid()}"
+        os.makedirs(tmpdir, exist_ok=True)
+        for x, t in zip(names, (images, golden, seeds, politeness)):
+            pq.write_table(t, os.path.join(tmpdir, f"{x}.parquet"))
+        try:
+            os.rename(tmpdir, cache)
+        except OSError:  # another session published first
+            import shutil
+
+            shutil.rmtree(tmpdir, ignore_errors=True)
     return images, golden, seeds, politeness
 
 
@@ -4203,7 +4228,7 @@ def _images_ds(sf_dir: str, columns):
 
     images, _, _, _ = _crawl_tables(sf_dir)
     t = images.select(columns)
-    step = max(64, t.num_rows // 16)
+    step = max(64, t.num_rows // 64)
     chunks = [t.slice(i, step) for i in range(0, t.num_rows, step)]
     return ray.data.from_arrow(chunks)
 
@@ -4214,9 +4239,13 @@ def q_image_quality_gate(sf_dir: str):
     Rows-only; threshold behavior pinned in tests/test_image_ops.py."""
     from hepcrawl_ray.ops.multimodal import ImageQualityStage
 
+    # thresholds-only state -> task stage (CLAUDE lesson 15: actor
+    # pools pay ~2-4 s spin-up and the autoscaler ramps too slowly
+    # for a CPU-bound decode; a callable INSTANCE maps as plain tasks
+    # at full cluster width)
     return _images_ds(sf_dir, ["image_id", "bytes", "fmt"]) \
-        .map_batches(ImageQualityStage, batch_format="pyarrow",
-                     batch_size=64, concurrency=(1, 4), num_cpus=0.5)
+        .map_batches(ImageQualityStage(), batch_format="pyarrow",
+                     batch_size=64)
 
 
 def q_image_caption_align(sf_dir: str):
@@ -5441,10 +5470,24 @@ def q_mad_event_values(sf_dir: str):
         "mad_cents": [int(mads[k]) for k in keys]})
 
 
+def q_approx_quantiles_prices(sf_dir: str):
+    """Approximate p25/p50/p75 of part price-cents via the mergeable
+    KLL-style sketch (ops.sketch.QuantileSketch): one kilobyte-sized
+    sketch per batch, merged on the driver — the scale path next to
+    the exact value-histogram twin (q_percentile_prices, oracle-green).
+    Rows-only; rank-error bound pinned in tests/test_sketch.py."""
+    from hepcrawl_ray.ops.sketch import approx_quantiles
+
+    return approx_quantiles(
+        _read(sf_dir, "part", ["p_retailprice"]), "p_retailprice",
+        transform=_cents)
+
+
 QUERIES.update({
     "inverted_index": q_inverted_index,
     "dsir_importance": q_dsir_importance,
     "mad_event_values": q_mad_event_values,
+    "approx_quantiles_prices": q_approx_quantiles_prices,
 })
 
 ORACLE_SQL.update({

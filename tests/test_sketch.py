@@ -148,3 +148,84 @@ class TestCountMin:
         true = {u: (u + 1) * (u + 2) // 4 + 1 for u in range(50)}
         for u, e in zip(got, out.column("est_count").to_pylist()):
             assert e >= true[u]
+
+
+class TestQuantileSketch:
+    def _rank_err(self, data, sk, q):
+        import numpy as np
+
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(np.sort(data), est, side="right")
+        return abs(true_rank / len(data) - q)
+
+    def test_rank_error_bound(self):
+        import numpy as np
+
+        from hepcrawl_ray.ops.sketch import QuantileSketch
+
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 10_000_000, size=100_000)
+        sk = QuantileSketch(k=256)
+        for i in range(0, len(data), 4096):
+            sk.add_many(data[i:i + 4096])
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            assert self._rank_err(data, sk, q) < 0.01, q
+
+    def test_merge_matches_error_bound(self):
+        import numpy as np
+
+        from hepcrawl_ray.ops.sketch import QuantileSketch
+
+        rng = np.random.default_rng(7)
+        # skewed data split across 8 "workers", merged pairwise
+        data = (rng.pareto(2.0, size=80_000) * 1000).astype(np.int64)
+        parts = np.array_split(data, 8)
+        sks = [QuantileSketch(k=256).add_many(p) for p in parts]
+        merged = sks[0]
+        for s in sks[1:]:
+            merged.merge(s)
+        for q in (0.1, 0.5, 0.9):
+            assert self._rank_err(data, merged, q) < 0.015, q
+
+    def test_exact_when_small(self):
+        import numpy as np
+
+        from hepcrawl_ray.ops.sketch import QuantileSketch
+
+        data = np.arange(100, dtype=np.int64)
+        sk = QuantileSketch(k=256).add_many(data)
+        # below capacity the sketch is exact: quantile_disc rule
+        assert sk.quantile(0.5) == 49
+        assert sk.quantile(0.25) == 24
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        from hepcrawl_ray.ops.sketch import QuantileSketch
+
+        rng = np.random.default_rng(11)
+        sk = QuantileSketch(k=64).add_many(
+            rng.integers(0, 1000, size=5000))
+        blob = sk.to_bytes()
+        back = QuantileSketch.from_bytes(blob)
+        for q in (0.2, 0.5, 0.8):
+            assert back.quantile(q) == sk.quantile(q)
+
+
+def test_approx_quantiles_dataset(ray_session):
+    """Sketch quantiles of part prices stay within 2% rank error of the
+    exact per-column values (the oracle-green exact twin)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hepcrawl_ray.pipelines.queries import q_approx_quantiles_prices, _cents
+
+    sf = "/root/testdata/sf0.001"
+    out = q_approx_quantiles_prices(sf).to_pandas()
+    assert list(out.columns) == ["q", "approx_value"]
+    cents = np.sort(_cents(
+        pq.read_table(f"{sf}/part.parquet", columns=["p_retailprice"])
+        .column("p_retailprice").to_numpy()))
+    for q, est in zip(out["q"], out["approx_value"]):
+        rank = np.searchsorted(cents, est, side="right") / len(cents)
+        assert abs(rank - q) < 0.02, (q, est)
