@@ -52,6 +52,8 @@ QUERY_NAMES = [
     # carries their idle-box reference numbers)
     "dedup_substring_coverage", "semdedup_prune", "cluster_kmeans",
     "image_quality_gate",
+    # session-3 additions
+    "inverted_index", "dsir_importance", "bigram_collocations",
 ]
 
 

@@ -5483,11 +5483,114 @@ def q_approx_quantiles_prices(sf_dir: str):
         transform=_cents)
 
 
+_PMI_TOPN = 50
+
+
+def q_bigram_collocations(sf_dir: str):
+    """Collocation statistics: top-50 adjacent-word bigrams by count
+    with both unigram marginals attached (the integer core of a
+    PMI/log-lift computation — consumers divide; every emitted value
+    is an exact count so the SQL twin hashes identically).
+
+    Two keyed shuffles: (1) bigram partials + unigram partials union,
+    keyed on the FIRST word, attaches n_a; (2) re-keyed on the SECOND
+    word, attaches n_b and applies the per-bucket top-N prune (each
+    bigram lives in exactly one second-word bucket)."""
+    n_buckets = 64
+
+    def parts(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        terms = flat.to_numpy(zero_copy_only=False)
+        adj = parent[:-1] == parent[1:] if len(parent) else \
+            np.zeros(0, bool)
+        a, b = terms[:-1][adj], terms[1:][adj]
+        bg = (pa.table({"a": pa.array(a), "b": pa.array(b),
+                        "one": pa.array(np.ones(len(a), np.int64))})
+              .group_by(["a", "b"]).aggregate([("one", "sum")])
+              .rename_columns(["a", "b", "nab"]))
+        un = (pa.table({"a": flat,
+                        "one": pa.array(np.ones(len(flat), np.int64))})
+              .group_by("a").aggregate([("one", "sum")])
+              .rename_columns(["a", "n"]))
+        ha = T.content_hash64(bg.column("a").to_pylist())
+        hu = T.content_hash64(un.column("a").to_pylist())
+        bg = pa.table({"a": bg.column("a"), "b": bg.column("b"),
+                       "nab": bg.column("nab"),
+                       "n": pa.nulls(bg.num_rows, pa.int64()),
+                       "_side": pa.array(
+                           np.zeros(bg.num_rows, np.int8)),
+                       "_bucket": pa.array(
+                           (ha % n_buckets).astype(np.int64))})
+        un = pa.table({"a": un.column("a"),
+                       "b": pa.nulls(un.num_rows, pa.string()),
+                       "nab": pa.nulls(un.num_rows, pa.int64()),
+                       "n": un.column("n"),
+                       "_side": pa.array(np.ones(un.num_rows, np.int8)),
+                       "_bucket": pa.array(
+                           (hu % n_buckets).astype(np.int64))})
+        return pa.concat_tables([bg, un])
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        un = (g[g["_side"] == 1].groupby("a", as_index=False)["n"].sum()
+              .rename(columns={"n": "n_a"}))
+        bg = (g[g["_side"] == 0].groupby(["a", "b"], as_index=False)
+              ["nab"].sum())
+        m = bg.merge(un, on="a", how="left")
+        m["n_a"] = m["n_a"].fillna(0).astype("int64")
+        m["nab"] = m["nab"].astype("int64")
+        # re-key on the second word for the marginal-b pass; ship the
+        # unigram side onward too (same rows, new key)
+        hb = T.content_hash64(m["b"].tolist())
+        m["_side"] = np.int8(0)
+        m["_bucket"] = (hb % n_buckets).astype(np.int64)
+        u2 = un.rename(columns={"a": "b", "n_a": "n"}).copy()
+        u2["a"] = None
+        u2["nab"] = np.int64(0)
+        u2["n_a"] = np.int64(0)
+        u2["_side"] = np.int8(1)
+        u2["_bucket"] = (T.content_hash64(u2["b"].tolist())
+                         % n_buckets).astype(np.int64)
+        m["n"] = np.int64(0)
+        return pd.concat([m[["a", "b", "nab", "n_a", "n", "_side",
+                             "_bucket"]],
+                          u2[["a", "b", "nab", "n_a", "n", "_side",
+                              "_bucket"]]], ignore_index=True)
+
+    def attach_b(g: pd.DataFrame) -> pd.DataFrame:
+        un = (g[g["_side"] == 1].groupby("b", as_index=False)["n"].sum()
+              .rename(columns={"n": "n_b"}))
+        bg = (g[g["_side"] == 0]
+              .groupby(["a", "b"], as_index=False)
+              .agg(nab=("nab", "sum"), n_a=("n_a", "max")))
+        m = bg.merge(un, on="b", how="left")
+        m["n_b"] = m["n_b"].fillna(0).astype("int64")
+        for c in ("nab", "n_a"):
+            m[c] = m[c].astype("int64")
+        return (m.sort_values(["nab", "a", "b"],
+                              ascending=[False, True, True])
+                .head(_PMI_TOPN))
+
+    part = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(parts, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(attach_a, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(attach_b, batch_format="pandas")
+            .to_pandas())
+    out = part.sort_values(["nab", "a", "b"],
+                           ascending=[False, True, True]) \
+        .head(_PMI_TOPN).reset_index(drop=True)
+    for c in ("nab", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out[["a", "b", "nab", "n_a", "n_b"]]
+
+
 QUERIES.update({
     "inverted_index": q_inverted_index,
     "dsir_importance": q_dsir_importance,
     "mad_event_values": q_mad_event_values,
     "approx_quantiles_prices": q_approx_quantiles_prices,
+    "bigram_collocations": q_bigram_collocations,
 })
 
 ORACLE_SQL.update({
@@ -5525,6 +5628,25 @@ ORACLE_SQL.update({
                GROUP BY t.doc_id)
         SELECT doc_id, score FROM sc
         ORDER BY score DESC, doc_id LIMIT 200
+    """,
+    "bigram_collocations": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''),
+        un AS (SELECT term, count(*) AS n
+               FROM (SELECT unnest(t) AS term FROM toks)
+               GROUP BY term),
+        bg AS (SELECT t[i] AS a, t[i+1] AS b,
+                      CAST(count(*) AS BIGINT) AS nab
+               FROM toks, UNNEST(range(1, len(t))) AS r(i)
+               GROUP BY 1, 2)
+        SELECT a, b, nab, CAST(ua.n AS BIGINT) AS n_a,
+               CAST(ub.n AS BIGINT) AS n_b
+        FROM bg
+        JOIN un ua ON ua.term = a
+        JOIN un ub ON ub.term = b
+        ORDER BY nab DESC, a, b LIMIT 50
     """,
     "mad_event_values": """
         WITH c AS (SELECT event_type,
