@@ -775,3 +775,167 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
             .map_groups(bucket_pairs, batch_format="pandas")
             .groupby("pair_bucket")
             .map_groups(distinct_pairs, batch_format="pandas"))
+
+
+def components_labels(pairs_ds, *, pair_a="doc_a", pair_b="doc_b",
+                      n_buckets=32, max_rounds=64):
+    """Connected-component labels over a pair table with NO driver
+    graph state: iterative bucketed min-label propagation.
+
+    This is the scale path `neardup_components` documents for when the
+    pair table outgrows the driver's union-find.  State between rounds
+    is a distributed (node, label) Dataset (node-count-sized, lives in
+    the object store); each round is two keyed shuffles —
+    (1) edges keyed by src pick up src's current label and emit
+    (dst, candidate) rows, (2) candidates + current labels keyed by
+    node take the per-node min — and the loop stops when a round
+    lowers no label (a driver-side scalar per round, never rows).
+    Converges in O(component diameter) rounds; diameter of near-dup
+    clusters is small in practice (they are dense similarity cliques).
+
+    Returns a Dataset of (node, label) for every node that appears in
+    a pair, label = min node id of its component.
+    """
+    import ray
+
+    def sym_edges(t: pa.Table) -> pa.Table:
+        a = t.column(pair_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(pair_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "node": pa.array(src),
+            "dst": pa.array(dst),
+            "label": pa.nulls(len(src), pa.int64()),
+            "_side": pa.array(np.zeros(len(src), np.int8)),
+            "_bucket": pa.array((src % n_buckets).astype(np.int64))})
+
+    edges = pairs_ds.map_batches(sym_edges,
+                                 batch_format="pyarrow").materialize()
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(g["node"].astype("int64"))
+        return pd.DataFrame({"node": nodes,
+                             "label": nodes,
+                             "changed": np.int64(0)})
+
+    labels = (edges.groupby("_bucket")
+              .map_groups(init_labels, batch_format="pandas")
+              .materialize())
+
+    def label_side(t) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        node = t.column("node").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "node": pa.array(node),
+            "dst": pa.nulls(t.num_rows, pa.int64()),
+            "label": t.column("label").cast(pa.int64()),
+            "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            "_bucket": pa.array((node % n_buckets).astype(np.int64))})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        """Edges of this src bucket pick up src labels; emit candidate
+        rows keyed by dst, plus the labels themselves keyed by node."""
+        lab = g[g["_side"] == 1][["node", "label"]]
+        lab = lab.astype({"node": "int64", "label": "int64"})
+        ed = g[g["_side"] == 0][["node", "dst"]].astype(
+            {"node": "int64", "dst": "int64"})
+        m = ed.merge(lab, on="node", how="left")
+        cand = pd.DataFrame({
+            "node": m["dst"].to_numpy(dtype=np.int64),
+            "label": m["label"].to_numpy(dtype=np.int64),
+            "is_self": np.zeros(len(m), np.int64)})
+        own = pd.DataFrame({
+            "node": lab["node"].to_numpy(dtype=np.int64),
+            "label": lab["label"].to_numpy(dtype=np.int64),
+            "is_self": np.ones(len(lab), np.int64)})
+        out = pd.concat([cand, own], ignore_index=True)
+        out["_bucket2"] = (out["node"] % n_buckets).astype("int64")
+        return out
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.astype({"node": "int64", "label": "int64",
+                      "is_self": "int64"})
+        new = g.groupby("node", as_index=False)["label"].min()
+        old = (g[g["is_self"] == 1]
+               .groupby("node", as_index=False)["label"].min()
+               .rename(columns={"label": "old"}))
+        new = new.merge(old, on="node", how="left")
+        changed = (new["label"] <
+                   new["old"].fillna(np.iinfo(np.int64).max))
+        return pd.DataFrame({"node": new["node"].astype("int64"),
+                             "label": new["label"].astype("int64"),
+                             "changed": changed.astype("int64")})
+
+    for _ in range(max_rounds):
+        lab_keyed = labels.map_batches(label_side,
+                                       batch_format="pandas")
+        labels = (edges.union(lab_keyed)
+                  .groupby("_bucket")
+                  .map_groups(propagate, batch_format="pandas")
+                  .groupby("_bucket2")
+                  .map_groups(take_min, batch_format="pandas")
+                  .materialize())
+        if int(labels.sum("changed") or 0) == 0:
+            break
+    return labels.drop_columns(["changed"])
+
+
+def neardup_components_distributed(ds, pairs_ds, *, id_col="doc_id",
+                                   pair_a="doc_a", pair_b="doc_b",
+                                   carry_cols=(), n_buckets=32):
+    """`neardup_components` contract served end-to-end distributed:
+    labels from min-label propagation (no driver union-find), corpus
+    rows labeled via ONE keyed bucket merge (no broadcast map).  Docs
+    in no pair keep themselves as root."""
+    labels = components_labels(pairs_ds, pair_a=pair_a, pair_b=pair_b,
+                               n_buckets=n_buckets)
+    schema = ds.schema()
+    carry_types = {n: t for n, t in zip(schema.names, schema.types)
+                   if n in carry_cols}
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols = {id_col: pa.array(node),
+                "root": t.column("label").cast(pa.int64()),
+                "_side": pa.array(np.ones(t.num_rows, np.int8)),
+                "_bucket": pa.array((node % n_buckets).astype(np.int64))}
+        for c in carry_cols:
+            cols[c] = pa.nulls(t.num_rows, carry_types[c])
+        return pa.table(dict(
+            (k, cols[k]) for k in
+            [id_col, "root", "_side", "_bucket", *carry_cols]))
+
+    def corpus_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols = {id_col: t.column(id_col),
+                "root": pa.nulls(t.num_rows, pa.int64()),
+                "_side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "_bucket": pa.array((ids % n_buckets).astype(np.int64))}
+        for c in carry_cols:
+            cols[c] = t.column(c)
+        return pa.table(dict(
+            (k, cols[k]) for k in
+            [id_col, "root", "_side", "_bucket", *carry_cols]))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        lab = (g[g["_side"] == 1][[id_col, "root"]]
+               .astype({id_col: "int64", "root": "int64"})
+               .drop_duplicates(id_col))
+        rows = g[g["_side"] == 0].drop(columns=["root", "_side",
+                                                "_bucket"])
+        rows = rows.astype({id_col: "int64"})
+        m = rows.merge(lab, on=id_col, how="left")
+        m["root"] = m["root"].fillna(m[id_col]).astype("int64")
+        return m[[id_col, "root", *carry_cols]]
+
+    return (ds.select_columns([id_col, *carry_cols])
+            .map_batches(corpus_rows, batch_format="pyarrow")
+            .union(labels.map_batches(lab_rows,
+                                      batch_format="pyarrow"))
+            .groupby("_bucket")
+            .map_groups(resolve, batch_format="pandas"))

@@ -5585,13 +5585,29 @@ def q_bigram_collocations(sf_dir: str):
     return out[["a", "b", "nab", "n_a", "n_b"]]
 
 
+def q_dedup_components_distributed(sf_dir: str):
+    """Same contract as q_dedup_components (exact ngram pairs ->
+    component min-id roots over the corpus) but served by the
+    DISTRIBUTED scale path: iterative bucketed min-label propagation
+    (ops.dedup.components_labels) instead of driver union-find — no
+    graph state on the driver, corpus labeled via one keyed bucket
+    merge.  Shares the recursive-CTE oracle with the driver twin."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.3,
+                                  max_shingle_df=256)
+    return D.neardup_components_distributed(docs, pairs)
+
+
 QUERIES.update({
     "inverted_index": q_inverted_index,
     "dsir_importance": q_dsir_importance,
     "mad_event_values": q_mad_event_values,
     "approx_quantiles_prices": q_approx_quantiles_prices,
     "bigram_collocations": q_bigram_collocations,
+    "dedup_components_distributed": q_dedup_components_distributed,
 })
+ORACLE_SQL["dedup_components_distributed"] = \
+    ORACLE_SQL["dedup_components"]
 
 ORACLE_SQL.update({
     "inverted_index": """

@@ -123,3 +123,27 @@ def test_components_carry_cols_passthrough():
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out["root"].tolist() == [0, 0, 2]
     assert out["n_chars"].tolist() == [18, 18, 24]
+
+
+def test_components_distributed_equals_driver(ray_session):
+    """Min-label propagation (no driver graph state) produces exactly
+    the union-find roots on chains (transitivity), cliques, and
+    isolated corpus docs."""
+    import pyarrow as pa
+    import ray.data
+
+    from hepcrawl_ray.ops import dedup as D
+
+    pairs = pa.table({"doc_a": [1, 2, 3, 4, 10, 10, 11],
+                      "doc_b": [2, 3, 4, 5, 11, 12, 12]})
+    corpus = pa.table({"doc_id": list(range(1, 6)) + [10, 11, 12, 20],
+                       "text": ["x"] * 9})
+    pds = ray.data.from_arrow([pairs.slice(i, 2) for i in range(0, 7, 2)])
+    cds = ray.data.from_arrow([corpus.slice(i, 3) for i in range(0, 9, 3)])
+    out = (D.neardup_components_distributed(cds, pds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = (D.neardup_components(cds, pds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out[["doc_id", "root"]].equals(ref[["doc_id", "root"]])
+    assert dict(zip(out["doc_id"], out["root"]))[5] == 1  # chain end
+    assert dict(zip(out["doc_id"], out["root"]))[20] == 20  # isolated
