@@ -872,11 +872,15 @@ def components_labels(pairs_ds, *, pair_a="doc_a", pair_b="doc_b",
     for _ in range(max_rounds):
         lab_keyed = labels.map_batches(label_side,
                                        batch_format="pandas")
+        # repartition: shuffle output block count tracks input block
+        # count, so iterated label state would double its blocks every
+        # round (superlinear per-block fixed cost) without a coalesce
         labels = (edges.union(lab_keyed)
                   .groupby("_bucket")
                   .map_groups(propagate, batch_format="pandas")
                   .groupby("_bucket2")
                   .map_groups(take_min, batch_format="pandas")
+                  .repartition(n_buckets)
                   .materialize())
         if int(labels.sum("changed") or 0) == 0:
             break

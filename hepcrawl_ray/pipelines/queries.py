@@ -5598,6 +5598,40 @@ def q_dedup_components_distributed(sf_dir: str):
     return D.neardup_components_distributed(docs, pairs)
 
 
+def q_graph_pagerank(sf_dir: str):
+    """PageRank over a deterministic citation-style graph derived from
+    the documents table (3 multiplicative-hash out-edges per doc —
+    no external data), 5 iterations of integer-exact fixed-point
+    ops.graph.pagerank; top-50 nodes by rank.  Rows-only: iterative
+    float-free ranks aren't SQL-expressible, but the distributed run
+    equals the single-process integer reference BIT-FOR-BIT
+    (tests/test_graph.py)."""
+    from hepcrawl_ray.ops import graph as G
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        srcs, dsts = [], []
+        for j, (m, a) in enumerate(((2654435761, 17),
+                                    (40503, 101),
+                                    (2246822519, 997))):
+            srcs.append(ids)
+            dsts.append((ids * m + a) % 1024)
+        return pa.table({"src": pa.array(np.concatenate(srcs)),
+                         "dst": pa.array(np.concatenate(dsts))})
+
+    ranks = G.pagerank(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(edges, batch_format="pyarrow"),
+        iters=5)
+    top = (ranks.to_pandas()
+           .sort_values(["rank", "node"], ascending=[False, True])
+           .head(50).reset_index(drop=True))
+    top["node"] = top["node"].astype("int64")
+    top["rank"] = top["rank"].astype("int64")
+    return top
+
+
 QUERIES.update({
     "inverted_index": q_inverted_index,
     "dsir_importance": q_dsir_importance,
@@ -5605,6 +5639,7 @@ QUERIES.update({
     "approx_quantiles_prices": q_approx_quantiles_prices,
     "bigram_collocations": q_bigram_collocations,
     "dedup_components_distributed": q_dedup_components_distributed,
+    "graph_pagerank": q_graph_pagerank,
 })
 ORACLE_SQL["dedup_components_distributed"] = \
     ORACLE_SQL["dedup_components"]
