@@ -5608,21 +5608,9 @@ def q_graph_pagerank(sf_dir: str):
     (tests/test_graph.py)."""
     from hepcrawl_ray.ops import graph as G
 
-    def edges(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        srcs, dsts = [], []
-        for j, (m, a) in enumerate(((2654435761, 17),
-                                    (40503, 101),
-                                    (2246822519, 997))):
-            srcs.append(ids)
-            dsts.append((ids * m + a) % 1024)
-        return pa.table({"src": pa.array(np.concatenate(srcs)),
-                         "dst": pa.array(np.concatenate(dsts))})
-
     ranks = G.pagerank(
         _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(edges, batch_format="pyarrow"),
+        .map_batches(_doc_edges, batch_format="pyarrow"),
         iters=5)
     top = (ranks.to_pandas()
            .sort_values(["rank", "node"], ascending=[False, True])
@@ -5630,6 +5618,216 @@ def q_graph_pagerank(sf_dir: str):
     top["node"] = top["node"].astype("int64")
     top["rank"] = top["rank"].astype("int64")
     return top
+
+
+def _doc_edges(t: pa.Table) -> pa.Table:
+    """Deterministic citation-style edges from doc ids (3 multiplicative
+    hashes into a 1024-node id space) — the shared graph for the graph
+    queries; SQL-reproducible so graph shapes can be oracle-checked."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    srcs, dsts = [], []
+    for m, a in ((2654435761, 17), (40503, 101), (2246822519, 997)):
+        srcs.append(ids)
+        dsts.append((ids * m + a) % 1024)
+    return pa.table({"src": pa.array(np.concatenate(srcs)),
+                     "dst": pa.array(np.concatenate(dsts))})
+
+
+def q_graph_triangles(sf_dir: str):
+    """Triangle counting over the deterministic doc graph (undirected,
+    deduped): the standard wedge-check construction — each node's
+    UNIQUE neighbor set emits its (lo, hi) wedge pairs, one keyed
+    shuffle joins wedges against the edge set, every matched wedge is
+    one triangle (counted once via the a<b<c canonical ordering).
+    Returns per-apex triangle counts; SQL twin is the 3-way self-join."""
+    n_buckets = 64
+
+    def und_edges(t: pa.Table) -> pa.Table:
+        # QUADRATIC maps into a 256-node space: the pagerank graph is
+        # near-bipartite (src=doc_id, dst<1024 → 0 triangles) and any
+        # affine map mod 2^k with odd offset flips parity, so the folded
+        # affine graph is bipartite too; s*s breaks the linearity
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = ids % 256
+        srcs, dsts = [], []
+        for m, c in ((37, 17), (101, 59), (151, 227)):
+            srcs.append(s)
+            dsts.append((s * s + m * s + c) % 256)
+        a = np.concatenate(srcs)
+        b = np.concatenate(dsts)
+        keep = a != b                        # drop self loops
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        g = (pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
+             .group_by(["lo", "hi"]).aggregate([]))
+        return g
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    # edge table is hash-space-sized (<= 1024*3 distinct) — dedupe via
+    # one bucket pass then REUSE it as both the wedge source and the
+    # closing-edge side of the keyed join
+    def ebucket(t: pa.Table) -> pa.Table:
+        k = t.column("lo").to_numpy(zero_copy_only=False)
+        return t.append_column("_b", pa.array(
+            (k % n_buckets).astype(np.int64)))
+
+    def ededup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["lo", "hi"]].drop_duplicates().astype(
+            {"lo": "int64", "hi": "int64"})
+
+    edges = (docs.map_batches(und_edges, batch_format="pyarrow")
+             .map_batches(ebucket, batch_format="pyarrow")
+             .groupby("_b").map_groups(ededup, batch_format="pandas")
+             .materialize())
+
+    def adjacency_rows(t) -> pa.Table:
+        """Both directions keyed by node, so the next groupby gives
+        every node its COMPLETE neighbor set (an edge's two endpoints
+        live in different lo-buckets otherwise)."""
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([lo, hi])
+        nbr = np.concatenate([hi, lo])
+        return pa.table({"node": pa.array(node), "nbr": pa.array(nbr),
+                         "_bn": pa.array(
+                             (node % n_buckets).astype(np.int64))})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-node (u < v) neighbor pairs with the apex carried,
+        re-keyed by the pair's lo endpoint for the closing-edge join."""
+        node = g["node"].to_numpy(dtype=np.int64)
+        nbr = g["nbr"].to_numpy(dtype=np.int64)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        apex, wa, wb = [], [], []
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        ends = np.r_[starts[1:], len(node)]
+        for s, e in zip(starts, ends):
+            ns = np.unique(nbr[s:e])
+            if len(ns) < 2:
+                continue
+            iu, iv = np.triu_indices(len(ns), k=1)
+            apex.append(np.full(len(iu), node[s], np.int64))
+            wa.append(ns[iu])
+            wb.append(ns[iv])
+        if not apex:
+            return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                 "hi": pd.Series([], dtype="int64"),
+                                 "apex": pd.Series([], dtype="int64"),
+                                 "_side": pd.Series([], dtype="int8"),
+                                 "_b": pd.Series([], dtype="int64")})
+        a, b, ap = (np.concatenate(wa), np.concatenate(wb),
+                    np.concatenate(apex))
+        return pd.DataFrame({"lo": a, "hi": b, "apex": ap,
+                             "_side": np.int8(0),
+                             "_b": (a % n_buckets).astype("int64")})
+
+    def edge_side(g: pd.DataFrame) -> pd.DataFrame:
+        # pandas block to match the wedge side: Ray's sort asserts one
+        # block type across a shuffle's inputs
+        lo = g["lo"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "lo": lo, "hi": g["hi"].astype("int64"),
+            "apex": np.full(len(g), -1, np.int64),
+            "_side": np.ones(len(g), np.int8),
+            "_b": (lo % n_buckets).astype("int64")})
+
+    def close_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        ed = g[g["_side"] == 1][["lo", "hi"]].astype(
+            {"lo": "int64", "hi": "int64"})
+        wd = g[g["_side"] == 0][["lo", "hi", "apex"]].astype(
+            {"lo": "int64", "hi": "int64", "apex": "int64"})
+        m = wd.merge(ed, on=["lo", "hi"], how="inner")
+        out = m.groupby("apex", as_index=False).size() \
+            .rename(columns={"size": "n_triangles"})
+        return out.astype({"apex": "int64", "n_triangles": "int64"})
+
+    tri = (edges.map_batches(adjacency_rows, batch_format="pandas")
+           .groupby("_bn")
+           .map_groups(wedges, batch_format="pandas")
+           .union(edges.map_batches(edge_side, batch_format="pandas"))
+           .groupby("_b")
+           .map_groups(close_wedges, batch_format="pandas")
+           .to_pandas())
+    out = (tri.groupby("apex", as_index=False)["n_triangles"].sum()
+           .sort_values("apex").reset_index(drop=True))
+    out["apex"] = out["apex"].astype("int64")
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out
+
+
+def q_moving_sum_orders(sf_dir: str):
+    """ROWS-frame window: 4-row trailing sum of order cents per
+    customer ordered by (date, orderkey) — the row-count window the
+    RANGE/tumbling queries can't express.  One custkey-bucket shuffle,
+    pandas rolling-C inside the group."""
+    n_buckets = 64
+
+    def project(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "ts_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "cents": pa.array(_cents(
+                t.column("o_totalprice").to_numpy())),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        for c in ("o_custkey", "o_orderkey", "ts_us", "cents"):
+            g[c] = g[c].astype("int64")
+        g = g.sort_values(["o_custkey", "ts_us", "o_orderkey"],
+                          kind="mergesort")
+        g["moving_cents"] = (g.groupby("o_custkey")["cents"]
+                             .rolling(4, min_periods=1).sum()
+                             .reset_index(level=0, drop=True)
+                             .astype("int64"))
+        return g[["o_custkey", "o_orderkey", "cents", "moving_cents"]]
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate",
+                   "o_totalprice"])
+            .map_batches(project, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(roll, batch_format="pandas"))
+
+
+def q_grouping_sets_orders(sf_dir: str):
+    """GROUPING SETS aggregate: order counts + revenue by (status),
+    (priority), and (status, priority), with '(all)' sentinels for the
+    collapsed dimension.  One Arrow partial pass; the three rollups run
+    on the |status|x|priority| combine table."""
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        g = (pa.table({"st": t.column("o_orderstatus"),
+                       "pr": t.column("o_orderpriority"),
+                       "cents": pa.array(cents),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["st", "pr"])
+             .aggregate([("cents", "sum"), ("one", "sum")]))
+        return g.rename_columns(["st", "pr", "cents", "n"])
+
+    small = (_read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    fine = small.groupby(["st", "pr"], as_index=False).agg(
+        rev_cents=("cents", "sum"), n_orders=("n", "sum"))
+    by_st = fine.groupby("st", as_index=False).agg(
+        rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum"))
+    by_st["pr"] = "(all)"
+    by_pr = fine.groupby("pr", as_index=False).agg(
+        rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum"))
+    by_pr["st"] = "(all)"
+    cols = ["st", "pr", "rev_cents", "n_orders"]
+    out = pd.concat([fine[cols], by_st[cols], by_pr[cols]],
+                    ignore_index=True)
+    for c in ("rev_cents", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out
 
 
 QUERIES.update({
@@ -5640,6 +5838,9 @@ QUERIES.update({
     "bigram_collocations": q_bigram_collocations,
     "dedup_components_distributed": q_dedup_components_distributed,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
+    "moving_sum_orders": q_moving_sum_orders,
+    "grouping_sets_orders": q_grouping_sets_orders,
 })
 ORACLE_SQL["dedup_components_distributed"] = \
     ORACLE_SQL["dedup_components"]
@@ -5679,6 +5880,47 @@ ORACLE_SQL.update({
                GROUP BY t.doc_id)
         SELECT doc_id, score FROM sc
         ORDER BY score DESC, doc_id LIMIT 200
+    """,
+    "graph_triangles": """
+        WITH s0 AS (SELECT doc_id % 256 AS s FROM documents),
+        e0 AS (
+            SELECT s, (s*s + 37*s + 17) % 256 AS d FROM s0
+            UNION ALL
+            SELECT s, (s*s + 101*s + 59) % 256 FROM s0
+            UNION ALL
+            SELECT s, (s*s + 151*s + 227) % 256 FROM s0),
+        e1 AS (SELECT DISTINCT LEAST(s, d) AS lo, GREATEST(s, d) AS hi
+               FROM e0 WHERE s <> d),
+        tri AS (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM e1
+            JOIN e1 e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+            JOIN e1 e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+        SELECT apex, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS apex FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY apex
+    """,
+    "moving_sum_orders": """
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS moving_cents
+        FROM orders
+    """,
+    "grouping_sets_orders": """
+        SELECT COALESCE(o_orderstatus, '(all)') AS st,
+               COALESCE(o_orderpriority, '(all)') AS pr,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
     """,
     "bigram_collocations": """
         WITH toks AS (
