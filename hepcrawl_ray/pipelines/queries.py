@@ -5830,6 +5830,284 @@ def q_grouping_sets_orders(sf_dir: str):
     return out
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: customer(segment allowlist) ⋈ orders(date < D)
+    ⋈ lineitem(shipdate > D), per-order revenue
+    ``floor(extprice*(1-disc)*100+0.5)`` summed, global top 10 by
+    (revenue DESC, orderkey ASC).
+
+    Scale shape: two union + bucket-groupby gathers (lesson 11) keyed
+    custkey then orderkey.  The customer side is reduced to bare keys
+    at the read; lineitem revenue pre-aggregates per batch so only
+    (orderkey, rev) partials ride the second shuffle; each orderkey
+    bucket emits its LOCAL top-10 and the driver picks the global 10
+    from <= 64*10 candidate rows (prunable top-k, same trick as
+    q_topk_parts)."""
+    n_buckets = 64
+    cutoff = pd.Timestamp("1998-06-01").value // 1000  # us
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("o_orderdate"), pa.int64())
+        t = t.append_column("_ts", ts).filter(pc.less(ts, cutoff))
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": t.column("o_custkey"),
+            "orderkey": t.column("o_orderkey"),
+            "odate": pc.strftime(t.column("o_orderdate"),
+                                 format="%Y-%m-%d"),
+            "_side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": t.column("c_custkey"),
+            "orderkey": pa.nulls(t.num_rows, pa.int64()),
+            "odate": pa.nulls(t.num_rows, pa.string()),
+            "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        keep = set(g.loc[g["_side"] == 1, "custkey"].astype("int64"))
+        f = g[g["_side"] == 0]
+        f = f[f["custkey"].astype("int64").isin(keep)]
+        ok = f["orderkey"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "orderkey": ok, "odate": f["odate"].astype(str),
+            "_side": np.ones(len(f), np.int8),
+            "_b2": (ok % n_buckets).astype("int64")})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("l_shipdate"), pa.int64())
+        t = t.filter(pc.greater(ts, cutoff))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        g = (pa.table({"orderkey": t.column("l_orderkey"),
+                       "rev": pa.array(rev)})
+             .group_by("orderkey").aggregate([("rev", "sum")])
+             .rename_columns(["orderkey", "rev"]))
+        k = g.column("orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": g.column("orderkey"),
+            "odate": pa.nulls(g.num_rows, pa.string()),
+            "rev": g.column("rev"),
+            "_side": pa.array(np.zeros(g.num_rows, np.int8)),
+            "_b2": pa.array((k % n_buckets).astype(np.int64))})
+
+    def top_local(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["_side"] == 1, ["orderkey", "odate"]]
+        fact = g[g["_side"] == 0]
+        if dim.empty or fact.empty:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype=str)})
+        dim = dim.assign(orderkey=dim["orderkey"].astype("int64"))
+        agg = (fact.assign(orderkey=fact["orderkey"].astype("int64"),
+                           rev=fact["rev"].astype("int64"))
+               .groupby("orderkey", as_index=False)["rev"].sum())
+        m = dim.merge(agg, on="orderkey", how="inner")
+        m = m.sort_values(["rev", "orderkey"],
+                          ascending=[False, True]).head(10)
+        return pd.DataFrame({
+            "l_orderkey": m["orderkey"].astype("int64"),
+            "revenue_cents": m["rev"].astype("int64"),
+            "o_orderdate": m["odate"].astype(str)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_side, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+    qualified = (orders.union(cust).groupby("_bucket")
+                 .map_groups(semi, batch_format="pandas"))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    def widen(t: pa.Table) -> pa.Table:
+        # align qualified-order rows to the lineitem-partial schema
+        return pa.table({
+            "orderkey": t.column("orderkey"),
+            "odate": t.column("odate"),
+            "rev": pa.nulls(t.num_rows, pa.int64()),
+            "_side": t.column("_side"),
+            "_b2": t.column("_b2")})
+
+    cand = (qualified.map_batches(widen, batch_format="pyarrow")
+            .union(li).groupby("_b2")
+            .map_groups(top_local, batch_format="pandas")
+            .to_pandas())
+    return (cand.sort_values(["revenue_cents", "l_orderkey"],
+                             ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """UNNEST of a list<float> column: per-dimension fixed-point sum
+    and count over the embeddings table (the training-pipeline 'is a
+    feature dead / unnormalized' audit).
+
+    Scale shape: each batch flattens its list column zero-copy
+    (ListArray values buffer), converts to integer micros, and does a
+    dim-keyed partial sum with np.bincount — only D-row partials leave
+    the batch, combined on the driver (D = dim count, tiny)."""
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        micros = np.floor(flat * 1e6 + 0.5).astype(np.int64)
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        # dim index for every flattened value: arange minus row start
+        dims = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], lens)
+        d = int(dims.max()) + 1 if len(dims) else 0
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "sum_micros": pa.array(np.bincount(
+                dims, weights=micros, minlength=d).astype(np.int64)),
+            "n_vals": pa.array(np.bincount(
+                dims, minlength=d).astype(np.int64))})
+
+    small = (_read(sf_dir, "embeddings", ["embedding"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    out = small.groupby("dim", as_index=False)[
+        ["sum_micros", "n_vals"]].sum()
+    for c in ("dim", "sum_micros", "n_vals"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+def q_above_nation_avg_revenue(sf_dir: str):
+    """Correlated two-level aggregate: customers whose lifetime order
+    revenue exceeds the AVERAGE customer revenue of their nation —
+    division-free (``rev * nation_customers > nation_revenue``) so the
+    compare is integer-exact.
+
+    Scale shape: orders pre-aggregate per batch, one custkey-bucket
+    gather attaches nationkey; the nation rollup is 25 rows — computed
+    from the per-bucket partials and broadcast back via a second pass
+    over the SAME gathered result (a small driver-side table, not a
+    shuffle)."""
+    n_buckets = 64
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        g = (pa.table({"custkey": t.column("o_custkey"),
+                       "rev": pa.array(cents)})
+             .group_by("custkey").aggregate([("rev", "sum")])
+             .rename_columns(["custkey", "rev"]))
+        k = g.column("custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": g.column("custkey"), "rev": g.column("rev"),
+            "nationkey": pa.nulls(g.num_rows, pa.int64()),
+            "_side": pa.array(np.zeros(g.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": t.column("c_custkey"),
+            "rev": pa.nulls(t.num_rows, pa.int64()),
+            "nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["_side"] == 1, ["custkey", "nationkey"]]
+        fact = g[g["_side"] == 0]
+        if dim.empty or fact.empty:
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype="int64"),
+                "nationkey": pd.Series([], dtype="int64"),
+                "rev_cents": pd.Series([], dtype="int64")})
+        dim = dim.assign(custkey=dim["custkey"].astype("int64"),
+                         nationkey=dim["nationkey"].astype("int64"))
+        agg = (fact.assign(custkey=fact["custkey"].astype("int64"),
+                           rev=fact["rev"].astype("int64"))
+               .groupby("custkey", as_index=False)["rev"].sum())
+        m = dim.merge(agg, on="custkey", how="inner")
+        return pd.DataFrame({
+            "c_custkey": m["custkey"].astype("int64"),
+            "nationkey": m["nationkey"].astype("int64"),
+            "rev_cents": m["rev"].astype("int64")})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+    per_cust = (orders.union(cust).groupby("_bucket")
+                .map_groups(gather, batch_format="pandas")
+                .materialize())
+
+    # nation rollup: 25 rows — Arrow partials, combined on the driver
+    def nat_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["nationkey", "rev_cents"])
+             .append_column("one", pa.array(
+                 np.ones(t.num_rows, np.int64)))
+             .group_by("nationkey")
+             .aggregate([("rev_cents", "sum"), ("one", "sum")]))
+        return g.rename_columns(["nationkey", "tot", "cnt"])
+
+    nat = (per_cust.map_batches(nat_partial, batch_format="pyarrow")
+           .to_pandas().groupby("nationkey", as_index=False)
+           [["tot", "cnt"]].sum())
+    tot = dict(zip(nat["nationkey"].astype("int64"),
+                   nat["tot"].astype("int64")))
+    cnt = dict(zip(nat["nationkey"].astype("int64"),
+                   nat["cnt"].astype("int64")))
+
+    def above(t: pa.Table) -> pa.Table:
+        nk = t.column("nationkey").to_numpy(zero_copy_only=False)
+        rev = t.column("rev_cents").to_numpy(zero_copy_only=False)
+        # map via searchsorted on the unique keys (25 nations)
+        uk = np.unique(nk)
+        idx = np.searchsorted(uk, nk)
+        ntot = np.array([tot[int(k)] for k in uk], np.int64)[idx]
+        ncnt = np.array([cnt[int(k)] for k in uk], np.int64)[idx]
+        keep = rev * ncnt > ntot
+        return pa.table({
+            "c_custkey": t.column("c_custkey").filter(pa.array(keep)),
+            "rev_cents": t.column("rev_cents").filter(pa.array(keep))})
+
+    return per_cust.map_batches(above, batch_format="pyarrow")
+
+
+def q_read_pushdown_parts(sf_dir: str):
+    """Predicate pushdown at the READ: row filter + column prune in
+    ``read_parquet`` itself so non-matching row groups never leave
+    storage (the 'prune at the read' rule; at 100 TB this is the
+    difference between scanning 3 columns of 2% of row groups and the
+    whole table)."""
+    import ray
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=(pads.field("p_size") <= 5))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _strip_meta(t)
+        g = (t.group_by(["p_brand", "p_size"])
+             .aggregate([("p_partkey", "count")]))
+        return g.rename_columns(["p_brand", "p_size", "n"])
+
+    small = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    out = small.groupby(["p_brand", "p_size"], as_index=False)["n"] \
+        .sum()
+    out["p_size"] = out["p_size"].astype("int64")
+    out["n_parts"] = out.pop("n").astype("int64")
+    return out
+
+
 QUERIES.update({
     "inverted_index": q_inverted_index,
     "dsir_importance": q_dsir_importance,
@@ -5841,6 +6119,10 @@ QUERIES.update({
     "graph_triangles": q_graph_triangles,
     "moving_sum_orders": q_moving_sum_orders,
     "grouping_sets_orders": q_grouping_sets_orders,
+    "shipping_priority": q_shipping_priority,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "above_nation_avg_revenue": q_above_nation_avg_revenue,
+    "read_pushdown_parts": q_read_pushdown_parts,
 })
 ORACLE_SQL["dedup_components_distributed"] = \
     ORACLE_SQL["dedup_components"]
@@ -5921,6 +6203,53 @@ ORACLE_SQL.update({
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), (o_orderpriority))
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue_cents DESC, l_orderkey
+        LIMIT 10
+    """,
+    "embedding_dim_stats": """
+        WITH flat AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6
+                              + 0.5) AS BIGINT) AS micros
+            FROM embeddings)
+        SELECT dim, CAST(sum(micros) AS BIGINT) AS sum_micros,
+               CAST(count(*) AS BIGINT) AS n_vals
+        FROM flat GROUP BY dim ORDER BY dim
+    """,
+    "above_nation_avg_revenue": """
+        WITH per_cust AS (
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_nationkey),
+        nat AS (
+            SELECT nationkey, CAST(sum(rev_cents) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM per_cust GROUP BY nationkey)
+        SELECT c_custkey, rev_cents
+        FROM per_cust JOIN nat USING (nationkey)
+        WHERE rev_cents * cnt > tot
+    """,
+    "read_pushdown_parts": """
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part WHERE p_size <= 5
+        GROUP BY p_brand, p_size
     """,
     "bigram_collocations": """
         WITH toks AS (
