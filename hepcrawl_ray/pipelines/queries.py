@@ -6108,6 +6108,130 @@ def q_read_pushdown_parts(sf_dir: str):
     return out
 
 
+def _max_streaks(u: "np.ndarray", d: "np.ndarray") -> pd.DataFrame:
+    """Longest consecutive-day run per user over (user, day) pairs —
+    vectorized across the whole bucket: sort, drop duplicate pairs,
+    break runs where the user changes or the gap != 1, bincount the
+    run ids.  No per-user Python loop."""
+    if not len(u):
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "max_streak": pd.Series([], dtype="int64")})
+    order = np.lexsort((d, u))
+    u, d = u[order], d[order]
+    keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+    u, d = u[keep], d[keep]
+    brk = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)]
+    run_id = np.cumsum(brk) - 1
+    run_len = np.bincount(run_id)
+    run_user = u[np.flatnonzero(brk)]
+    out = (pd.DataFrame({"user_id": run_user, "len": run_len})
+           .groupby("user_id", as_index=False)["len"].max()
+           .rename(columns={"len": "max_streak"}))
+    return out.astype({"user_id": "int64", "max_streak": "int64"})
+
+
+def q_activity_streaks(sf_dir: str):
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user (the classic row_number-difference shape, done without a
+    global window).
+
+    Scale shape: per-batch distinct (user, epoch-day) pairs → one
+    user-bucket shuffle → the whole bucket's runs found vectorized
+    (sort, unique, run breaks where the user changes or the day gap
+    != 1 — np.flatnonzero over the bucket, no per-user loop)."""
+    n_buckets = 64
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        days = pa.array(ts // 86_400_000_000)
+        g = (pa.table({"user_id": t.column("user_id"), "day": days})
+             .group_by(["user_id", "day"]).aggregate([]))
+        k = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket", pa.array(
+            (k % n_buckets).astype(np.int64)))
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        return _max_streaks(g["user_id"].to_numpy(dtype=np.int64),
+                            g["day"].to_numpy(dtype=np.int64))
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(streaks, batch_format="pandas"))
+
+
+def q_group_concat_langs(sf_dir: str):
+    """Ordered group-concat (string_agg): the sorted distinct language
+    list per source, comma-joined — the aggregate whose RESULT depends
+    on element order, so the distributed path must sort inside the
+    group, not rely on arrival order.
+
+    Scale shape: per-batch distinct (source, lang) pairs → one
+    source-bucket shuffle → pandas sorted join per group (group count
+    is dimension-small by construction)."""
+    n_buckets = 16
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = (t.select(["source", "lang"])
+             .group_by(["source", "lang"]).aggregate([]))
+        h = pd.util.hash_array(np.asarray(
+            g.column("source").to_pylist(), dtype=object))
+        return g.append_column("_bucket", pa.array(
+            (h % n_buckets).astype(np.int64)))
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["source", "lang"]].drop_duplicates()
+        out = (d.sort_values(["source", "lang"])
+               .groupby("source", as_index=False)
+               .agg(langs=("lang", ",".join), n_langs=("lang", "size")))
+        out["n_langs"] = out["n_langs"].astype("int64")
+        return out
+
+    return (_read(sf_dir, "documents", ["source", "lang"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(concat, batch_format="pandas"))
+
+
+def q_cube_orders(sf_dir: str):
+    """Full CUBE(status, priority): the four grouping sets — (st, pr),
+    (st), (pr), () — derived from ONE Arrow partial pass; everything
+    after the per-batch combine runs on the |status|×|priority| table."""
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        g = (pa.table({"st": t.column("o_orderstatus"),
+                       "pr": t.column("o_orderpriority"),
+                       "cents": pa.array(cents),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["st", "pr"])
+             .aggregate([("cents", "sum"), ("one", "sum")]))
+        return g.rename_columns(["st", "pr", "cents", "n"])
+
+    small = (_read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    fine = small.groupby(["st", "pr"], as_index=False).agg(
+        rev_cents=("cents", "sum"), n_orders=("n", "sum"))
+    by_st = fine.groupby("st", as_index=False).agg(
+        rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum"))
+    by_st["pr"] = "(all)"
+    by_pr = fine.groupby("pr", as_index=False).agg(
+        rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum"))
+    by_pr["st"] = "(all)"
+    grand = pd.DataFrame({
+        "st": ["(all)"], "pr": ["(all)"],
+        "rev_cents": [fine["rev_cents"].sum()],
+        "n_orders": [fine["n_orders"].sum()]})
+    cols = ["st", "pr", "rev_cents", "n_orders"]
+    out = pd.concat([fine[cols], by_st[cols], by_pr[cols], grand[cols]],
+                    ignore_index=True)
+    for c in ("rev_cents", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES.update({
     "inverted_index": q_inverted_index,
     "dsir_importance": q_dsir_importance,
@@ -6123,6 +6247,9 @@ QUERIES.update({
     "embedding_dim_stats": q_embedding_dim_stats,
     "above_nation_avg_revenue": q_above_nation_avg_revenue,
     "read_pushdown_parts": q_read_pushdown_parts,
+    "activity_streaks": q_activity_streaks,
+    "group_concat_langs": q_group_concat_langs,
+    "cube_orders": q_cube_orders,
 })
 ORACLE_SQL["dedup_components_distributed"] = \
     ORACLE_SQL["dedup_components"]
@@ -6250,6 +6377,37 @@ ORACLE_SQL.update({
                CAST(count(*) AS BIGINT) AS n_parts
         FROM part WHERE p_size <= 5
         GROUP BY p_brand, p_size
+    """,
+    "activity_streaks": """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events),
+        r AS (
+            SELECT user_id, day,
+                   day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS grp
+            FROM d),
+        runs AS (
+            SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+            FROM r GROUP BY user_id, grp)
+        SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+        FROM runs GROUP BY user_id
+    """,
+    "group_concat_langs": """
+        WITH d AS (SELECT DISTINCT source, lang FROM documents)
+        SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM d GROUP BY source
+    """,
+    "cube_orders": """
+        SELECT COALESCE(o_orderstatus, '(all)') AS st,
+               COALESCE(o_orderpriority, '(all)') AS pr,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "bigram_collocations": """
         WITH toks AS (
