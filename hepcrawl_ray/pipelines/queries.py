@@ -6445,6 +6445,303 @@ ORACLE_SQL.update({
 })
 
 
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed exactly k orders,
+    INCLUDING k = 0 (the LEFT-join-then-histogram classic).
+
+    Scale shape: orders collapse per batch to (custkey, partial_n);
+    the customer keys ride the same custkey-bucket shuffle null-padded
+    (lesson 11 — no Dataset.join on a sparse LEFT side); each bucket
+    emits its LOCAL (c_count -> n_custs) histogram, so the final
+    combine runs over |buckets| x |distinct counts| rows — provably
+    dimension-small, safe to finish on the driver."""
+    n_buckets = 64
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"custkey": t.column("o_custkey"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("custkey").aggregate([("one", "sum")])
+             .rename_columns(["custkey", "n"]))
+        k = g.column("custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": g.column("custkey"), "n": g.column("n"),
+            "_side": pa.array(np.zeros(g.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": t.column("c_custkey"),
+            "n": pa.nulls(t.num_rows, pa.int64()),
+            "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def local_hist(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["_side"] == 1, ["custkey"]].copy()
+        if dim.empty:
+            return pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                                 "n_custs": pd.Series([], dtype="int64")})
+        dim["custkey"] = dim["custkey"].astype("int64")  # lesson 13
+        fact = g[g["_side"] == 0]
+        agg = (fact.assign(custkey=lambda d: d["custkey"].astype("int64"))
+               .groupby("custkey", as_index=False)["n"].sum())
+        m = dim.merge(agg, on="custkey", how="left")
+        c = m["n"].fillna(0).astype("int64")
+        out = c.value_counts().rename_axis("c_count").reset_index(
+            name="n_custs")
+        return out.astype({"c_count": "int64", "n_custs": "int64"})
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(ord_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+    local = orders.union(cust).groupby("_bucket") \
+        .map_groups(local_hist, batch_format="pandas").to_pandas()
+    return (local.groupby("c_count", as_index=False)["n_custs"].sum()
+            .astype({"c_count": "int64", "n_custs": "int64"}))
+
+
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds 300
+    (a HAVING filter on a fact-fact aggregate, then a join back to the
+    order header for customer + price).
+
+    Scale shape: lineitem collapses per batch to (orderkey,
+    partial_qty); one orderkey-bucket shuffle resolves the HAVING and
+    the orders header rides the SAME shuffle null-padded (one keyed
+    exchange total, no Dataset.join, no driver materialization).
+    Quantities are integral by schema contract, summed as int64."""
+    n_buckets = 64
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy().astype(np.int64)
+        g = (pa.table({"okey": t.column("l_orderkey"), "qty": pa.array(q)})
+             .group_by("okey").aggregate([("qty", "sum")])
+             .rename_columns(["okey", "qty"]))
+        k = g.column("okey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": g.column("okey"), "qty": g.column("qty"),
+            "custkey": pa.nulls(g.num_rows, pa.int64()),
+            "price_c": pa.nulls(g.num_rows, pa.int64()),
+            "_side": pa.array(np.zeros(g.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": t.column("o_orderkey"),
+            "qty": pa.nulls(t.num_rows, pa.int64()),
+            "custkey": t.column("o_custkey"),
+            "price_c": pa.array(_cents(t.column("o_totalprice")
+                                       .to_numpy())),
+            "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def having_join(g: pd.DataFrame) -> pd.DataFrame:
+        fact = g[g["_side"] == 0]
+        tot = (fact.assign(okey=lambda d: d["okey"].astype("int64"))
+               .groupby("okey", as_index=False)["qty"].sum())
+        tot = tot[tot["qty"] > 300]
+        if tot.empty:
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "total_qty": pd.Series([], dtype="int64"),
+                "price_cents": pd.Series([], dtype="int64")})
+        hdr = g.loc[g["_side"] == 1, ["okey", "custkey", "price_c"]]
+        m = tot.merge(hdr.assign(okey=lambda d: d["okey"].astype("int64")),
+                      on="okey", how="inner")
+        return pd.DataFrame({
+            "c_custkey": m["custkey"].astype("int64"),
+            "o_orderkey": m["okey"].astype("int64"),
+            "total_qty": m["qty"].astype("int64"),
+            "price_cents": m["price_c"].astype("int64")})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(ord_side, batch_format="pyarrow")
+    return li.union(orders).groupby("_bucket") \
+        .map_groups(having_join, batch_format="pandas")
+
+
+def q_supplier_part_variety(sf_dir: str):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, size) —
+    a distinct-count over a join, the shape where a naive engine
+    ships the whole join output to one reducer.
+
+    Scale shape: lineitem collapses per batch to DISTINCT (partkey,
+    suppkey) pairs; part attrs ride the same partkey-bucket shuffle
+    null-padded; each bucket emits distinct (brand, size, suppkey)
+    triples which re-shuffle keyed on hash(brand, size) so the final
+    nunique per group sees every suppkey for its group exactly once.
+    Two keyed exchanges, both over collapsed (not raw) rows."""
+    n_buckets = 64
+    n_buckets2 = 16
+
+    def li_pairs(t: pa.Table) -> pa.Table:
+        g = (t.select(["l_partkey", "l_suppkey"])
+             .group_by(["l_partkey", "l_suppkey"]).aggregate([])
+             .rename_columns(["pkey", "skey"]))
+        k = g.column("pkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pkey": g.column("pkey"), "skey": g.column("skey"),
+            "brand": pa.nulls(g.num_rows, pa.string()),
+            "size": pa.nulls(g.num_rows, pa.int64()),
+            "_side": pa.array(np.zeros(g.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def part_side(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pkey": t.column("p_partkey"),
+            "skey": pa.nulls(t.num_rows, pa.int64()),
+            "brand": t.column("p_brand"),
+            "size": pc.cast(t.column("p_size"), pa.int64()),
+            "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["_side"] == 1, ["pkey", "brand", "size"]].copy()
+        pairs = g.loc[g["_side"] == 0, ["pkey", "skey"]].copy()
+        for df in (dim, pairs):
+            df["pkey"] = df["pkey"].astype("int64")  # lesson 13
+        m = pairs.merge(dim, on="pkey", how="inner")
+        trip = m[["brand", "size", "skey"]].drop_duplicates()
+        if trip.empty:
+            return pd.DataFrame({
+                "brand": pd.Series([], dtype=str),
+                "size": pd.Series([], dtype="int64"),
+                "skey": pd.Series([], dtype="int64"),
+                "_bucket2": pd.Series([], dtype="int64")})
+        h = pd.util.hash_array(
+            (trip["brand"] + "|" + trip["size"].astype("int64")
+             .astype(str)).to_numpy(dtype=object))
+        return pd.DataFrame({
+            "brand": trip["brand"],
+            "size": trip["size"].astype("int64"),
+            "skey": trip["skey"].astype("int64"),
+            "_bucket2": (h % n_buckets2).astype("int64")})
+
+    def variety(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["brand", "size", "skey"])
+               .groupby(["brand", "size"], as_index=False)
+               .agg(supplier_cnt=("skey", "nunique"))
+               .rename(columns={"brand": "p_brand", "size": "p_size"}))
+        return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(li_pairs, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(part_side, batch_format="pyarrow")
+    return (li.union(part)
+            .groupby("_bucket").map_groups(attach, batch_format="pandas")
+            .groupby("_bucket2").map_groups(variety,
+                                            batch_format="pandas"))
+
+
+def q_order_gap_days(sf_dir: str):
+    """Per-customer LAG-diff aggregate: over each customer's orders
+    sorted by day, the count / max / sum of consecutive day gaps
+    (customers with >= 2 orders).  The gap MULTISET is deterministic
+    under date ties (only the sorted day sequence matters), unlike
+    raw LAG row identity.
+
+    Scale shape: only (custkey, epoch-day) int pairs ride one
+    custkey-bucket shuffle; each bucket runs ONE vectorized pass
+    (lexsort + diff + segment mask), no per-customer Python loop."""
+    n_buckets = 64
+
+    def days(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": t.column("o_custkey"),
+            "day": pa.array(ts // 86_400_000_000),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["custkey"].to_numpy(dtype=np.int64)
+        d = g["day"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "max_gap_days": pd.Series([], dtype="int64"),
+                "span_days": pd.Series([], dtype="int64")})
+        gap = (d[1:] - d[:-1])[same]
+        who = u[1:][same]
+        out = (pd.DataFrame({"c_custkey": who, "gap": gap})
+               .groupby("c_custkey", as_index=False)
+               .agg(n_gaps=("gap", "size"), max_gap_days=("gap", "max"),
+                    span_days=("gap", "sum")))
+        return out.astype({c: "int64" for c in out.columns})
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+            .map_batches(days, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(gaps, batch_format="pandas"))
+
+
+QUERIES.update({
+    "customer_order_distribution": q_customer_order_distribution,
+    "large_volume_orders": q_large_volume_orders,
+    "supplier_part_variety": q_supplier_part_variety,
+    "order_gap_days": q_order_gap_days,
+})
+ORACLE_SQL.update({
+    "customer_order_distribution": """
+        WITH pc AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS n_custs
+        FROM pc GROUP BY c_count
+    """,
+    "large_volume_orders": """
+        WITH t AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 300)
+        SELECT o.o_custkey AS c_custkey, o.o_orderkey, t.total_qty,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+        FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+    """,
+    "supplier_part_variety": """
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        GROUP BY p_brand, p_size
+    """,
+    "order_gap_days": """
+        WITH d AS (
+            SELECT o_custkey,
+                   epoch_us(o_orderdate) // 86400000000 AS day
+            FROM orders),
+        g AS (
+            SELECT o_custkey,
+                   day - LAG(day) OVER (PARTITION BY o_custkey
+                                        ORDER BY day) AS gap
+            FROM d)
+        SELECT o_custkey AS c_custkey,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(max(gap) AS BIGINT) AS max_gap_days,
+               CAST(sum(gap) AS BIGINT) AS span_days
+        FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
