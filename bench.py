@@ -57,15 +57,17 @@ QUERY_NAMES = [
 ]
 
 
-def build_bench_corpus():
+def build_bench_corpus(seed_mult: int | None = None):
     """Deterministic large corpus + seed frontier, cached to parquet."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if seed_mult is None:
+        seed_mult = BENCH_SEED_MULT
     os.makedirs(BENCH_CACHE, exist_ok=True)
     img_path = os.path.join(BENCH_CACHE, f"images_{BENCH_IMAGES}.parquet")
     seed_path = os.path.join(
-        BENCH_CACHE, f"seeds_{BENCH_IMAGES}x{BENCH_SEED_MULT}")
+        BENCH_CACHE, f"seeds_{BENCH_IMAGES}x{seed_mult}")
     # row groups sized so the keyed fetch stage reads a bounded slice
     # per lookup (the 100-TB path: actors hold O(row group), not the
     # corpus); stale single-row-group caches are rewritten
@@ -88,7 +90,7 @@ def build_bench_corpus():
         # vectorized big seed stream: many URL routes per image across
         # hosts/sets; ~10% exact dups; skewed host distribution
         rng = np.random.default_rng(7)
-        n = BENCH_IMAGES * BENCH_SEED_MULT
+        n = BENCH_IMAGES * seed_mult
         img_ids = images.column("image_id").to_pylist()
         pick = rng.integers(0, len(img_ids), size=n)
         hosts_pool = np.array([f"host{k:02d}.bench.org" for k in range(32)])
@@ -134,13 +136,14 @@ def build_bench_corpus():
     return images, img_path, seed_path, politeness
 
 
-def run_crawl_bench(num_partitions: int = 16):
+def run_crawl_bench(num_partitions: int = 16,
+                    seed_mult: int | None = None):
     """num_partitions is a DATA-LAYOUT choice (like a cluster's shard
     count) and is held constant across CPU levels so the scaling
     experiment varies only compute."""
     from hepcrawl_ray.pipelines import crawl as cp
 
-    images, img_path, seed_path, politeness = build_bench_corpus()
+    images, img_path, seed_path, politeness = build_bench_corpus(seed_mult)
     t0 = time.time()
     # pass the PATH, not the table: fetch actors do keyed row-group
     # lookups (stages.KeyedFetchStage) instead of each holding the
@@ -209,7 +212,13 @@ def main():
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     load_start = loadavg_1m()
-    run_crawl_bench(num_partitions=16)   # warm-up: workers, caches
+    # warm-up: workers, codec imports, row-group caches.  A SMALLER
+    # warm-up frontier (BENCH_WARMUP_MULT) warms the same state in a
+    # fraction of the wall time — used by --scaling children whose
+    # measured frontier is large
+    warm_mult = os.environ.get("BENCH_WARMUP_MULT")
+    run_crawl_bench(num_partitions=16,
+                    seed_mult=int(warm_mult) if warm_mult else None)
     # best-of-N steady-state reps: ambient load on this shared VM only
     # ever LOWERS throughput, so the max is the least-biased estimate;
     # the per-rep list + loadavg ride in the JSON so the distribution
@@ -250,7 +259,17 @@ def scaling():
     """
     import subprocess
 
-    build_bench_corpus()  # warm the disk cache so both runs see warm input
+    # The measured frontier is 4x the headline one (BENCH_SCALING_MULT,
+    # ~3.6M URLs, ~85 s at 32 CPUs): per-run FIXED costs (frontier +
+    # fetch actor-pool spin-up, ~4-5 s) are the same at both CPU levels
+    # but eat 3x more of a short run's wall clock at 32 CPUs than at 8,
+    # so a 909k-URL run under-reports the 32-CPU steady state by ~20%
+    # (measured 35.9k vs 44.0k URLs/s).  A cluster-scaling criterion is
+    # about steady-state throughput, so measure where steady state
+    # dominates.  Both levels still see the SAME input.
+    mult = int(os.environ.get("BENCH_SCALING_MULT", "2000"))
+    build_bench_corpus()       # warm the disk cache for the warm-up...
+    build_bench_corpus(mult)   # ...and for the measured frontier
     reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     results: dict[int, list] = {8: [], 32: []}
     for _ in range(reps):
@@ -259,6 +278,10 @@ def scaling():
         for ncpu in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BENCH_SKIP_QUERIES="1",
+                       BENCH_SEED_MULT=str(mult),
+                       # a small warm-up frontier warms workers/caches
+                       # without paying a full-size extra run per child
+                       BENCH_WARMUP_MULT="100",
                        # one steady-state rep per child: scaling() does
                        # its own best-of-reps ACROSS interleaved child
                        # runs, which also samples ambient drift better
@@ -278,9 +301,14 @@ def scaling():
         "reps_8": [r["urls_per_sec"] for r in results[8]],
         "reps_32": [r["urls_per_sec"] for r in results[32]],
         "scaling_efficiency": round(eff, 3),
-        "note": "same-box CPU pair, best of %d reps per level; DRAM"
-                " bandwidth shared across levels - see BASELINE.md"
-                " scaling section" % reps,
+        "frontier_urls": results[32][0]["urls"],
+        "seed_mult": mult,
+        "note": "same-box CPU pair, best of %d reps per level on a"
+                " seed_mult=%d frontier (headline default 500;"
+                " steady-state - fixed spin-up excluded by job length,"
+                " not subtraction); DRAM bandwidth shared across"
+                " levels - see BASELINE.md scaling section"
+                % (reps, mult),
     }))
 
 

@@ -6688,11 +6688,166 @@ def q_order_gap_days(sf_dir: str):
             .map_groups(gaps, batch_format="pandas"))
 
 
+def q_close_event_pairs(sf_dir: str):
+    """Time-window self-join: per user, the number of ORDERED event
+    pairs (a, b) with 0 < ts_b - ts_a <= 60 s — the shape where a
+    naive engine materializes |events|^2 join output.
+
+    Scale shape: only (user, ts) int pairs ride one user-bucket
+    shuffle; each bucket sorts once and counts window hits with a
+    per-user-SEGMENT searchsorted (lesson 12 — composite uid|ts keys
+    overflow int64, segments don't), so no pair row is ever
+    materialized."""
+    n_buckets = 64
+    window_us = 60_000_000
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        bounds = np.flatnonzero(np.r_[True, u[1:] != u[:-1], True])
+        out_u, out_n = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg + window_us, side="right")
+            lo = np.searchsorted(seg, seg, side="right")
+            n = int((hi - lo).sum())
+            if n:
+                out_u.append(int(u[s]))
+                out_n.append(n)
+        return pd.DataFrame({
+            "user_id": pd.Series(out_u, dtype="int64"),
+            "n_pairs": pd.Series(out_n, dtype="int64")})
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(count_pairs, batch_format="pandas"))
+
+
+def q_rolling_active_users(sf_dir: str):
+    """Rolling 7-day DISTINCT active users per day — windowed distinct,
+    which no algebraic aggregate expresses.  Done by KEY EXPANSION:
+    each distinct (user, day) contributes the user to the 7 window
+    days it covers, then a plain distinct-count per window day.
+
+    Scale shape: per-batch distinct (user, day) pairs expand x7 INSIDE
+    the batch (ints only), collapse again per batch, and ride one
+    user-bucket shuffle; buckets emit (day, partial_count) so the
+    final exchange is dimension-sized.  The calendar of observed days
+    (dimension-small) is broadcast to filter window days that never
+    occur."""
+    n_buckets = 64
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return (pa.table({"user_id": t.column("user_id"),
+                          "day": pa.array(ts // 86_400_000_000)})
+                .group_by(["user_id", "day"]).aggregate([]))
+
+    base = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(day_pairs, batch_format="pyarrow")
+
+    # observed-day calendar: dimension-sized (epoch days), safe to
+    # collect and close over
+    cal = base.map_batches(
+        lambda t: pa.table({"day": pc.unique(t.column("day"))}),
+        batch_format="pyarrow").to_pandas()
+    days = np.sort(cal["day"].unique()).astype(np.int64)
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        w = (d[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        uu = np.repeat(u, 7)
+        keep = np.isin(w, days)
+        g = (pa.table({"user_id": pa.array(uu[keep]),
+                       "w_day": pa.array(w[keep])})
+             .group_by(["user_id", "w_day"]).aggregate([]))
+        k = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket", pa.array(
+            (k % n_buckets).astype(np.int64)))
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["user_id", "w_day"])
+               .groupby("w_day", as_index=False)
+               .agg(p_users=("user_id", "nunique")))
+        return out.astype({"w_day": "int64", "p_users": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    return (base.map_batches(expand, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_count, batch_format="pandas")
+            .groupby("w_day")
+            .aggregate(Sum("p_users", alias_name="active_7d"))
+            .map_batches(lambda t: t.rename_columns(["day", "active_7d"]),
+                         batch_format="pyarrow"))
+
+
+def q_price_decile_stats(sf_dir: str):
+    """Global-decile analysis: order count + revenue per exact global
+    price decile — the two-pass pattern (pass 1: a distributed VALUE
+    HISTOGRAM yields the 9 exact decile boundaries; pass 2: boundaries
+    broadcast in a closure, per-batch searchsorted bucketing + partial
+    aggregation).  Never sorts rows globally.
+
+    Decile rule (both sides): d = |{boundary b : cents > b}| with
+    boundaries quantile_disc(0.1 .. 0.9) — searchsorted(bounds, cents,
+    'left') in numpy, length(list_filter(bs, b -> cents > b)) in SQL."""
+    from ray.data.aggregate import Sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice").to_numpy())
+        vals, counts = np.unique(c, return_counts=True)
+        return pa.table({"cents": vals, "p_n": counts.astype(np.int64)})
+
+    rows = (_read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(hist, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("p_n", alias_name="n"))
+            .sort("cents").take_all())
+    vals = np.array([r["cents"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    bounds = np.array(
+        [vals[np.searchsorted(cum, max(int(np.ceil(q * total)) - 1, 0)
+                              + 1)]
+         for q in (np.arange(1, 10) / 10.0)], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice").to_numpy())
+        d = np.searchsorted(bounds, c, side="left").astype(np.int64)
+        g = (pa.table({"decile": pa.array(d), "rev": pa.array(c),
+                       "one": pa.array(np.ones(len(c), np.int64))})
+             .group_by("decile")
+             .aggregate([("rev", "sum"), ("one", "sum")]))
+        return g.rename_columns(["decile", "p_rev", "p_n"])
+
+    return (_read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("decile")
+            .aggregate(Sum("p_rev", alias_name="rev_cents"),
+                       Sum("p_n", alias_name="n_orders")))
+
+
 QUERIES.update({
     "customer_order_distribution": q_customer_order_distribution,
     "large_volume_orders": q_large_volume_orders,
     "supplier_part_variety": q_supplier_part_variety,
     "order_gap_days": q_order_gap_days,
+    "close_event_pairs": q_close_event_pairs,
+    "rolling_active_users": q_rolling_active_users,
+    "price_decile_stats": q_price_decile_stats,
 })
 ORACLE_SQL.update({
     "customer_order_distribution": """
@@ -6722,6 +6877,41 @@ ORACLE_SQL.update({
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         FROM part JOIN lineitem ON p_partkey = l_partkey
         GROUP BY p_brand, p_size
+    """,
+    "close_event_pairs": """
+        SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND epoch_us(b.ts) > epoch_us(a.ts)
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+        GROUP BY a.user_id
+    """,
+    "rolling_active_users": """
+        WITH p AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events),
+        d AS (SELECT DISTINCT day FROM p)
+        SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT)
+                   AS active_7d
+        FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+    "price_decile_stats": """
+        WITH c AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders),
+        q AS (
+            SELECT quantile_disc(cents,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+            FROM c)
+        SELECT CAST(length(list_filter(q.bs, b -> c.cents > b))
+                    AS BIGINT) AS decile,
+               CAST(sum(c.cents) AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM c, q
+        GROUP BY 1
     """,
     "order_gap_days": """
         WITH d AS (
