@@ -54,6 +54,9 @@ QUERY_NAMES = [
     "image_quality_gate",
     # session-3 additions
     "inverted_index", "dsir_importance", "bigram_collocations",
+    # session-4 additions
+    "supplier_part_variety", "close_event_pairs",
+    "rolling_active_users", "bpe_train",
 ]
 
 

@@ -6840,7 +6840,248 @@ def q_price_decile_stats(sf_dir: str):
                        Sum("p_n", alias_name="n_orders")))
 
 
+def q_event_trigrams(sf_dir: str):
+    """Sequential-pattern mining: the 10 most common 3-step event-type
+    sequences over per-user streams ordered by (ts, event_id) — the
+    LEAD-window shape, with a deterministic total tie order
+    (n DESC, trigram) so the LIMIT is exact.
+
+    Scale shape: (user, ts, event_id, type) rides one user-bucket
+    shuffle; each bucket builds trigrams with shifted numpy views over
+    its ONE lexsort (no per-user loop) and emits per-trigram partial
+    counts; the global combine and top-10 run over the trigram
+    VOCABULARY (dimension-sized: |event_types|^3 <= 125)."""
+    n_buckets = 64
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def trigram_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, u))
+        u = u[order]
+        et = g["event_type"].to_numpy(dtype=object)[order]
+        if len(u) < 3:
+            return pd.DataFrame({"trigram": pd.Series([], dtype=str),
+                                 "p_n": pd.Series([], dtype="int64")})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same.any():
+            return pd.DataFrame({"trigram": pd.Series([], dtype=str),
+                                 "p_n": pd.Series([], dtype="int64")})
+        tri = np.char.add(np.char.add(
+            np.char.add(et[:-2][same].astype(str), ">"),
+            np.char.add(et[1:-1][same].astype(str), ">")),
+            et[2:][same].astype(str))
+        vals, counts = np.unique(tri, return_counts=True)
+        return pd.DataFrame({"trigram": vals,
+                             "p_n": counts.astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    combined = (_read(sf_dir, "events",
+                      ["user_id", "ts", "event_id", "event_type"])
+                .map_batches(keyed, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(trigram_counts, batch_format="pandas")
+                .groupby("trigram")
+                .aggregate(Sum("p_n", alias_name="n"))
+                .to_pandas())  # vocabulary-sized (<= |types|^3 rows)
+    top = combined.sort_values(["n", "trigram"],
+                               ascending=[False, True]).head(10)
+    return top.reset_index(drop=True).astype({"n": "int64"})
+
+
+def q_monthly_revenue(sf_dir: str):
+    """Calendar bucketing: revenue + order count per 'YYYY-MM' month
+    (date_trunc-style groupby over a timestamp, vocabulary-sized keys
+    so the per-batch Arrow partial collapses everything before the one
+    small exchange)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t.column("o_orderdate"), format="%Y-%m")
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        g = (pa.table({"month": month, "rev": pa.array(cents),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("month")
+             .aggregate([("rev", "sum"), ("one", "sum")]))
+        return g.rename_columns(["month", "p_rev", "p_n"])
+
+    return (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("p_rev", alias_name="rev_cents"),
+                       Sum("p_n", alias_name="n_orders")))
+
+
+def q_simpson_diversity_users(sf_dir: str):
+    """Aggregate-of-aggregate: per user, total events and the Simpson
+    concentration numerator sum(n_type^2) — the integer-exact
+    diversity index (no float entropy).  Inner counts must COMPLETE
+    before squaring, so per-batch partials ride a user-bucket shuffle
+    and the square happens only after the in-bucket combine."""
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t.column("user_id"),
+                       "event_type": t.column("event_type"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["user_id", "event_type"])
+             .aggregate([("one", "sum")])
+             .rename_columns(["user_id", "event_type", "n"]))
+        k = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket", pa.array(
+            (k % n_buckets).astype(np.int64)))
+
+    def diversity(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.assign(user_id=lambda d: d["user_id"].astype("int64"))
+             .groupby(["user_id", "event_type"], as_index=False)["n"]
+             .sum())
+        c["sq"] = c["n"] * c["n"]
+        out = (c.groupby("user_id", as_index=False)
+               .agg(n_events=("n", "sum"), sum_sq=("sq", "sum")))
+        return out.astype({c: "int64" for c in out.columns})
+
+    return (_read(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(diversity, batch_format="pandas"))
+
+
+def q_status_priority_grid(sf_dir: str):
+    """CROSS JOIN + zero-fill: the full status x priority grid with
+    order counts INCLUDING absent combinations (the sparse-combine /
+    dense-report shape).  One Arrow partial pass; the grid itself is
+    |status| x |priority| — driver-sized by construction."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"st": t.column("o_orderstatus"),
+                       "pr": t.column("o_orderpriority"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["st", "pr"]).aggregate([("one", "sum")]))
+        return g.rename_columns(["st", "pr", "n"])
+
+    small = (_read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    fine = small.groupby(["st", "pr"], as_index=False)["n"].sum()
+    grid = pd.MultiIndex.from_product(
+        [sorted(fine["st"].unique()), sorted(fine["pr"].unique())],
+        names=["st", "pr"]).to_frame(index=False)
+    out = grid.merge(fine, on=["st", "pr"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out
+
+
+def q_signup_purchase_latency(sf_dir: str):
+    """Conversion latency: per user, microseconds from first 'signup'
+    to the first 'purchase' AT OR AFTER it (users with both).  The
+    order-dependent two-event funnel a plain min/min join gets wrong
+    when a purchase precedes the signup.
+
+    Scale shape: only (user, type, ts) rows for the two event types
+    ride one user-bucket shuffle; per bucket the signup mins broadcast
+    onto purchases with one pandas merge (C), then a filtered min."""
+    n_buckets = 64
+
+    def keyed(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(mask)
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def latency(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g[g["event_type"] == "signup"]
+             .groupby("user_id", as_index=False)["ts_us"].min()
+             .rename(columns={"ts_us": "s_ts"}))
+        p = g[g["event_type"] == "purchase"][["user_id", "ts_us"]]
+        if s.empty or p.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "latency_us": pd.Series([], dtype="int64")})
+        m = p.merge(s, on="user_id", how="inner")
+        m = m[m["ts_us"] >= m["s_ts"]]
+        if m.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "latency_us": pd.Series([], dtype="int64")})
+        out = (m.assign(lat=m["ts_us"] - m["s_ts"])
+               .groupby("user_id", as_index=False)["lat"].min()
+               .rename(columns={"lat": "latency_us"}))
+        return out.astype({"user_id": "int64", "latency_us": "int64"})
+
+    return (_read(sf_dir, "events", ["user_id", "event_type", "ts"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(latency, batch_format="pandas"))
+
+
+def q_vector_top_dims(sf_dir: str):
+    """Per-vector top-3 dimensions by value (row-local list analytics —
+    no shuffle at all): argsort over the zero-copy (n, d) view of the
+    list column, stable so value ties break by dimension index, same
+    rule as the SQL ROW_NUMBER tie order."""
+    def top3(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        arrs = []
+        for chunk in (col.chunks if hasattr(col, "chunks") else [col]):
+            flat = chunk.flatten().to_numpy(zero_copy_only=False)
+            arrs.append(flat.reshape(len(chunk), -1))
+        mat = np.vstack(arrs)
+        order = np.argsort(-mat, axis=1, kind="stable")[:, :3]
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        n = len(vid)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, 3)),
+            "rank": pa.array(np.tile(np.arange(1, 4, dtype=np.int64), n)),
+            "dim": pa.array(order.ravel().astype(np.int64))})
+
+    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(top3, batch_format="pyarrow"))
+
+
+def q_bpe_train(sf_dir: str):
+    """Tokenizer training: learn the top BPE merges over the document
+    corpus (ops/bpe.py — distributed word-frequency pass; vectorized
+    merge loop over the vocabulary-sized word table).  Non-SQL op:
+    exactness vs an independent textbook implementation is pinned in
+    tests/test_bpe.py."""
+    from hepcrawl_ray.ops import bpe
+
+    return bpe.train_bpe(_read(sf_dir, "documents", ["text"]),
+                         n_merges=40)
+
+
+def q_bpe_encode_tokens(sf_dir: str):
+    """Tokenizer apply: encode every document with the merges learned
+    by q_bpe_train and return per-doc token counts (train + apply is
+    the full tokenizer lifecycle).  Non-SQL op: encode exactness is
+    pinned against a naive reimplementation in tests/test_bpe.py."""
+    from hepcrawl_ray.ops import bpe
+
+    merges = bpe.train_bpe(_read(sf_dir, "documents", ["text"]),
+                           n_merges=40)
+    return bpe.encode_token_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), merges)
+
+
 QUERIES.update({
+    "bpe_train": q_bpe_train,
+    "bpe_encode_tokens": q_bpe_encode_tokens,
+    "status_priority_grid": q_status_priority_grid,
+    "signup_purchase_latency": q_signup_purchase_latency,
+    "vector_top_dims": q_vector_top_dims,
     "customer_order_distribution": q_customer_order_distribution,
     "large_volume_orders": q_large_volume_orders,
     "supplier_part_variety": q_supplier_part_variety,
@@ -6848,6 +7089,9 @@ QUERIES.update({
     "close_event_pairs": q_close_event_pairs,
     "rolling_active_users": q_rolling_active_users,
     "price_decile_stats": q_price_decile_stats,
+    "event_trigrams": q_event_trigrams,
+    "monthly_revenue": q_monthly_revenue,
+    "simpson_diversity_users": q_simpson_diversity_users,
 })
 ORACLE_SQL.update({
     "customer_order_distribution": """
@@ -6877,6 +7121,69 @@ ORACLE_SQL.update({
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         FROM part JOIN lineitem ON p_partkey = l_partkey
         GROUP BY p_brand, p_size
+    """,
+    "status_priority_grid": """
+        SELECT s.st, p.pr, CAST(count(o.o_orderkey) AS BIGINT) AS n
+        FROM (SELECT DISTINCT o_orderstatus AS st FROM orders) s
+        CROSS JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders) p
+        LEFT JOIN orders o ON o.o_orderstatus = s.st
+                          AND o.o_orderpriority = p.pr
+        GROUP BY s.st, p.pr
+    """,
+    "signup_purchase_latency": """
+        WITH s AS (
+            SELECT user_id, min(epoch_us(ts)) AS s_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS p_ts
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) >= s.s_ts
+            GROUP BY e.user_id)
+        SELECT s.user_id, CAST(p.p_ts - s.s_ts AS BIGINT) AS latency_us
+        FROM s JOIN p ON p.user_id = s.user_id
+    """,
+    "vector_top_dims": """
+        WITH u AS (
+            SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings),
+        r AS (
+            SELECT vec_id, dim - 1 AS dim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY val DESC, dim) AS rank
+            FROM u)
+        SELECT vec_id, CAST(rank AS BIGINT) AS rank,
+               CAST(dim AS BIGINT) AS dim
+        FROM r WHERE rank <= 3
+    """,
+    "event_trigrams": """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, trigram LIMIT 10
+    """,
+    "monthly_revenue": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    "simpson_diversity_users": """
+        WITH c AS (
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM c GROUP BY user_id
     """,
     "close_event_pairs": """
         SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
