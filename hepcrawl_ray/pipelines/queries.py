@@ -6956,6 +6956,156 @@ def q_simpson_diversity_users(sf_dir: str):
             .map_groups(diversity, batch_format="pandas"))
 
 
+def q_top100_orders_sorted(sf_dir: str):
+    """Global ORDER BY ... LIMIT 100 via Ray's DISTRIBUTED sort-shuffle
+    (the wide-op contrast to the prunable per-bucket top-k in
+    q_topk_orders_per_customer — here the whole table moves, which is
+    the right tool when the limit is a large fraction or downstream
+    needs total order).  Ties at the boundary break by orderkey, so
+    the 100-row set is deterministic."""
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "price_cents": pa.array(_cents(t.column("o_totalprice")
+                                           .to_numpy()))})
+
+    return (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .sort(["price_cents", "o_orderkey"],
+                  descending=[True, False])
+            .limit(100))
+
+
+def q_click_purchase_window_join(sf_dir: str):
+    """Stream-stream windowed join: per user, how many (click,
+    purchase) pairs have the purchase 0 < dt <= 300 s after the click.
+    Unlike the self-join (q_close_event_pairs) the two sides are
+    DIFFERENT streams, the canonical attribution shape.
+
+    Scale shape: both sides collapse to (user, ts) int pairs and ride
+    the SAME user-bucket shuffle (side-tagged); each bucket sorts each
+    side once and counts with per-user-segment searchsorted — no pair
+    row materialized."""
+    n_buckets = 64
+    window_us = 300_000_000
+
+    def keyed(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(mask)
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        side = pc.equal(t.column("event_type"), "purchase")
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "_side": pc.cast(side, pa.int8()),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def count_join(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["_side"] == 0]
+        p = g[g["_side"] == 1]
+        if c.empty or p.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_attributed": pd.Series([], dtype="int64")})
+        cu = c["user_id"].to_numpy(np.int64)
+        ct = c["ts_us"].to_numpy(np.int64)
+        o = np.lexsort((ct, cu)); cu, ct = cu[o], ct[o]
+        pu = p["user_id"].to_numpy(np.int64)
+        pt = p["ts_us"].to_numpy(np.int64)
+        o = np.lexsort((pt, pu)); pu, pt = pu[o], pt[o]
+        # per-user segments on both sides (house lesson-12 pattern)
+        cb = np.flatnonzero(np.r_[True, cu[1:] != cu[:-1], True])
+        out_u, out_n = [], []
+        for s, e in zip(cb[:-1], cb[1:]):
+            uid = cu[s]
+            lo = np.searchsorted(pu, uid, side="left")
+            hi = np.searchsorted(pu, uid, side="right")
+            if lo == hi:
+                continue
+            seg_p = pt[lo:hi]
+            seg_c = ct[s:e]
+            n = int((np.searchsorted(seg_p, seg_c + window_us, "right")
+                     - np.searchsorted(seg_p, seg_c, "right")).sum())
+            if n:
+                out_u.append(int(uid))
+                out_n.append(n)
+        return pd.DataFrame({
+            "user_id": pd.Series(out_u, dtype="int64"),
+            "n_attributed": pd.Series(out_n, dtype="int64")})
+
+    return (_read(sf_dir, "events", ["user_id", "event_type", "ts"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(count_join, batch_format="pandas"))
+
+
+def q_incremental_agg_merge(sf_dir: str):
+    """Incremental view maintenance: the per-event-type (count, sum)
+    aggregate is maintained as PERSISTED STATE plus a DELTA merge —
+    state over days < cutoff is written to parquet (the stored view),
+    then merged with the delta aggregate over days >= cutoff; the
+    result must equal the full recompute (the oracle).  Cutoff is the
+    midpoint of the observed day range, so the split is deterministic
+    and data-derived.
+
+    Scale shape: both passes are per-batch Arrow partials over a
+    pruned read; the persisted state and the merge table are
+    |event_types| rows.  This is the harvest-window shape of the
+    reference's incremental runs (lastrunstore_spider.py:53-126) as a
+    VIEW-MAINTENANCE operator."""
+    import os
+    import tempfile
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo_hi = _read(sf_dir, "events", ["ts"]).map_batches(
+        lambda t: pa.table({
+            "lo": [int(pc.min(t.column("ts")).cast(pa.int64()).as_py())],
+            "hi": [int(pc.max(t.column("ts")).cast(pa.int64()).as_py())]}),
+        batch_format="pyarrow").to_pandas()
+    lo = int(lo_hi["lo"].min()) // 86_400_000_000
+    hi = int(lo_hi["hi"].max()) // 86_400_000_000
+    cut_day = (lo + hi) // 2
+
+    def partial(half: str):
+        def f(t: pa.Table) -> pa.Table:
+            day = pc.cast(t.column("ts"), pa.int64()) \
+                .to_numpy(zero_copy_only=False) // 86_400_000_000
+            m = day < cut_day if half == "state" else day >= cut_day
+            t = t.filter(pa.array(m))
+            cents = _cents(t.column("value").to_numpy())
+            g = (pa.table({"event_type": t.column("event_type"),
+                           "c": pa.array(cents),
+                           "one": pa.array(np.ones(t.num_rows, np.int64))})
+                 .group_by("event_type")
+                 .aggregate([("c", "sum"), ("one", "sum")]))
+            return g.rename_columns(["event_type", "p_sum", "p_n"])
+        return f
+
+    def agg(half: str):
+        return (_read(sf_dir, "events", ["event_type", "ts", "value"])
+                .map_batches(partial(half), batch_format="pyarrow")
+                .groupby("event_type")
+                .aggregate(Sum("p_sum", alias_name="sum_cents"),
+                           Sum("p_n", alias_name="n")))
+
+    state_dir = tempfile.mkdtemp(prefix="ivm_state_",
+                                 dir=os.environ.get("TMPDIR", "/tmp"))
+    agg("state").write_parquet(state_dir)          # the stored view
+    state = ray.data.read_parquet(state_dir)       # ...read back
+    delta = agg("delta")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("event_type", as_index=False)
+               [["sum_cents", "n"]].sum())
+        return out.astype({"sum_cents": "int64", "n": "int64"})
+
+    return state.union(delta).groupby("event_type") \
+        .map_groups(combine, batch_format="pandas")
+
+
 def q_status_priority_grid(sf_dir: str):
     """CROSS JOIN + zero-fill: the full status x priority grid with
     order counts INCLUDING absent combinations (the sparse-combine /
@@ -7082,6 +7232,9 @@ QUERIES.update({
     "status_priority_grid": q_status_priority_grid,
     "signup_purchase_latency": q_signup_purchase_latency,
     "vector_top_dims": q_vector_top_dims,
+    "top100_orders_sorted": q_top100_orders_sorted,
+    "click_purchase_window_join": q_click_purchase_window_join,
+    "incremental_agg_merge": q_incremental_agg_merge,
     "customer_order_distribution": q_customer_order_distribution,
     "large_volume_orders": q_large_volume_orders,
     "supplier_part_variety": q_supplier_part_variety,
@@ -7121,6 +7274,31 @@ ORACLE_SQL.update({
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         FROM part JOIN lineitem ON p_partkey = l_partkey
         GROUP BY p_brand, p_size
+    """,
+    "top100_orders_sorted": """
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+        FROM orders
+        ORDER BY price_cents DESC, o_orderkey
+        LIMIT 100
+    """,
+    "click_purchase_window_join": """
+        SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_attributed
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) > epoch_us(c.ts)
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 300000000
+        WHERE c.event_type = 'click'
+        GROUP BY c.user_id
+    """,
+    "incremental_agg_merge": """
+        SELECT event_type,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
     """,
     "status_priority_grid": """
         SELECT s.st, p.pr, CAST(count(o.o_orderkey) AS BIGINT) AS n
