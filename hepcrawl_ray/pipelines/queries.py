@@ -43,6 +43,14 @@ def _read(sf_dir: str, table: str, columns=None):
     ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
+def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    """Driver-side read of a DIMENSION-sized table (nation/region)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=columns).replace_schema_metadata(None)
+
+
 def _cents(arr) -> np.ndarray:
     """Deterministic money->int: floor(x*100 + 0.5) (same formula in SQL)."""
     return np.floor(np.asarray(arr, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
@@ -6956,6 +6964,73 @@ def q_simpson_diversity_users(sf_dir: str):
             .map_groups(diversity, batch_format="pandas"))
 
 
+def q_revenue_by_region(sf_dir: str):
+    """Snowflake-chain rollup (orders -> customer -> nation -> region)
+    through the ADAPTIVE dimension attach (ops/joinutil.attach_dim):
+    the fact-scale customer side picks the bucket-gather shuffle plan,
+    the 25-row nation and 5-row region sides pick broadcast — the same
+    size-based choice an optimizer makes, asserted in tests."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        g = (pa.table({"custkey": t.column("o_custkey"),
+                       "rev": pa.array(cents),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("custkey")
+             .aggregate([("rev", "sum"), ("one", "sum")]))
+        return g.rename_columns(["custkey", "p_rev", "p_n"])
+
+    fact = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: t.append_column(
+            "nationkey", pc.cast(t.column("c_nationkey"), pa.int64()))
+            .drop_columns(["c_nationkey"]), batch_format="pyarrow")
+    # customer is fact-scale: broadcast_rows=0 forces the gather plan
+    fact, _ = attach_dim(fact, cust, "custkey", "c_custkey",
+                         ["nationkey"], broadcast_rows=0)
+    nation = _read_table(sf_dir, "nation")
+    nation = pa.table({
+        "n_nationkey": pc.cast(nation.column("n_nationkey"), pa.int64()),
+        "regionkey": pc.cast(nation.column("n_regionkey"), pa.int64())})
+    fact, _ = attach_dim(fact, nation, "nationkey", "n_nationkey",
+                         ["regionkey"])
+    region = _read_table(sf_dir, "region")
+    region = pa.table({
+        "r_regionkey": pc.cast(region.column("r_regionkey"), pa.int64()),
+        "r_name": region.column("r_name")})
+    fact, _ = attach_dim(fact, region, "regionkey", "r_regionkey",
+                         ["r_name"])
+
+    from ray.data.aggregate import Sum
+
+    return (fact.groupby("r_name")
+            .aggregate(Sum("p_rev", alias_name="rev_cents"),
+                       Sum("p_n", alias_name="n_orders")))
+
+
+def q_epoch_shuffle_head(sf_dir: str):
+    """Seeded training-epoch shuffle: deterministic pseudo-random
+    document order from a PORTABLE multiplicative hash
+    ``((doc_id + seed) * 2654435761) mod 2^32`` (Knuth; int64-safe in
+    both numpy and SQL), realized as a distributed sort — the epoch
+    order every trainer derives the same way on any engine.  Returns
+    the first 200 docs of epoch 7's order."""
+    seed = 7
+
+    def key(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        k = ((d + seed) * 2654435761) % 4294967296
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "shuffle_key": pa.array(k.astype(np.int64))})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(key, batch_format="pyarrow")
+            .sort(["shuffle_key", "doc_id"])
+            .limit(200))
+
+
 def q_top100_orders_sorted(sf_dir: str):
     """Global ORDER BY ... LIMIT 100 via Ray's DISTRIBUTED sort-shuffle
     (the wide-op contrast to the prunable per-bucket top-k in
@@ -7233,6 +7308,8 @@ QUERIES.update({
     "signup_purchase_latency": q_signup_purchase_latency,
     "vector_top_dims": q_vector_top_dims,
     "top100_orders_sorted": q_top100_orders_sorted,
+    "epoch_shuffle_head": q_epoch_shuffle_head,
+    "revenue_by_region": q_revenue_by_region,
     "click_purchase_window_join": q_click_purchase_window_join,
     "incremental_agg_merge": q_incremental_agg_merge,
     "customer_order_distribution": q_customer_order_distribution,
@@ -7274,6 +7351,25 @@ ORACLE_SQL.update({
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         FROM part JOIN lineitem ON p_partkey = l_partkey
         GROUP BY p_brand, p_size
+    """,
+    "revenue_by_region": """
+        SELECT r.r_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+    """,
+    "epoch_shuffle_head": """
+        SELECT doc_id,
+               CAST(((doc_id + 7) * 2654435761) % 4294967296 AS BIGINT)
+                   AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id
+        LIMIT 200
     """,
     "top100_orders_sorted": """
         SELECT o_orderkey,
