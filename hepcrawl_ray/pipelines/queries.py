@@ -6964,6 +6964,99 @@ def q_simpson_diversity_users(sf_dir: str):
             .map_groups(diversity, batch_format="pandas"))
 
 
+def q_monthly_revenue_growth(sf_dir: str):
+    """Time-series derivative: month-over-month revenue change.  The
+    division-free form (diff + prev as separate int columns) keeps the
+    comparison integer-exact — ratio semantics differ between engines
+    (floor vs trunc) but differences don't.
+
+    Scale shape: the distributed monthly aggregate collapses to a
+    vocabulary-sized series (one row per month), so the LAG runs on
+    the driver by design."""
+    monthly = q_monthly_revenue(sf_dir).to_pandas() \
+        .sort_values("month").reset_index(drop=True)
+    prev = monthly["rev_cents"].shift(1)
+    out = monthly.iloc[1:].copy()
+    out["prev_rev_cents"] = prev.iloc[1:].astype("int64")
+    out["diff_cents"] = (out["rev_cents"]
+                         - out["prev_rev_cents"]).astype("int64")
+    return out[["month", "rev_cents", "prev_rev_cents",
+                "diff_cents"]].reset_index(drop=True)
+
+
+def q_data_quality_audit(sf_dir: str):
+    """dbt-style data validation: one row per constraint with its
+    violation count over the whole table — the audit gate a pipeline
+    runs before promoting a partition.  All checks ride ONE pruned
+    scan as per-batch conditional partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy()
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        status = t.column("o_orderstatus")
+        checks = {
+            "nonpositive_price": int((price <= 0).sum()),
+            "null_or_bad_key": int((key <= 0).sum())
+            + t.column("o_orderkey").null_count,
+            "date_before_1990": int(
+                (ts < 631_152_000_000_000).sum()),  # 1990-01-01 in us
+            "unknown_status": int(pc.sum(pc.invert(pc.is_in(
+                status, value_set=pa.array(["F", "O", "P"])))).as_py()
+                or 0),
+        }
+        return pa.table({
+            "check": pa.array(list(checks), pa.string()),
+            "p_viol": pa.array(list(checks.values()), pa.int64())})
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_totalprice", "o_orderdate",
+                   "o_orderstatus"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("check")
+            .aggregate(Sum("p_viol", alias_name="violations")))
+
+
+def q_debounce_events(sf_dir: str):
+    """Debounce: per user, events within 1 s of the PREVIOUS same-user
+    event (by ts, any type) are 'bounces'; report kept vs dropped
+    counts per user (the LAG-gap form — deterministic under ts ties
+    because only the sorted ts sequence matters).
+
+    Scale shape: (user, ts) int pairs through one user-bucket shuffle;
+    one lexsort + diff per bucket, no per-user loop."""
+    n_buckets = 64
+    gap_us = 1_000_000
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        o = np.lexsort((ts, u)); u, ts = u[o], ts[o]
+        first = np.r_[True, u[1:] != u[:-1]]
+        close = np.r_[False, (ts[1:] - ts[:-1]) <= gap_us]
+        dropped = (~first) & close
+        df = pd.DataFrame({"user_id": u, "d": dropped.astype(np.int64)})
+        out = (df.groupby("user_id", as_index=False)
+               .agg(n_events=("d", "size"), n_dropped=("d", "sum")))
+        out["n_kept"] = out["n_events"] - out["n_dropped"]
+        return out[["user_id", "n_events", "n_kept", "n_dropped"]] \
+            .astype("int64")
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(debounce, batch_format="pandas"))
+
+
 def q_revenue_by_region(sf_dir: str):
     """Snowflake-chain rollup (orders -> customer -> nation -> region)
     through the ADAPTIVE dimension attach (ops/joinutil.attach_dim):
@@ -7310,6 +7403,9 @@ QUERIES.update({
     "top100_orders_sorted": q_top100_orders_sorted,
     "epoch_shuffle_head": q_epoch_shuffle_head,
     "revenue_by_region": q_revenue_by_region,
+    "monthly_revenue_growth": q_monthly_revenue_growth,
+    "data_quality_audit": q_data_quality_audit,
+    "debounce_events": q_debounce_events,
     "click_purchase_window_join": q_click_purchase_window_join,
     "incremental_agg_merge": q_incremental_agg_merge,
     "customer_order_distribution": q_customer_order_distribution,
@@ -7351,6 +7447,54 @@ ORACLE_SQL.update({
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         FROM part JOIN lineitem ON p_partkey = l_partkey
         GROUP BY p_brand, p_size
+    """,
+    "monthly_revenue_growth": """
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1),
+        g AS (
+            SELECT month, rev_cents,
+                   LAG(rev_cents) OVER (ORDER BY month)
+                       AS prev_rev_cents
+            FROM m)
+        SELECT month, rev_cents,
+               CAST(prev_rev_cents AS BIGINT) AS prev_rev_cents,
+               CAST(rev_cents - prev_rev_cents AS BIGINT) AS diff_cents
+        FROM g WHERE prev_rev_cents IS NOT NULL
+    """,
+    "data_quality_audit": """
+        WITH checks AS (
+            SELECT 'nonpositive_price' AS chk,
+                   count(*) FILTER (o_totalprice <= 0) AS v FROM orders
+            UNION ALL
+            SELECT 'null_or_bad_key',
+                   count(*) FILTER (o_orderkey IS NULL OR o_orderkey <= 0)
+            FROM orders
+            UNION ALL
+            SELECT 'date_before_1990',
+                   count(*) FILTER (epoch_us(o_orderdate)
+                                    < 631152000000000) FROM orders
+            UNION ALL
+            SELECT 'unknown_status',
+                   count(*) FILTER (o_orderstatus NOT IN ('F','O','P'))
+            FROM orders)
+        SELECT chk AS "check", CAST(v AS BIGINT) AS violations
+        FROM checks
+    """,
+    "debounce_events": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) AS gap
+            FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (gap IS NULL OR gap > 1000000)
+                    AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (gap <= 1000000) AS BIGINT)
+                   AS n_dropped
+        FROM g GROUP BY user_id
     """,
     "revenue_by_region": """
         SELECT r.r_name,
