@@ -6964,6 +6964,113 @@ def q_simpson_diversity_users(sf_dir: str):
             .map_groups(diversity, batch_format="pandas"))
 
 
+def q_nation_rank_agreement(sf_dir: str):
+    """Spearman-style rank comparison, integer-exact: each nation's
+    rank by revenue vs rank by order count and the squared rank
+    difference (sum of d² is the Spearman numerator — no float rho).
+
+    Scale shape: one distributed orders aggregate keyed to nations via
+    the adaptive attach (customer side = bucket gather); the ranking
+    runs over the 25-row nation rollup on the driver by design."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        g = (pa.table({"custkey": t.column("o_custkey"),
+                       "rev": pa.array(cents),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("custkey")
+             .aggregate([("rev", "sum"), ("one", "sum")]))
+        return g.rename_columns(["custkey", "p_rev", "p_n"])
+
+    fact = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: t.append_column(
+            "nationkey", pc.cast(t.column("c_nationkey"), pa.int64()))
+            .drop_columns(["c_nationkey"]), batch_format="pyarrow")
+    fact, _ = attach_dim(fact, cust, "custkey", "c_custkey",
+                         ["nationkey"], broadcast_rows=0)
+    nation = _read_table(sf_dir, "nation")
+    nmap = pa.table({
+        "n_nationkey": pc.cast(nation.column("n_nationkey"), pa.int64()),
+        "n_name": nation.column("n_name")})
+    fact, _ = attach_dim(fact, nmap, "nationkey", "n_nationkey",
+                         ["n_name"])
+
+    from ray.data.aggregate import Sum
+
+    per_nation = (fact.groupby("n_name")
+                  .aggregate(Sum("p_rev", alias_name="rev"),
+                             Sum("p_n", alias_name="n_orders"))
+                  .to_pandas())           # 25 rows by construction
+    per_nation = per_nation.sort_values("n_name").reset_index(drop=True)
+    rr = per_nation.sort_values(["rev", "n_name"],
+                                ascending=[False, True])
+    per_nation.loc[rr.index, "rank_rev"] = np.arange(
+        1, len(rr) + 1, dtype=np.int64)
+    rc = per_nation.sort_values(["n_orders", "n_name"],
+                                ascending=[False, True])
+    per_nation.loc[rc.index, "rank_cnt"] = np.arange(
+        1, len(rc) + 1, dtype=np.int64)
+    d = per_nation["rank_rev"] - per_nation["rank_cnt"]
+    per_nation["d2"] = d * d
+    out = per_nation[["n_name", "rank_rev", "rank_cnt", "d2"]]
+    return out.astype({"rank_rev": "int64", "rank_cnt": "int64",
+                       "d2": "int64"})
+
+
+def q_session_paths(sf_dir: str):
+    """Session journey analysis: the 10 most common within-session
+    event-type sequences (sessions split on 30-min inactivity; events
+    ordered by (ts, event_id) so ties are total).
+
+    Scale shape: events ride one user-bucket shuffle; each bucket
+    assigns sessions with a vectorized gap-cumsum and builds path
+    strings with ONE pandas groupby-join; per-bucket (path, n)
+    partials re-key on path and the global top-10 runs as a
+    distributed sort + limit over the distinct-path table."""
+    n_buckets = 64
+    gap_us = 1_800_000_000
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts, u))
+        u, ts = u[o], ts[o]
+        et = g["event_type"].to_numpy(dtype=object)[o]
+        brk = np.r_[True, (u[1:] != u[:-1])
+                    | (ts[1:] - ts[:-1] > gap_us)]
+        sess = np.cumsum(brk)
+        df = pd.DataFrame({"sess": sess, "et": et})
+        p = df.groupby("sess")["et"].agg(">".join)
+        vc = p.value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(dtype=object),
+                             "p_n": vc.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(paths, batch_format="pandas")
+            .groupby("path")
+            .aggregate(Sum("p_n", alias_name="n"))
+            .sort(["n", "path"], descending=[True, False])
+            .limit(10))
+
+
 def q_monthly_revenue_growth(sf_dir: str):
     """Time-series derivative: month-over-month revenue change.  The
     division-free form (diff + prev as separate int columns) keeps the
@@ -7406,6 +7513,8 @@ QUERIES.update({
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "data_quality_audit": q_data_quality_audit,
     "debounce_events": q_debounce_events,
+    "nation_rank_agreement": q_nation_rank_agreement,
+    "session_paths": q_session_paths,
     "click_purchase_window_join": q_click_purchase_window_join,
     "incremental_agg_merge": q_incremental_agg_merge,
     "customer_order_distribution": q_customer_order_distribution,
@@ -7447,6 +7556,53 @@ ORACLE_SQL.update({
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         FROM part JOIN lineitem ON p_partkey = l_partkey
         GROUP BY p_brand, p_size
+    """,
+    "nation_rank_agreement": """
+        WITH per AS (
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name),
+        r AS (
+            SELECT n_name,
+                   row_number() OVER (ORDER BY rev DESC, n_name)
+                       AS rank_rev,
+                   row_number() OVER (ORDER BY n_orders DESC, n_name)
+                       AS rank_cnt
+            FROM per)
+        SELECT n_name, CAST(rank_rev AS BIGINT) AS rank_rev,
+               CAST(rank_cnt AS BIGINT) AS rank_cnt,
+               CAST((rank_rev - rank_cnt) * (rank_rev - rank_cnt)
+                    AS BIGINT) AS d2
+        FROM r
+    """,
+    "session_paths": """
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+            FROM o),
+        p AS (
+            SELECT user_id, sess,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+            FROM s GROUP BY user_id, sess)
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY path
+        ORDER BY n DESC, path LIMIT 10
     """,
     "monthly_revenue_growth": """
         WITH m AS (
