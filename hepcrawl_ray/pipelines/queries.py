@@ -6964,6 +6964,99 @@ def q_simpson_diversity_users(sf_dir: str):
             .map_groups(diversity, batch_format="pandas"))
 
 
+def q_weighted_median_price(sf_dir: str):
+    """Exact WEIGHTED median (weight = quantity) of lineitem price per
+    returnflag — the aggregate plain quantiles can't express.  Rule
+    (both sides): smallest value whose cumulative weight reaches
+    ceil(W/2) = (W+1)//2, integer-exact.
+
+    Scale shape: per-batch (flag, cents, weight) value-histogram
+    partials -> grouped Sum (the only exchange, histogram-sized) ->
+    per-flag cumulative walk on the driver over distinct prices."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("l_extendedprice").to_numpy())
+        w = t.column("l_quantity").to_numpy().astype(np.int64)
+        g = (pa.table({"flag": t.column("l_returnflag"),
+                       "cents": pa.array(cents), "w": pa.array(w)})
+             .group_by(["flag", "cents"]).aggregate([("w", "sum")]))
+        return g.rename_columns(["flag", "cents", "p_w"])
+
+    hist = (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_extendedprice", "l_quantity"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["flag", "cents"])
+            .aggregate(Sum("p_w", alias_name="w"))
+            .to_pandas())        # distinct (flag, price) pairs only
+    out_f, out_v = [], []
+    for flag, g in hist.groupby("flag"):
+        g = g.sort_values("cents")
+        cw = g["w"].cumsum().to_numpy()
+        target = (int(cw[-1]) + 1) // 2
+        idx = int(np.searchsorted(cw, target))
+        out_f.append(flag)
+        out_v.append(int(g["cents"].iloc[idx]))
+    return pd.DataFrame({
+        "l_returnflag": out_f,
+        "wmedian_cents": pd.Series(out_v, dtype="int64")})
+
+
+def q_golden_user_record(sf_dir: str):
+    """Survivorship merge ('golden record'): per user, the LATEST
+    event type (by ts, event_id), the value of the latest 'purchase'
+    (-1 when the user never purchased — COALESCE'd on both sides so
+    the compare stays integer), and the total event count.
+
+    Scale shape: one user-bucket shuffle; each bucket resolves all
+    three survivorship rules with two vectorized argmax passes over
+    its ONE lexsort — no per-user loop."""
+    n_buckets = 64
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "cents": pa.array(_cents(t.column("value").to_numpy())),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def golden(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(dtype=object)
+        cents = g["cents"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts, u))
+        u, et, cents = u[o], et[o], cents[o]
+        is_p = et == "purchase"
+        last = np.flatnonzero(np.r_[u[1:] != u[:-1], True])
+        users = u[last]
+        n_events = np.diff(np.r_[0, last + 1])
+        last_type = et[last]
+        # latest purchase: positions of purchases; last per user
+        lp = np.full(len(users), -1, dtype=np.int64)
+        pp = np.flatnonzero(is_p)
+        if len(pp):
+            # user index of each purchase via searchsorted over segment
+            # ends (users sorted ascending within the bucket view)
+            seg = np.searchsorted(last, pp)
+            lp[seg] = cents[pp]       # later purchases overwrite earlier
+        return pd.DataFrame({
+            "user_id": users,
+            "last_event_type": last_type,
+            "last_purchase_cents": lp,
+            "n_events": n_events.astype(np.int64)})
+
+    return (_read(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type", "value"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(golden, batch_format="pandas"))
+
+
 def q_nation_rank_agreement(sf_dir: str):
     """Spearman-style rank comparison, integer-exact: each nation's
     rank by revenue vs rank by order count and the squared rank
@@ -7515,6 +7608,8 @@ QUERIES.update({
     "debounce_events": q_debounce_events,
     "nation_rank_agreement": q_nation_rank_agreement,
     "session_paths": q_session_paths,
+    "weighted_median_price": q_weighted_median_price,
+    "golden_user_record": q_golden_user_record,
     "click_purchase_window_join": q_click_purchase_window_join,
     "incremental_agg_merge": q_incremental_agg_merge,
     "customer_order_distribution": q_customer_order_distribution,
@@ -7556,6 +7651,49 @@ ORACLE_SQL.update({
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         FROM part JOIN lineitem ON p_partkey = l_partkey
         GROUP BY p_brand, p_size
+    """,
+    "weighted_median_price": """
+        WITH h AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2),
+        c AS (
+            SELECT l_returnflag, cents,
+                   sum(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY cents) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS total
+            FROM h)
+        SELECT l_returnflag,
+               CAST(min(cents) AS BIGINT) AS wmedian_cents
+        FROM c WHERE cw >= (total + 1) // 2
+        GROUP BY l_returnflag
+    """,
+    "golden_user_record": """
+        WITH last_e AS (
+            SELECT user_id, event_type AS last_event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events),
+        lp AS (
+            SELECT user_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events WHERE event_type = 'purchase'),
+        cnt AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id)
+        SELECT c.user_id, le.last_event_type,
+               CAST(COALESCE(p.cents, -1) AS BIGINT)
+                   AS last_purchase_cents,
+               c.n_events
+        FROM cnt c
+        JOIN last_e le ON le.user_id = c.user_id AND le.rn = 1
+        LEFT JOIN lp p ON p.user_id = c.user_id AND p.rn = 1
     """,
     "nation_rank_agreement": """
         WITH per AS (
