@@ -1,0 +1,157 @@
+"""Adversarial oracle mirror: the generator-made sf tables are benign
+(uniform, few ties), so this fixture hand-crafts the edge cases the
+bucket kernels must survive — exact timestamp ties, sub-second bursts,
+single-event users, purchases BEFORE signups, duplicate values at
+quantile boundaries, an unknown order status — and compares every
+affected query against DuckDB on the SAME tables."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_queries_oracle import normalize, to_pandas
+
+US = 1_000_000
+DAY = 86_400_000_000
+T0 = 1_700_000_000 * US           # anchor epoch (us)
+
+
+def _ts(vals):
+    return pa.array(np.asarray(vals, np.int64), pa.timestamp("us"))
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_sf")
+
+    # -- events: every row is an edge case ---------------------------
+    rows = []           # (event_id, ts_us, user_id, type, value)
+    eid = [0]
+
+    def ev(ts, uid, typ, val):
+        eid[0] += 1
+        rows.append((eid[0], ts, uid, typ, val))
+
+    # user 1: three events at the IDENTICAL timestamp (tie-break by
+    # event_id), then one 0.4 s later (debounce drop), same day
+    for typ in ("click", "view", "click"):
+        ev(T0, 1, typ, 1.005)
+    ev(T0 + 400_000, 1, "purchase", 2.5)
+    # user 2: burst 0.9 s apart crossing a DAY boundary (streak break
+    # vs debounce disagreement case)
+    day_end = (T0 // DAY + 1) * DAY
+    ev(day_end - 500_000, 2, "click", 0.3)
+    ev(day_end + 400_000, 2, "click", 0.7)       # 0.9 s later, next day
+    ev(day_end + DAY, 2, "view", 0.1)            # next-next day
+    # user 3: single event ever
+    ev(T0 + 5 * DAY, 3, "signup", 0.0)
+    # user 4: purchase BEFORE signup, then signup, then purchase
+    ev(T0, 4, "purchase", 10.0)
+    ev(T0 + 60 * US, 4, "signup", 0.0)
+    ev(T0 + 120 * US, 4, "purchase", 20.0)
+    ev(T0 + 120 * US, 4, "purchase", 30.0)       # tied purchase ts
+    # user 5: 3-day streak then gap then 2-day streak; dup (user, day)
+    for k in (0, 0, 1, 2, 5, 6):
+        ev(T0 + k * DAY + 7 * US, 5, "view", 0.5)
+    # user 6: click with purchases at exactly +300 s (window edge,
+    # inclusive) and +300.000001 s (out)
+    ev(T0, 6, "click", 0.0)
+    ev(T0 + 300 * US, 6, "purchase", 1.0)
+    ev(T0 + 300 * US + 1, 6, "purchase", 1.0)
+    events = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": _ts([r[1] for r in rows]),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    pq.write_table(events, os.path.join(d, "events.parquet"))
+
+    # -- orders: duplicate prices at decile boundaries, tied dates,
+    #    one unknown status (audit must count it) --------------------
+    n = 40
+    prices = np.repeat([10.0, 10.0, 20.0, 30.0], 10)   # heavy ties
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        "o_custkey": pa.array((np.arange(n, dtype=np.int64) % 7) + 1),
+        "o_orderstatus": pa.array(
+            ["F"] * 20 + ["O"] * 19 + ["X"], pa.string()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": _ts(T0 + (np.arange(n, dtype=np.int64) % 5)
+                           * 40 * DAY),
+        "o_orderpriority": pa.array(
+            (["1-URGENT", "2-HIGH"] * 20)[:n], pa.string()),
+    })
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+
+    # -- lineitem: weighted-median weights with a boundary target ----
+    li = pa.table({
+        "l_orderkey": pa.array(np.arange(1, 9, dtype=np.int64)),
+        "l_partkey": pa.array(np.ones(8, np.int64)),
+        "l_suppkey": pa.array(np.ones(8, np.int64)),
+        "l_linenumber": pa.array(np.ones(8, np.int32)),
+        "l_quantity": pa.array([1.0, 1.0, 2.0, 50.0, 3.0, 1.0, 1.0,
+                                1.0], pa.float64()),
+        "l_extendedprice": pa.array([5.0, 5.0, 7.0, 7.0, 9.0, 11.0,
+                                     13.0, 13.0], pa.float64()),
+        "l_discount": pa.array(np.zeros(8), pa.float64()),
+        "l_tax": pa.array(np.zeros(8), pa.float64()),
+        "l_returnflag": pa.array(["A"] * 4 + ["R"] * 4, pa.string()),
+        "l_linestatus": pa.array(["F"] * 8, pa.string()),
+        "l_shipdate": _ts(np.full(8, T0)),
+    })
+    pq.write_table(li, os.path.join(d, "lineitem.parquet"))
+
+    # -- documents: duplicate (source, lang) pairs, one source with
+    #    a single lang ------------------------------------------------
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(["a b a", "b b", "c", "a a a a", "x y",
+                          "z"], pa.string()),
+        "lang": pa.array(["en", "de", "en", "en", "fr", "fr"],
+                         pa.string()),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s2", "s2"],
+                           pa.string()),
+        "n_chars": pa.array([5, 3, 1, 7, 3, 1], pa.int64()),
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_duck(adv_dir):
+    con = duckdb.connect()
+    for t in ("events", "orders", "lineitem", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{os.path.join(adv_dir, t)}.parquet')")
+    return con
+
+
+ADVERSARIAL_QUERIES = [
+    "activity_streaks", "order_gap_days", "close_event_pairs",
+    "rolling_active_users", "event_trigrams", "simpson_diversity_users",
+    "monthly_revenue", "monthly_revenue_growth", "debounce_events",
+    "golden_user_record", "signup_purchase_latency", "session_paths",
+    "price_decile_stats", "weighted_median_price", "cube_orders",
+    "group_concat_langs", "data_quality_audit", "status_priority_grid",
+    "incremental_agg_merge",
+]
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_QUERIES)
+def test_adversarial_matches_oracle(ray_session, adv_dir, adv_duck,
+                                    name):
+    import __ray_entry__ as entry_mod
+
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = normalize(to_pandas(q(adv_dir)))
+    want = normalize(adv_duck.execute(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0, name
