@@ -63,6 +63,10 @@ def adv_dir(tmp_path_factory):
     ev(T0, 6, "click", 0.0)
     ev(T0 + 300 * US, 6, "purchase", 1.0)
     ev(T0 + 300 * US + 1, 6, "purchase", 1.0)
+    # user 7: error events (the errors-as-rows channel), incl. a tie
+    ev(T0 + 9 * US, 7, "error", 0.0)
+    ev(T0 + 9 * US, 7, "error", 0.0)
+    ev(T0 + 2 * DAY, 1, "error", 1.0)
     events = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
         "ts": _ts([r[1] for r in rows]),
@@ -90,21 +94,29 @@ def adv_dir(tmp_path_factory):
     })
     pq.write_table(orders, os.path.join(d, "orders.parquet"))
 
-    # -- lineitem: weighted-median weights with a boundary target ----
+    # -- lineitem: weighted-median weights with a boundary target;
+    #    order 1 exceeds the Q18 having threshold (sum qty > 300);
+    #    ship dates straddle the Q1 cutoff (1998-09-02) so the filter
+    #    keeps some rows and drops others -----------------------------
+    q1_in = 880_000_000 * US      # 1997-11-19, inside the Q1 window
+    nli = 14
     li = pa.table({
-        "l_orderkey": pa.array(np.arange(1, 9, dtype=np.int64)),
-        "l_partkey": pa.array(np.ones(8, np.int64)),
-        "l_suppkey": pa.array(np.ones(8, np.int64)),
-        "l_linenumber": pa.array(np.ones(8, np.int32)),
+        "l_orderkey": pa.array(
+            list(range(1, 9)) + [1] * 6, pa.int64()),
+        "l_partkey": pa.array(np.ones(nli, np.int64)),
+        "l_suppkey": pa.array(np.ones(nli, np.int64)),
+        "l_linenumber": pa.array(np.ones(nli, np.int32)),
         "l_quantity": pa.array([1.0, 1.0, 2.0, 50.0, 3.0, 1.0, 1.0,
-                                1.0], pa.float64()),
+                                1.0] + [50.0] * 6, pa.float64()),
         "l_extendedprice": pa.array([5.0, 5.0, 7.0, 7.0, 9.0, 11.0,
-                                     13.0, 13.0], pa.float64()),
-        "l_discount": pa.array(np.zeros(8), pa.float64()),
-        "l_tax": pa.array(np.zeros(8), pa.float64()),
-        "l_returnflag": pa.array(["A"] * 4 + ["R"] * 4, pa.string()),
-        "l_linestatus": pa.array(["F"] * 8, pa.string()),
-        "l_shipdate": _ts(np.full(8, T0)),
+                                     13.0, 13.0] + [7.0] * 6,
+                                    pa.float64()),
+        "l_discount": pa.array([0.0] * 8 + [0.1] * 6, pa.float64()),
+        "l_tax": pa.array(np.zeros(nli), pa.float64()),
+        "l_returnflag": pa.array(["A"] * 4 + ["R"] * 4 + ["A"] * 6,
+                                 pa.string()),
+        "l_linestatus": pa.array(["F"] * 8 + ["O"] * 6, pa.string()),
+        "l_shipdate": _ts([q1_in] * 4 + [T0] * 4 + [q1_in] * 6),
     })
     pq.write_table(li, os.path.join(d, "lineitem.parquet"))
 
@@ -141,6 +153,16 @@ ADVERSARIAL_QUERIES = [
     "price_decile_stats", "weighted_median_price", "cube_orders",
     "group_concat_langs", "data_quality_audit", "status_priority_grid",
     "incremental_agg_merge",
+    # pre-session-4 queries over the same tables: the fixture's ties
+    # and bursts must not break them either
+    "sessionize_events", "window_lag_lead", "window_tumbling_events",
+    "iqr_outlier_events", "funnel_stages", "set_ops_users",
+    "histogram_orders", "agg_lineitem_pricing", "dedup_exact_docs",
+    "text_token_stats", "top_ngrams", "grouped_quantiles_chars",
+    "agg_errors_by_user", "json_extract_events",
+    "dedup_crawl_once_events", "moving_sum_orders", "rollup_orders",
+    "grouping_sets_orders", "first_order_per_customer",
+    "large_volume_orders", "epoch_shuffle_head", "activity_streaks",
 ]
 
 
