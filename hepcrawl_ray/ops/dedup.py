@@ -619,9 +619,11 @@ def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",
         [{"i": i, "j": j} for i, j in pair_idx])
 
     def _unpack(t: pa.Table):
+        # emptiness FIRST: materialize/repartition can emit SCHEMA-LESS
+        # empty blocks (lesson-11 family) where column("vec_id") raises
+        if t.num_rows == 0 or t.schema.get_field_index("vec_id") < 0:
+            return np.array([], np.int64), np.zeros((0, 0))
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        if t.num_rows == 0:
-            return ids, np.zeros((0, 0))
         m = np.stack([np.frombuffer(b)
                       for b in t.column("vec_bin").to_pylist()])
         return ids, m

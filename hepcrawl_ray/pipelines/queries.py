@@ -5512,7 +5512,11 @@ def q_bigram_collocations(sf_dir: str):
         adj = parent[:-1] == parent[1:] if len(parent) else \
             np.zeros(0, bool)
         a, b = terms[:-1][adj], terms[1:][adj]
-        bg = (pa.table({"a": pa.array(a), "b": pa.array(b),
+        # explicit string type: an ALL-EMPTY batch (every doc blank)
+        # yields empty object arrays whose inferred Arrow type is
+        # null, which poisons the group_by downstream
+        bg = (pa.table({"a": pa.array(a, pa.string()),
+                        "b": pa.array(b, pa.string()),
                         "one": pa.array(np.ones(len(a), np.int64))})
               .group_by(["a", "b"]).aggregate([("one", "sum")])
               .rename_columns(["a", "b", "nab"]))

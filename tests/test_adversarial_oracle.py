@@ -120,26 +120,57 @@ def adv_dir(tmp_path_factory):
     })
     pq.write_table(li, os.path.join(d, "lineitem.parquet"))
 
-    # -- documents: duplicate (source, lang) pairs, one source with
-    #    a single lang ------------------------------------------------
+    # -- documents: planted EXACT duplicate, shingle near-duplicate,
+    #    empty text, heavy repetition ---------------------------------
+    texts = [
+        "a b a",
+        "a b a",                                        # exact dup
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",    # near dup
+        "b b",
+        "x y",
+        "",                                             # empty text
+        "w1 w2 w3 w1 w2 w3 w1 w2 w3",                   # repetitive
+        # long enough to pass the n_tokens >= 20 / >= 10 quality gates
+        "the cat sat on the mat and the dog lay by the door while "
+        "the sun set over the hill in the late day",
+    ]
     docs = pa.table({
-        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
-        "text": pa.array(["a b a", "b b", "c", "a a a a", "x y",
-                          "z"], pa.string()),
-        "lang": pa.array(["en", "de", "en", "en", "fr", "fr"],
-                         pa.string()),
-        "source": pa.array(["s1", "s1", "s1", "s2", "s2", "s2"],
-                           pa.string()),
-        "n_chars": pa.array([5, 3, 1, 7, 3, 1], pa.int64()),
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en", "en", "en", "de", "fr", "en",
+                          "de", "en"], pa.string()),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s1", "s2", "s2",
+                            "s2", "s1"], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
     pq.write_table(docs, os.path.join(d, "documents.parquet"))
+
+    # -- embeddings: a near-identical pair (cosine ~1), orthogonal
+    #    rest, and within-vector exact VALUE TIES (top-dims
+    #    tie-break); vec_ids 0-4 exist (knn query convention) --------
+    vecs = [
+        [0.5, 0.5, 0.1, 0.5],        # three-way tie at 0.5
+        [1.0, 0.0, 0.0, 0.0],
+        [0.98, 0.01, 0.0, 0.0],      # near-dup of vec 1
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [-0.5, -0.5, -0.5, -0.5],    # all-negative, all-tie
+    ]
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(vecs), np.int32)),
+    })
+    pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
     return str(d)
 
 
 @pytest.fixture(scope="module")
 def adv_duck(adv_dir):
     con = duckdb.connect()
-    for t in ("events", "orders", "lineitem", "documents"):
+    for t in ("events", "orders", "lineitem", "documents",
+              "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{os.path.join(adv_dir, t)}.parquet')")
     return con
@@ -163,6 +194,14 @@ ADVERSARIAL_QUERIES = [
     "dedup_crawl_once_events", "moving_sum_orders", "rollup_orders",
     "grouping_sets_orders", "first_order_per_customer",
     "large_volume_orders", "epoch_shuffle_head", "activity_streaks",
+    # text / dedup family on the planted dup + empty-text corpus
+    # (dedup_exact_docs already above — now with a REAL duplicate)
+    "dedup_ngram_jaccard", "dedup_components",
+    "tfidf_top_terms", "inverted_index", "bigram_collocations",
+    "corpus_clean_pipeline", "text_pii_redact", "text_bpe_tokens",
+    "dedup_substring_coverage", "text_quality_gate", "text_repetition",
+    # embeddings family with exact value ties and a near-dup pair
+    "vector_top_dims", "embedding_dim_stats", "dedup_embedding_cosine",
 ]
 
 
