@@ -5953,6 +5953,13 @@ def q_shipping_priority(sf_dir: str):
             .union(li).groupby("_b2")
             .map_groups(top_local, batch_format="pandas")
             .to_pandas())
+    if cand.empty:
+        # zero qualifying orders: all-empty group outputs can surface
+        # as a columnless frame — return the typed empty result
+        return pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype="int64"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype=str)})
     return (cand.sort_values(["revenue_cents", "l_orderkey"],
                              ascending=[False, True])
             .head(10).reset_index(drop=True))

@@ -87,7 +87,10 @@ def adv_dir(tmp_path_factory):
         "o_orderstatus": pa.array(
             ["F"] * 20 + ["O"] * 19 + ["X"], pa.string()),
         "o_totalprice": pa.array(prices, pa.float64()),
-        "o_orderdate": _ts(T0 + (np.arange(n, dtype=np.int64) % 5)
+        # dates STRADDLE the Q3 cutoff (1998-06-01): indices with
+        # (i % 7) >= 5 land after it, the rest before
+        "o_orderdate": _ts(880_000_000 * US
+                           + (np.arange(n, dtype=np.int64) % 7)
                            * 40 * DAY),
         "o_orderpriority": pa.array(
             (["1-URGENT", "2-HIGH"] * 20)[:n], pa.string()),
@@ -135,13 +138,15 @@ def adv_dir(tmp_path_factory):
         "the cat sat on the mat and the dog lay by the door while "
         "the sun set over the hill in the late day",
     ]
+    # filler docs push source s1 past the HAVING > 8 docs threshold
+    texts += [f"filler doc f{k} has words" for k in range(7)]
     docs = pa.table({
         "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(["en", "en", "en", "en", "de", "fr", "en",
-                          "de", "en"], pa.string()),
+                          "de", "en"] + ["en"] * 7, pa.string()),
         "source": pa.array(["s1", "s1", "s1", "s2", "s1", "s2", "s2",
-                            "s2", "s1"], pa.string()),
+                            "s2", "s1"] + ["s1"] * 7, pa.string()),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
     pq.write_table(docs, os.path.join(d, "documents.parquet"))
@@ -163,6 +168,56 @@ def adv_dir(tmp_path_factory):
         "label": pa.array(np.zeros(len(vecs), np.int32)),
     })
     pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+
+    # -- customer/nation/region/part/supplier: customers 8-9 have NO
+    #    orders (LEFT-join zero rows, anti-join survivors), nation 3
+    #    has NO customers, acctbal ties ------------------------------
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(1, 10, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{k:09d}" for k in range(1, 10)],
+                           pa.string()),
+        "c_nationkey": pa.array(
+            np.array([0, 0, 1, 1, 2, 2, 0, 1, 2], np.int32)),
+        "c_acctbal": pa.array([100.0, 100.0, -5.0, 0.0, 250.5, 100.0,
+                               99.99, 100.0, 100.0], pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING", "BUILDING", "A", "B",
+                                  "A", "B", "A", "B", "A"],
+                                 pa.string()),
+    })
+    pq.write_table(cust, os.path.join(d, "customer.parquet"))
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(4, dtype=np.int32)),
+        "n_name": pa.array(["NAT_A", "NAT_B", "NAT_C", "NAT_EMPTY"],
+                           pa.string()),
+        "n_regionkey": pa.array(np.array([0, 0, 1, 1], np.int32)),
+    })
+    pq.write_table(nation, os.path.join(d, "nation.parquet"))
+    region = pa.table({
+        "r_regionkey": pa.array(np.arange(3, dtype=np.int32)),
+        "r_name": pa.array(["R_ONE", "R_TWO", "R_EMPTY"], pa.string()),
+    })
+    pq.write_table(region, os.path.join(d, "region.parquet"))
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(1, 6, dtype=np.int64)),
+        "p_name": pa.array([f"part {k}" for k in range(1, 6)],
+                           pa.string()),
+        "p_brand": pa.array(["B1", "B1", "B1", "B2", "B2"],
+                            pa.string()),
+        "p_type": pa.array(["T1", "T2", "T1", "T1", "T2"],
+                           pa.string()),
+        "p_size": pa.array(np.array([3, 3, 5, 3, 5], np.int32)),
+        "p_retailprice": pa.array([10.0, 10.0, 10.0, 20.0, 30.0],
+                                  pa.float64()),
+    })
+    pq.write_table(part, os.path.join(d, "part.parquet"))
+    supp = pa.table({
+        "s_suppkey": pa.array(np.arange(1, 4, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{k}" for k in range(1, 4)],
+                           pa.string()),
+        "s_nationkey": pa.array(np.array([0, 1, 2], np.int32)),
+        "s_acctbal": pa.array([1.0, 1.0, 2.0], pa.float64()),
+    })
+    pq.write_table(supp, os.path.join(d, "supplier.parquet"))
     return str(d)
 
 
@@ -170,7 +225,8 @@ def adv_dir(tmp_path_factory):
 def adv_duck(adv_dir):
     con = duckdb.connect()
     for t in ("events", "orders", "lineitem", "documents",
-              "embeddings"):
+              "embeddings", "customer", "nation", "region", "part",
+              "supplier"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{os.path.join(adv_dir, t)}.parquet')")
     return con
@@ -202,6 +258,19 @@ ADVERSARIAL_QUERIES = [
     "dedup_substring_coverage", "text_quality_gate", "text_repetition",
     # embeddings family with exact value ties and a near-dup pair
     "vector_top_dims", "embedding_dim_stats", "dedup_embedding_cosine",
+    # join family: orderless customers, customer-less nation, ties
+    "join_revenue_by_nation", "left_join_customer_revenue",
+    "anti_join_inactive_customers", "bloom_anti_join_customers",
+    "semi_join_active_customers", "customer_order_distribution",
+    "supplier_part_variety", "revenue_by_region",
+    "nation_rank_agreement", "above_nation_avg_revenue",
+    "revenue_share_by_nation", "shipping_priority", "topk_parts",
+    "topk_orders_per_customer", "ntile_parts_by_brand",
+    "rank_parts_ties", "mode_part_size", "percentile_prices",
+    "running_total_customer", "first_order_per_customer",
+    "parts_above_avg_price", "union_high_value_activity",
+    "full_outer_daily_activity", "cohort_retention",
+    "distinct_users_by_type", "having_prolific_sources",
 ]
 
 
