@@ -5765,6 +5765,12 @@ def q_graph_triangles(sf_dir: str):
            .groupby("_b")
            .map_groups(close_wedges, batch_format="pandas")
            .to_pandas())
+    if tri.empty:
+        # a triangle-free graph can surface as a columnless frame
+        # (all-empty group outputs) — return the typed empty result
+        return pd.DataFrame({
+            "apex": pd.Series([], dtype="int64"),
+            "n_triangles": pd.Series([], dtype="int64")})
     out = (tri.groupby("apex", as_index=False)["n_triangles"].sum()
            .sort_values("apex").reset_index(drop=True))
     out["apex"] = out["apex"].astype("int64")
