@@ -7968,6 +7968,261 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# distributed NTILE / TF-IDF / C4-style quality gate (session-5 batch)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+def q_ntile_customer_spend(sf_dir: str):
+    """Distributed NTILE(4) over per-customer total spend without a
+    global row sort: the same two-pass bucket-offset machinery as
+    q_global_rank_sample (pass 1: per-rank-bucket COUNTS -> driver
+    cumsum, dimension-sized; pass 2: ONE keyed shuffle where each
+    coarse spend bucket sorts locally and the broadcast offset lifts
+    local ranks to global), then the standard NTILE boundary formula
+    (first n%k tiles get one extra row) maps ranks to tiles and
+    per-tile partials reduce to 4 output rows.  Reference analog:
+    result accumulation / spend-quartile reporting (SURVEY.md §2.7)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pa.array(_cents(t.column("o_totalprice").to_numpy()))
+        g = (pa.table({"c": t.column("o_custkey"), "p": cents})
+             .group_by("c").aggregate([("p", "sum")]))
+        return pa.table({
+            "c": g.column("c"), "p_cents": g.column("p_sum"),
+            "_b": pa.array((g.column("c").to_numpy() % n_buckets)
+                           .astype(np.int64))})
+
+    def spend(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c", as_index=False)["p_cents"].sum()
+        out["c"] = out["c"].astype("int64")
+        out["cents"] = out["p_cents"].astype("int64")
+        # coarse DESC rank bucket: ascending rb == descending cents
+        out["rb"] = (-(out["cents"] // (1 << 20))).astype("int64")
+        return out[["c", "cents", "rb"]]
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("_b").map_groups(spend, batch_format="pandas"))
+
+    hist = (per_cust.map_batches(
+                lambda t: pa.table({
+                    "rb": t.column("rb"),
+                    "p_n": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow")
+            .groupby("rb").aggregate(Sum("p_n", alias_name="n"))
+            .sort("rb").take_all())
+    rbs = [int(r["rb"]) for r in hist]
+    ns = [int(r["n"]) for r in hist]
+    n_total = int(sum(ns))
+    offsets = dict(zip(rbs, np.concatenate(
+        [[0], np.cumsum(ns)[:-1]]).astype(np.int64)))
+    tile_q, tile_r = divmod(n_total, 4)
+    head = tile_r * (tile_q + 1)
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rb", "cents", "c"],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+        local = g.groupby("rb").cumcount().to_numpy()
+        base = g["rb"].map(offsets).to_numpy(dtype=np.int64)
+        rank0 = base + local
+        tile = np.where(rank0 < head,
+                        rank0 // (tile_q + 1),
+                        tile_r + (rank0 - head) // max(tile_q, 1)) + 1
+        g["tile"] = tile.astype("int64")
+        part = g.groupby("tile").agg(
+            n_customers=("c", "size"), min_cents=("cents", "min"),
+            max_cents=("cents", "max"), sum_cents=("cents", "sum"))
+        return part.reset_index()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tile").agg(
+            n_customers=("n_customers", "sum"),
+            min_cents=("min_cents", "min"),
+            max_cents=("max_cents", "max"),
+            sum_cents=("sum_cents", "sum")).reset_index()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (per_cust.groupby("rb")
+            .map_groups(tiles, batch_format="pandas")
+            .groupby("tile").map_groups(combine, batch_format="pandas"))
+
+
+def q_tfidf_source_terms(sf_dir: str):
+    """Per-source top-3 terms by integer fixed-point TF-IDF
+    (``score_micro = 1_000_000 * tf // df``).  ONE term-keyed bucket
+    shuffle computes tf and df together: each document lives in
+    exactly one batch, so per-batch DISTINCT (term, doc) pairs are
+    globally distinct and df is the sum of per-batch distinct counts
+    (the q_inverted_index invariant); per-(source, term) tf partials
+    ride the same exchange tagged with a '' source sentinel split.
+    Each bucket emits only its per-source top-3 candidates (the
+    global per-source top-3 is a subset of the per-bucket top-3s),
+    so the driver-side combine is candidate-sized: O(buckets x
+    sources x k), never corpus rows."""
+    n_buckets = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        docs = t.column("doc_id").to_numpy()[parent]
+        src = np.asarray(
+            t.column("source").to_pylist(), dtype=object)[parent]
+        df_part = (pa.table({"term": flat, "doc": pa.array(docs)})
+                   .group_by(["term", "doc"]).aggregate([])
+                   .group_by("term").aggregate([("doc", "count")]))
+        tf_part = (pa.table({
+                       "term": flat, "source": pa.array(src, pa.string()),
+                       "one": pa.array(np.ones(len(flat), np.int64))})
+                   .group_by(["term", "source"])
+                   .aggregate([("one", "sum")]))
+        h1 = T.content_hash64(df_part.column("term").to_pylist())
+        h2 = T.content_hash64(tf_part.column("term").to_pylist())
+        a = pa.table({"term": df_part.column("term"),
+                      "source": pa.array([""] * df_part.num_rows),
+                      "n": df_part.column("doc_count").cast(pa.int64()),
+                      "_b": pa.array((h1 % n_buckets).astype(np.int64))})
+        b = pa.table({"term": tf_part.column("term"),
+                      "source": tf_part.column("source"),
+                      "n": tf_part.column("one_sum"),
+                      "_b": pa.array((h2 % n_buckets).astype(np.int64))})
+        return pa.concat_tables([a, b])
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[g["source"] == ""].groupby("term")["n"].sum()
+        tf = (g[g["source"] != ""]
+              .groupby(["source", "term"], as_index=False)["n"].sum())
+        tf["tf"] = tf["n"].astype("int64")
+        tf["df"] = tf["term"].map(df).astype("int64")
+        tf["score_micro"] = (1_000_000 * tf["tf"]) // tf["df"]
+        tf = tf.sort_values(["source", "score_micro", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = tf.groupby("source").head(_TFIDF_TOPK)
+        return out[["source", "term", "tf", "df", "score_micro"]]
+
+    cand = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("_b").map_groups(score, batch_format="pandas")
+            .to_pandas())
+    cand = cand.sort_values(["source", "score_micro", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    out = cand.groupby("source").head(_TFIDF_TOPK).reset_index(drop=True)
+    for c in ("tf", "df", "score_micro"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_c4_quality_filter(sf_dir: str):
+    """C4-style heuristic quality gate (Raffel et al. 2020 shape,
+    adapted to signals that actually vary in this corpus — the
+    synthetic text has no terminal punctuation): keep documents with
+    20 <= word count <= 1000, >= 2 stopword hits ('the' / 'a', the
+    C4 'contains English function words' rule), and mean word length
+    in [3, 10] in integer form (3*n_words <= n_chars_nospace <=
+    10*n_words).  Fully vectorized Arrow RE2 kernels; one streaming
+    pass, zero shuffles."""
+    def gate(t: pa.Table) -> pa.Table:
+        txt = t.column("text").combine_chunks()
+        n_words = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+        n_stop = pc.add(
+            pc.count_substring_regex(txt, r"\bthe\b"),
+            pc.count_substring_regex(txt, r"\ba\b")).cast(pa.int64())
+        n_char = pc.count_substring_regex(txt, r"\S").cast(pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_words, 20),
+                    pc.less_equal(n_words, 1000)),
+            pc.and_(
+                pc.greater_equal(n_stop, 2),
+                pc.and_(
+                    pc.greater_equal(n_char, pc.multiply(n_words, 3)),
+                    pc.less_equal(n_char, pc.multiply(n_words, 10)))))
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "n_words": n_words, "n_stop": n_stop,
+                        "n_chars_nospace": n_char})
+        return out.filter(keep)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(gate, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "ntile_customer_spend": q_ntile_customer_spend,
+    "tfidf_source_terms": q_tfidf_source_terms,
+    "c4_quality_filter": q_c4_quality_filter,
+})
+
+ORACLE_SQL.update({
+    "ntile_customer_spend": """
+        WITH s AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+        t AS (SELECT cents,
+                     ntile(4) OVER (ORDER BY cents DESC, o_custkey)
+                         AS tile
+              FROM s)
+        SELECT CAST(tile AS BIGINT) AS tile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM t GROUP BY 1
+    """,
+    "tfidf_source_terms": """
+        WITH raw AS (
+            SELECT doc_id, source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents),
+        tok AS (SELECT * FROM raw WHERE term <> ''),
+        dfx AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY term),
+        tfx AS (SELECT source, term, count(*) AS tf
+                FROM tok GROUP BY 1, 2),
+        sc AS (SELECT tfx.source, tfx.term,
+                      CAST(tfx.tf AS BIGINT) AS tf,
+                      CAST(dfx.df AS BIGINT) AS df,
+                      CAST((1000000 * tfx.tf) // dfx.df AS BIGINT)
+                          AS score_micro
+               FROM tfx JOIN dfx USING (term)),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY score_micro DESC,
+                                                 term) AS rn
+              FROM sc)
+        SELECT source, term, tf, df, score_micro
+        FROM r WHERE rn <= 3
+    """,
+    "c4_quality_filter": """
+        WITH m AS (
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\\S+')) AS n_words,
+                   length(regexp_extract_all(text, '\\bthe\\b'))
+                     + length(regexp_extract_all(text, '\\ba\\b'))
+                       AS n_stop,
+                   length(regexp_replace(text, '\\s', '', 'g'))
+                       AS n_chars_nospace
+            FROM documents)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_stop AS BIGINT) AS n_stop,
+               CAST(n_chars_nospace AS BIGINT) AS n_chars_nospace
+        FROM m
+        WHERE n_words BETWEEN 20 AND 1000 AND n_stop >= 2
+          AND n_chars_nospace BETWEEN 3 * n_words AND 10 * n_words
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

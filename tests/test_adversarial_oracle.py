@@ -285,6 +285,7 @@ ADVERSARIAL_QUERIES = [
     "dsir_importance", "graph_triangles", "read_pushdown_parts",
     "mad_event_values", "top100_orders_sorted",
     "click_purchase_window_join",
+    "ntile_customer_spend", "tfidf_source_terms", "c4_quality_filter",
 ]
 
 
