@@ -376,8 +376,16 @@ def simhash_neardup_pairs(ds, *, max_distance=3, id_col="doc_id",
 
 def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
                         id_col="doc_id", text_col="text",
-                        max_shingle_df=256, concurrency=4):
+                        max_shingle_df=256, concurrency=4,
+                        metric="jaccard"):
     """EXACT Jaccard >= threshold pairs via shared-shingle blocking.
+
+    ``metric="containment"`` switches the finalizer to set containment
+    (n_common / min(|A|, |B|) — the asymmetric subset-dup signal that
+    Jaccard misses when a short doc is wholly contained in a long one);
+    ``threshold`` is then an INTEGER milli-score (e.g. 800 = 0.8) and
+    the output carries a ``containment_milli`` column, so the SQL twin
+    hashes identically (integer division on both sides).
 
     Identical result to all-pairs Jaccard (any pair with J >= t > 0
     shares >= 1 shingle, so blocking loses nothing); cost is bounded by
@@ -447,6 +455,15 @@ def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
         out = (g.groupby(["doc_a", "doc_b"], as_index=False)
                .agg(n=("pn", "sum"), nsh_a=("nsh_a", "first"),
                     nsh_b=("nsh_b", "first")))
+        if metric == "containment":
+            n_i = out["n"].to_numpy(dtype=np.int64)
+            mn = np.minimum(out["nsh_a"].to_numpy(dtype=np.int64),
+                            out["nsh_b"].to_numpy(dtype=np.int64))
+            milli = (1000 * n_i) // np.maximum(mn, 1)
+            out["containment_milli"] = milli.astype(np.int64)
+            keep = (mn > 0) & (milli >= int(threshold))
+            return out.loc[keep,
+                           ["doc_a", "doc_b", "containment_milli"]]
         n = out["n"].to_numpy(dtype=np.float64)
         den = (out["nsh_a"].to_numpy() + out["nsh_b"].to_numpy()
                - n).astype(np.float64)

@@ -8223,6 +8223,171 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# containment dedup / funnel / type-token ratio (session-5 batch 2)
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("click", "view", "purchase")
+
+
+def q_dedup_containment(sf_dir: str):
+    """Exact set-containment >= 0.8 near-dup pairs: the asymmetric
+    subset-duplicate signal (short doc wholly inside a long one) that
+    Jaccard misses.  Same shared-shingle blocking engine as
+    q_dedup_ngram_jaccard — ONE shingle-keyed shuffle, denominators
+    ride the exploded rows — with the integer milli-score finalizer
+    (1000*common // min(|A|,|B|)) so the SQL twin hashes exactly."""
+    return D.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k_shingle=3, threshold=800, max_shingle_df=256,
+        metric="containment")
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Funnel conversion (click -> view -> purchase) under min-ts
+    semantics: a user reaches stage k when its FIRST type-k event is
+    strictly after its first type-(k-1) event.  Per-(user, type)
+    min-ts Arrow partials -> one user-keyed bucket shuffle -> each
+    bucket emits a 3-row stage-count partial -> 3-row driver combine.
+    Reference analog: multi-hop harvest progression accounting
+    (SURVEY.md §2.7 result accumulation)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(list(_FUNNEL)))
+        t = t.filter(mask)
+        g = (pa.table({"u": t.column("user_id"),
+                       "et": t.column("event_type"),
+                       "ts": t.column("ts").cast(pa.int64())})
+             .group_by(["u", "et"]).aggregate([("ts", "min")]))
+        return g.append_column("_b", pa.array(
+            (g.column("u").to_numpy() % n_buckets).astype(np.int64)))
+
+    def stages(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["u", "et"], as_index=False)["ts_min"].min()
+             .pivot(index="u", columns="et", values="ts_min")
+             .reindex(columns=list(_FUNNEL)))
+        s1 = m["click"].notna()
+        s2 = s1 & m["view"].notna() & (m["view"] > m["click"])
+        s3 = s2 & m["purchase"].notna() & (m["purchase"] > m["view"])
+        return pd.DataFrame({
+            "stage": np.array([1, 2, 3], np.int64),
+            "p_n": np.array([int(s1.sum()), int(s2.sum()),
+                             int(s3.sum())], np.int64)})
+
+    part = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("_b").map_groups(stages, batch_format="pandas")
+            .to_pandas())
+    if part.empty:
+        part = pd.DataFrame({"stage": pd.Series([], dtype="int64"),
+                             "p_n": pd.Series([], dtype="int64")})
+    out = (part.groupby("stage")["p_n"].sum()
+           .reindex([1, 2, 3], fill_value=0).rename("n_users")
+           .reset_index())
+    out["stage"] = out["stage"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def q_type_token_ratio(sf_dir: str):
+    """Per-document type-token ratio (lexical diversity) as an
+    integer milli score (1000 * n_distinct // n_tokens).  Each doc
+    lives in exactly one batch, so per-doc distinct is exact per
+    batch: one streaming pass, ZERO shuffles; the per-batch distinct
+    count is a pandas-C groupby over the exploded (parent, term)
+    pairs.  Empty-text docs produce no row on either side."""
+    def ttr(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        if len(parent) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "ttr_milli": pa.array([], pa.int64())})
+        df = pd.DataFrame({"p": parent, "term": flat.to_pandas()})
+        g = df.groupby("p")["term"].agg(["size", "nunique"])
+        ids = t.column("doc_id").to_numpy()[g.index.to_numpy()]
+        n_tok = g["size"].to_numpy(np.int64)
+        n_dis = g["nunique"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_dis),
+            "ttr_milli": pa.array(1000 * n_dis // n_tok)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(ttr, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "dedup_containment": q_dedup_containment,
+    "funnel_conversion": q_funnel_conversion,
+    "type_token_ratio": q_type_token_ratio,
+})
+
+ORACLE_SQL.update({
+    "dedup_containment": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+        nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
+        pairs AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            JOIN keep k ON k.s = x.s
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST((1000 * c) // LEAST(na.n, nb.n) AS BIGINT)
+                   AS containment_milli
+        FROM pairs
+        JOIN nsh na ON na.doc_id = doc_a
+        JOIN nsh nb ON nb.doc_id = doc_b
+        WHERE (1000 * c) // LEAST(na.n, nb.n) >= 800
+    """,
+    "funnel_conversion": """
+        WITH f AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'click') AS t1,
+                   min(ts) FILTER (WHERE event_type = 'view') AS t2,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS t3
+            FROM events GROUP BY user_id)
+        SELECT CAST(1 AS BIGINT) AS stage,
+               CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT)
+                   AS n_users
+        FROM f
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1)
+                    AS BIGINT)
+        FROM f
+        UNION ALL
+        SELECT CAST(3 AS BIGINT),
+               CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1
+                                       AND t3 > t2) AS BIGINT)
+        FROM f
+    """,
+    "type_token_ratio": """
+        WITH raw AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents),
+        tok AS (SELECT * FROM raw WHERE term <> '')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT term) AS BIGINT) AS n_distinct,
+               CAST((1000 * count(DISTINCT term)) // count(*)
+                    AS BIGINT) AS ttr_milli
+        FROM tok GROUP BY doc_id
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

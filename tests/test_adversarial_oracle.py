@@ -140,13 +140,19 @@ def adv_dir(tmp_path_factory):
     ]
     # filler docs push source s1 past the HAVING > 8 docs threshold
     texts += [f"filler doc f{k} has words" for k in range(7)]
+    # SUBSET duplicate: contains doc 2 ("the quick brown fox ...")
+    # verbatim as a prefix but is ~5x longer — containment = 1.0 fires
+    # while Jaccard (7 / 34 shingles) stays below the 0.3 pair bar
+    texts += ["the quick brown fox jumps over the lazy dog while the "
+              "sun set over the hill in the late day and the cat sat "
+              "on the mat by the door with w1 w2 w3 near x y b"]
     docs = pa.table({
         "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(["en", "en", "en", "en", "de", "fr", "en",
-                          "de", "en"] + ["en"] * 7, pa.string()),
+                          "de", "en"] + ["en"] * 7 + ["en"], pa.string()),
         "source": pa.array(["s1", "s1", "s1", "s2", "s1", "s2", "s2",
-                            "s2", "s1"] + ["s1"] * 7, pa.string()),
+                            "s2", "s1"] + ["s1"] * 7 + ["s2"], pa.string()),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
     pq.write_table(docs, os.path.join(d, "documents.parquet"))
@@ -286,6 +292,7 @@ ADVERSARIAL_QUERIES = [
     "mad_event_values", "top100_orders_sorted",
     "click_purchase_window_join",
     "ntile_customer_spend", "tfidf_source_terms", "c4_quality_filter",
+    "dedup_containment", "funnel_conversion", "type_token_ratio",
 ]
 
 
