@@ -8388,6 +8388,201 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# cumulative revenue / revenue share / sweep-line peak concurrency
+# (session-5 batch 3)
+# ---------------------------------------------------------------------------
+
+
+def q_cumulative_daily_revenue(sf_dir: str):
+    """Running (cumulative) daily revenue: per-day partial sums
+    stream out of ``map_batches`` (dimension-sized — one row per
+    calendar day), so the ordered prefix sum runs on the driver over
+    |days| integers, never rows.  The contrast shape to
+    q_global_rank_sample: when the ordered aggregate's carrier is
+    dimension-sized, the two-pass bucket-offset machinery collapses
+    to a driver cumsum."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        g = (pa.table({"day": pa.array(ts // day_us),
+                       "p": pa.array(cents)})
+             .group_by("day").aggregate([("p", "sum")]))
+        return pa.table({"day": g.column("day"),
+                         "p": g.column("p_sum")})
+
+    rows = (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("p", alias_name="rev_cents"))
+            .sort("day").take_all())
+    out = pd.DataFrame({
+        "day": pd.array([int(r["day"]) for r in rows], dtype="int64"),
+        "rev_cents": pd.array([int(r["rev_cents"]) for r in rows],
+                              dtype="int64")})
+    out["cum_rev_cents"] = out["rev_cents"].cumsum().astype("int64")
+    return out
+
+
+def q_revenue_share_by_priority(sf_dir: str):
+    """Percent-of-total (RATIO_TO_REPORT) by order priority in
+    integer milli form: per-priority revenue partials (5 keys) and
+    the grand total broadcast back in one driver-side finalize —
+    the low-cardinality window-over-all shape."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        return (pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                          "p": pa.array(cents)})
+                .group_by("o_orderpriority").aggregate([("p", "sum")])
+                .rename_columns(["o_orderpriority", "p"]))
+
+    rows = (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("p", alias_name="rev_cents")).take_all())
+    out = pd.DataFrame({
+        "o_orderpriority": [r["o_orderpriority"] for r in rows],
+        "rev_cents": pd.array([int(r["rev_cents"]) for r in rows],
+                              dtype="int64")})
+    total = int(out["rev_cents"].sum())
+    out["share_milli"] = (1000 * out["rev_cents"] // total).astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_peak_concurrent_users(sf_dir: str):
+    """Peak concurrency via a DISTRIBUTED SWEEP LINE: each (user, day)
+    presence interval [first event, last event] emits +1/-1 deltas;
+    per-time-bucket delta totals cumsum on the driver into start
+    offsets (dimension-sized), then ONE time-keyed shuffle where each
+    bucket locally orders its distinct delta timestamps, prefix-sums,
+    lifts by the broadcast offset, and reports its local (max, first
+    ts) — the driver combine is |buckets| rows.  The windowed-
+    aggregate shape Ray Data lacks natively (interval overlap count),
+    built from the bucket-offset prefix-sum machinery."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86_400_000_000
+    week_us = 7 * day_us
+    n_buckets = 64
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        u = t.column("user_id").to_numpy()
+        g = (pa.table({"u": pa.array(u), "day": pa.array(ts // day_us),
+                       "s": pa.array(ts), "e": pa.array(ts)})
+             .group_by(["u", "day"])
+             .aggregate([("s", "min"), ("e", "max")]))
+        key = (g.column("u").to_numpy() * 100_003
+               + g.column("day").to_numpy())
+        return g.append_column("_b", pa.array(
+            (key % n_buckets).astype(np.int64)))
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["u", "day"], as_index=False).agg(
+            s=("s_min", "min"), e=("e_max", "max"))
+        ts = np.concatenate([m["s"].to_numpy(np.int64),
+                             m["e"].to_numpy(np.int64) + 1])
+        delta = np.concatenate([np.ones(len(m), np.int64),
+                                -np.ones(len(m), np.int64)])
+        out = (pd.DataFrame({"ts": ts, "delta": delta})
+               .groupby("ts", as_index=False)["delta"].sum())
+        out["delta"] = out["delta"].astype("int64")
+        out["tb"] = (out["ts"] // week_us).astype("int64")
+        return out
+
+    # delta table is 2 rows per (user, day) — far smaller than events;
+    # materialized because it feeds both the histogram and final pass
+    net = (ev.map_batches(span_partial, batch_format="pyarrow")
+           .groupby("_b").map_groups(deltas, batch_format="pandas")
+           .materialize())
+
+    hist = (net.map_batches(
+                lambda t: pa.table({"tb": t.column("tb"),
+                                    "p": t.column("delta")}),
+                batch_format="pyarrow")
+            .groupby("tb").aggregate(Sum("p", alias_name="n"))
+            .sort("tb").take_all())
+    tbs = [int(r["tb"]) for r in hist]
+    nets = [int(r["n"]) for r in hist]
+    offsets = dict(zip(tbs, np.concatenate(
+        [[0], np.cumsum(nets)[:-1]]).astype(np.int64)))
+
+    def local_peak(g: pd.DataFrame) -> pd.DataFrame:
+        # different user-day buckets can emit the SAME ts — re-sum
+        g = g.groupby(["tb", "ts"], as_index=False)["delta"].sum()
+        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        base = int(offsets[int(g["tb"].iloc[0])])
+        cur = base + g["delta"].to_numpy(np.int64).cumsum()
+        i = int(np.argmax(cur))
+        return pd.DataFrame({
+            "peak": np.array([cur[i]], np.int64),
+            "first_peak_ts_us": np.array([g["ts"].iloc[i]], np.int64)})
+
+    cand = (net.groupby("tb")
+            .map_groups(local_peak, batch_format="pandas").to_pandas())
+    cand = cand.sort_values(["peak", "first_peak_ts_us"],
+                            ascending=[False, True], kind="mergesort")
+    out = cand.head(1).reset_index(drop=True)
+    out["peak"] = out["peak"].astype("int64")
+    out["first_peak_ts_us"] = out["first_peak_ts_us"].astype("int64")
+    return out
+
+
+QUERIES.update({
+    "cumulative_daily_revenue": q_cumulative_daily_revenue,
+    "revenue_share_by_priority": q_revenue_share_by_priority,
+    "peak_concurrent_users": q_peak_concurrent_users,
+})
+
+ORACLE_SQL.update({
+    "cumulative_daily_revenue": """
+        WITH d AS (
+            SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1)
+        SELECT CAST(day AS BIGINT) AS day, rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY day) AS BIGINT)
+                   AS cum_rev_cents
+        FROM d
+    """,
+    "revenue_share_by_priority": """
+        WITH p AS (
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1)
+        SELECT o_orderpriority, rev_cents,
+               CAST((1000 * rev_cents) // (SELECT sum(rev_cents) FROM p)
+                    AS BIGINT) AS share_milli
+        FROM p
+    """,
+    "peak_concurrent_users": """
+        WITH ud AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                   min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+            FROM events GROUP BY 1, 2),
+        d AS (
+            SELECT s AS ts, 1 AS delta FROM ud
+            UNION ALL
+            SELECT e + 1, -1 FROM ud),
+        n AS (SELECT ts, sum(delta) AS net FROM d GROUP BY ts),
+        r AS (SELECT ts, sum(net) OVER (ORDER BY ts) AS cur FROM n),
+        m AS (SELECT max(cur) AS peak FROM r)
+        SELECT CAST(m.peak AS BIGINT) AS peak,
+               CAST(min(r.ts) AS BIGINT) AS first_peak_ts_us
+        FROM r, m WHERE r.cur = m.peak GROUP BY m.peak
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
