@@ -57,6 +57,9 @@ QUERY_NAMES = [
     # session-4 additions
     "supplier_part_variety", "close_event_pairs",
     "rolling_active_users", "bpe_train",
+    # session-5 additions
+    "dedup_containment", "peak_concurrent_users", "ntile_customer_spend",
+    "tfidf_source_terms", "funnel_conversion",
 ]
 
 

@@ -8583,6 +8583,133 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# cross-source similarity / day-of-week profile (session-5 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def q_source_term_overlap(sf_dir: str):
+    """Pairwise SOURCE similarity matrix: dot product of term-count
+    vectors for every source pair (the mixture-analysis primitive —
+    which corpus slices overlap lexically).  Per-batch (source, term)
+    tf partials ride ONE term-keyed bucket shuffle; inside each bucket
+    a pandas self-merge forms per-term cross products and pre-sums
+    them per (source_a, source_b), so the driver combine is at most
+    |sources|^2/2 rows per bucket — dimension-sized, never terms."""
+    n_buckets = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        src = np.asarray(
+            t.column("source").to_pylist(), dtype=object)[parent]
+        g = (pa.table({"term": flat,
+                       "source": pa.array(src, pa.string()),
+                       "one": pa.array(np.ones(len(flat), np.int64))})
+             .group_by(["term", "source"]).aggregate([("one", "sum")]))
+        h = T.content_hash64(g.column("term").to_pylist())
+        return pa.table({"term": g.column("term"),
+                         "source": g.column("source"),
+                         "tf": g.column("one_sum"),
+                         "_b": pa.array((h % n_buckets).astype(np.int64))})
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        tf = (g.groupby(["term", "source"], as_index=False)["tf"].sum())
+        m = tf.merge(tf, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        if not len(m):
+            return pd.DataFrame({
+                "source_a": pd.Series([], dtype="object"),
+                "source_b": pd.Series([], dtype="object"),
+                "p_dot": pd.Series([], dtype="int64")})
+        m["p_dot"] = (m["tf_x"] * m["tf_y"]).astype("int64")
+        out = (m.groupby(["source_x", "source_y"], as_index=False)
+               ["p_dot"].sum())
+        out.columns = ["source_a", "source_b", "p_dot"]
+        return out
+
+    part = (_read(sf_dir, "documents", ["text", "source"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("_b").map_groups(cross, batch_format="pandas")
+            .to_pandas())
+    if part.empty:
+        return pd.DataFrame({"source_a": pd.Series([], dtype="object"),
+                             "source_b": pd.Series([], dtype="object"),
+                             "dot": pd.Series([], dtype="int64")})
+    out = (part.groupby(["source_a", "source_b"], as_index=False)
+           ["p_dot"].sum().rename(columns={"p_dot": "dot"}))
+    out["dot"] = out["dot"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def q_dow_activity_profile(sf_dir: str):
+    """Day-of-week seasonality profile: event count + EXACT distinct
+    users per weekday.  Count partials stream; the distinct side is
+    the standard two-level shape — per-batch distinct (dow, user)
+    pairs collapse through one user-keyed bucket shuffle (a user's
+    pairs land in one bucket, so per-bucket nunique sums are exact)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86_400_000_000
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        dow = (ts // day_us) % 7
+        u = t.column("user_id").to_numpy()
+        g = (pa.table({"dow": pa.array(dow), "u": pa.array(u),
+                       "one": pa.array(np.ones(len(u), np.int64))})
+             .group_by(["dow", "u"]).aggregate([("one", "sum")]))
+        return g.append_column("_b", pa.array(
+            (g.column("u").to_numpy() % n_buckets).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("dow").agg(
+            p_events=("one_sum", "sum"), p_users=("u", "nunique"))
+        out = out.reset_index()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    part = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+            .to_pandas())
+    out = (part.groupby("dow", as_index=False)
+           .agg(n_events=("p_events", "sum"),
+                n_users=("p_users", "sum")))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+QUERIES.update({
+    "source_term_overlap": q_source_term_overlap,
+    "dow_activity_profile": q_dow_activity_profile,
+})
+
+ORACLE_SQL.update({
+    "source_term_overlap": """
+        WITH raw AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents),
+        tok AS (SELECT * FROM raw WHERE term <> ''),
+        tf AS (SELECT source, term, count(*) AS tf
+               FROM tok GROUP BY 1, 2)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+    "dow_activity_profile": """
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

@@ -294,7 +294,8 @@ ADVERSARIAL_QUERIES = [
     "ntile_customer_spend", "tfidf_source_terms", "c4_quality_filter",
     "dedup_containment", "funnel_conversion", "type_token_ratio",
     "cumulative_daily_revenue", "revenue_share_by_priority",
-    "peak_concurrent_users",
+    "peak_concurrent_users", "source_term_overlap",
+    "dow_activity_profile",
 ]
 
 
