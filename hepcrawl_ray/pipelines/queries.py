@@ -8710,6 +8710,177 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# winsorized stats / Benford audit / Markov transitions (session-5 batch 5)
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_value_stats(sf_dir: str):
+    """Winsorized aggregation (the ML-preprocessing clamp): event
+    values clipped to [p05, p95] then summed per type.  Two passes,
+    both streaming: pass 1 builds the VALUE histogram (distinct cents
+    x count — bounded by the value domain, not rows; the same
+    quantile-without-sort machinery as q_percentile_prices) and the
+    driver reads both cut points off the cumulative counts with the
+    quantile_disc convention (0-based index ceil(q*n)-1); pass 2 is a
+    vectorized clamp + per-type partial sums."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value").to_numpy())
+        vals, cnt = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(vals),
+                         "p_n": pa.array(cnt.astype(np.int64))})
+
+    hist = (ev.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("p_n", alias_name="n"))
+            .sort("cents").take_all())
+    vals = np.array([int(r["cents"]) for r in hist], np.int64)
+    cnts = np.array([int(r["n"]) for r in hist], np.int64)
+    cum = np.cumsum(cnts)
+    n_total = int(cum[-1])
+
+    def q_disc(q: float) -> int:
+        rank = max(int(np.ceil(q * n_total)), 1)   # 1-based rank
+        return int(vals[np.searchsorted(cum, rank)])
+
+    lo, hi = q_disc(0.05), q_disc(0.95)
+
+    def clamp_partial(t: pa.Table) -> pa.Table:
+        cents = np.clip(_cents(t.column("value").to_numpy()), lo, hi)
+        g = (pa.table({"event_type": t.column("event_type"),
+                       "w": pa.array(cents),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("event_type")
+             .aggregate([("w", "sum"), ("one", "sum")]))
+        return g.rename_columns(["event_type", "p_w", "p_n"])
+
+    return (ev.map_batches(clamp_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("p_w", alias_name="sum_wins_cents"),
+                       Sum("p_n", alias_name="n")))
+
+
+def q_benford_first_digit(sf_dir: str):
+    """Benford first-digit audit over order amounts (fraud/data-entry
+    screening): leading digit of integer cents, counted.  The digit
+    extraction is a whole-array integer divide loop (<= 10 rounds for
+    int64 — no string round-trip), partials reduce to <= 9 rows per
+    batch."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice").to_numpy())
+        d = cents[cents > 0]
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        vals, cnt = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(vals.astype(np.int64)),
+                         "p_n": pa.array(cnt.astype(np.int64))})
+
+    return (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("digit").aggregate(Sum("p_n", alias_name="n"))
+            .sort("digit"))
+
+
+def q_event_transition_matrix(sf_dir: str):
+    """First-order Markov transition matrix of event types per user
+    stream (ordered by ts, event_id): counts n(a->b) and row-
+    normalized probability in integer milli (1000*n // n_from_a).
+    One user-keyed shuffle; per-bucket pandas lexsort + shift forms
+    the bigrams; the combine and the normalization run on the
+    |types|^2-row driver table."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+    n_buckets = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t.column("user_id"),
+            "et": t.column("event_type"),
+            "ts": t.column("ts").cast(pa.int64()),
+            "eid": t.column("event_id"),
+            "_b": pa.array((t.column("user_id").to_numpy() % n_buckets)
+                           .astype(np.int64))})
+
+    def bigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "eid"],
+                          kind="mergesort").reset_index(drop=True)
+        nxt = g["et"].shift(-1)
+        same = g["u"].shift(-1) == g["u"]
+        d = pd.DataFrame({"a": g["et"][same], "b": nxt[same]})
+        out = (d.groupby(["a", "b"], as_index=False).size()
+               .rename(columns={"size": "p_n"}))
+        out["p_n"] = out["p_n"].astype("int64")
+        return out
+
+    part = (ev.map_batches(tag, batch_format="pyarrow")
+            .groupby("_b").map_groups(bigrams, batch_format="pandas")
+            .to_pandas())
+    if part.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                             "b": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "p_milli": pd.Series([], dtype="int64")})
+    out = (part.groupby(["a", "b"], as_index=False)["p_n"].sum()
+           .rename(columns={"p_n": "n"}))
+    row_tot = out.groupby("a")["n"].transform("sum")
+    out["n"] = out["n"].astype("int64")
+    out["p_milli"] = (1000 * out["n"] // row_tot).astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+QUERIES.update({
+    "winsorized_value_stats": q_winsorized_value_stats,
+    "benford_first_digit": q_benford_first_digit,
+    "event_transition_matrix": q_event_transition_matrix,
+})
+
+ORACLE_SQL.update({
+    "winsorized_value_stats": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events),
+        q AS (SELECT quantile_disc(cents, 0.05) AS lo,
+                     quantile_disc(cents, 0.95) AS hi
+              FROM c)
+        SELECT event_type,
+               CAST(sum(LEAST(GREATEST(cents, q.lo), q.hi)) AS BIGINT)
+                   AS sum_wins_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c, q GROUP BY event_type
+    """,
+    "benford_first_digit": """
+        WITH c AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders)
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c WHERE cents > 0 GROUP BY 1
+    """,
+    "event_transition_matrix": """
+        WITH s AS (
+            SELECT event_type AS a,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS b
+            FROM events),
+        t AS (SELECT a, b, count(*) AS n FROM s
+              WHERE b IS NOT NULL GROUP BY a, b)
+        SELECT a, b, CAST(n AS BIGINT) AS n,
+               CAST((1000 * n) // (sum(n) OVER (PARTITION BY a))
+                    AS BIGINT) AS p_milli
+        FROM t
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

@@ -295,7 +295,8 @@ ADVERSARIAL_QUERIES = [
     "dedup_containment", "funnel_conversion", "type_token_ratio",
     "cumulative_daily_revenue", "revenue_share_by_priority",
     "peak_concurrent_users", "source_term_overlap",
-    "dow_activity_profile",
+    "dow_activity_profile", "winsorized_value_stats",
+    "benford_first_digit", "event_transition_matrix",
 ]
 
 
