@@ -8881,6 +8881,106 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape / segment balance stats (session-5 batch 6)
+# ---------------------------------------------------------------------------
+
+
+def q_q6_discount_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast-revenue-change): one filtered global
+    aggregate — year window + discount band + quantity cap, revenue =
+    extendedprice * discount.  Pure streaming: every batch emits a
+    single (sum, count) partial row and the driver adds |batches|
+    integers.  The discount band compares integer cents (floor(d*100
+    + 0.5) in [4, 6]) on BOTH sides so float representation of 0.05
+    can't drift the predicate."""
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        year = pc.year(t.column("l_shipdate")) \
+            .to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy()
+        qty = t.column("l_quantity").to_numpy()
+        ep = t.column("l_extendedprice").to_numpy()
+        dc = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        keep = (year == 1997) & (dc >= 4) & (dc <= 6) & (qty < 24)
+        rev = np.floor(ep[keep] * disc[keep] * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"p_rev": pa.array([int(rev.sum())]),
+                         "p_n": pa.array([int(keep.sum())])})
+
+    rows = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "rev_cents": pd.array([int(rows["p_rev"].sum())], dtype="int64"),
+        "n_rows": pd.array([int(rows["p_n"].sum())], dtype="int64")})
+
+
+def q_segment_balance_stats(sf_dir: str):
+    """Account-balance profile per market segment: n_customers and
+    sum/min/max balance cents.  Per-batch Arrow partials over the
+    5-key segment column, tiny grouped combine — zero-shuffle except
+    the 5-group exchange."""
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal").to_numpy())
+        g = (pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                       "s": pa.array(cents), "mn": pa.array(cents),
+                       "mx": pa.array(cents),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("c_mktsegment")
+             .aggregate([("s", "sum"), ("mn", "min"), ("mx", "max"),
+                         ("one", "sum")]))
+        return g.rename_columns(
+            ["c_mktsegment", "p_s", "p_mn", "p_mx", "p_n"])
+
+    part = (cust.map_batches(partial, batch_format="pyarrow")
+            .to_pandas())
+    out = (part.groupby("c_mktsegment", as_index=False)
+           .agg(n_customers=("p_n", "sum"),
+                sum_bal_cents=("p_s", "sum"),
+                min_bal_cents=("p_mn", "min"),
+                max_bal_cents=("p_mx", "max")))
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q6_discount_revenue": q_q6_discount_revenue,
+    "segment_balance_stats": q_segment_balance_stats,
+})
+
+ORACLE_SQL.update({
+    "q6_discount_revenue": """
+        WITH c AS (
+            SELECT CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                        AS BIGINT) AS rev
+            FROM lineitem
+            WHERE date_part('year', l_shipdate) = 1997
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                  BETWEEN 4 AND 6
+              AND l_quantity < 24)
+        SELECT CAST(COALESCE(sum(rev), 0) AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM c
+    """,
+    "segment_balance_stats": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_bal_cents,
+               CAST(min(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS min_bal_cents,
+               CAST(max(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS max_bal_cents
+        FROM customer GROUP BY 1
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

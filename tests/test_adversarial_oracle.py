@@ -297,6 +297,7 @@ ADVERSARIAL_QUERIES = [
     "peak_concurrent_users", "source_term_overlap",
     "dow_activity_profile", "winsorized_value_stats",
     "benford_first_digit", "event_transition_matrix",
+    "q6_discount_revenue", "segment_balance_stats",
 ]
 
 
