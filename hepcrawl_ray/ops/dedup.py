@@ -694,14 +694,21 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
     many planes; looser thresholds need few planes / many tables).
 
     Verification is INLINE in the bucket group: each bucket row
-    carries its (normalized, packed) vector through the one keyed
+    carries its (raw float32, packed) vector through the ONE keyed
     shuffle, so exact cosine runs vectorized where the candidates are
     formed and only verified pairs leave the group.  Shuffle volume is
-    N x n_tables x vec_bytes (linear in corpus size) — vs shipping
-    vectors per candidate PAIR, which is quadratic in bucket
-    occupancy.  The only broadcast state is the
+    N x n_tables x (vec_bytes + 8 x n_tables) — linear in corpus size —
+    vs shipping vectors per candidate PAIR, which is quadratic in
+    bucket occupancy.  The only broadcast state is the
     (n_tables x n_planes x dim) plane tensor; no corpus ever sits on
     the driver or in one worker.
+
+    Cross-table pair dedup needs NO second shuffle: every row carries
+    all ``n_tables`` keys of its vector (8 x n_tables bytes), so each
+    candidate pair is emitted only by its FIRST-collision table —
+    locally decidable, globally distinct.  (A pair whose
+    first-collision group overflows ``max_bucket`` is dropped — the
+    same candidate-loss mode as the oversize drop itself.)
     """
     # Deterministic projection planes: derived from (seed, n_tables,
     # n_planes, dim) alone, so every task regenerates IDENTICAL planes
@@ -719,81 +726,98 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
         return p
 
     def bucket_keys(t: pa.Table) -> pa.Table:
-        """One row per (vector, table): LSH key + the normalized
-        vector packed to binary (pandas/Arrow-shuffle-safe)."""
+        """One row per (vector, table): LSH key, the raw float32
+        vector packed to fixed-size binary (one buffer, no per-row
+        tobytes loop), and the row's FULL key set for the
+        first-collision ownership check downstream."""
         from hepcrawl_ray.ops.knn import list_column_to_matrix
 
         if t.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "table": pa.array([], pa.int32()),
                              "key": pa.array([], pa.int64()),
-                             "vec_bin": pa.array([], pa.binary())})
-        v = list_column_to_matrix(t.column(vec_col))
-        planes = _planes_for(v.shape[1])
-        n = np.linalg.norm(v, axis=1)
-        n[n == 0] = 1.0
-        v = v / n[:, None]
-        packed = [row.tobytes() for row in v]
-        n_tab = len(planes)
-        ids = t.column(id_col)
-        out_id = pa.concat_arrays([ids.combine_chunks()] * n_tab)
-        out_tab, out_key = [], []
-        for tab in range(n_tab):
-            signs = (v @ planes[tab].T) > 0           # (n, planes)
-            keys = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
-            out_tab.append(np.full(len(v), tab, dtype=np.int32))
-            out_key.append(keys.astype(np.int64))
-        return pa.table({"vec_id": out_id,
-                         "table": np.concatenate(out_tab),
-                         "key": np.concatenate(out_key),
-                         "vec_bin": pa.array(packed * n_tab,
-                                             pa.binary())})
+                             "bucket": pa.array([], pa.int64()),
+                             "vec_bin": pa.array([], pa.binary()),
+                             "keys_bin": pa.array([], pa.binary())})
+        v32 = list_column_to_matrix(t.column(vec_col)).astype(
+            np.float32, copy=False)
+        n_rows, dim = v32.shape
+        planes = _planes_for(dim)
+        # sign(v . p) is scale-invariant: no normalization needed for
+        # keys; one flat (dim, tables*planes) matmul computes them all
+        signs = (v32 @ planes.reshape(n_tables * n_planes, dim)
+                 .T.astype(np.float32)) > 0          # (n, tab*planes)
+        signs = signs.reshape(n_rows, n_tables, n_planes)
+        keys16 = (signs * (1 << np.arange(n_planes))).sum(
+            axis=2).astype(np.int64)                 # (n, tables)
+        # vectorized packing: whole matrices become ONE buffer each
+        vec_fsb = pa.Array.from_buffers(
+            pa.binary(dim * 4), n_rows,
+            [None, pa.py_buffer(np.ascontiguousarray(v32).tobytes())])
+        keys_fsb = pa.Array.from_buffers(
+            pa.binary(n_tables * 8), n_rows,
+            [None, pa.py_buffer(np.ascontiguousarray(keys16).tobytes())])
+        ids = t.column(id_col).cast(pa.int64()).combine_chunks()
+        tab_idx = np.repeat(np.arange(n_tables, dtype=np.int32), n_rows)
+        keys_flat = keys16.ravel(order="F")          # table-major
+        bucket = (keys_flat * 31 + tab_idx) % 64
+        return pa.table({
+            "vec_id": pa.chunked_array([ids] * n_tables),
+            "table": pa.array(tab_idx),
+            "key": pa.array(keys_flat),
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "vec_bin": pa.chunked_array([vec_fsb] * n_tables),
+            "keys_bin": pa.chunked_array([keys_fsb] * n_tables)})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Candidates AND exact-cosine verification within one hash
-        bucket of (table, key) groups — only verified pairs exit."""
+        """Candidates, first-collision ownership, and exact-cosine
+        verification within one hash bucket of (table, key) groups —
+        only verified, globally-unique pairs exit."""
         empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                              "vec_b": pd.Series([], dtype="int64"),
-                              "pair_bucket": pd.Series([], dtype="int64")})
+                              "vec_b": pd.Series([], dtype="int64")})
         sizes = g.groupby(["table", "key"])["vec_id"].transform("size")
         g = g[(sizes >= 2) & (sizes <= max_bucket)]
         if not len(g):
             return empty
         g = g.reset_index(drop=True)
-        m = g.reset_index().merge(g.reset_index(), on=["table", "key"])
+        m = g.reset_index().merge(
+            g.reset_index(), on=["table", "key"],
+            suffixes=("_x", "_y"))[
+            ["index_x", "index_y", "vec_id_x", "vec_id_y", "table"]]
         m = m[m["vec_id_x"] < m["vec_id_y"]]
-        # a pair colliding in several tables of this bucket needs ONE
-        # cosine check, not one per table
-        m = m.drop_duplicates(["vec_id_x", "vec_id_y"])
         if not len(m):
             return empty
-        mat = np.stack([np.frombuffer(x) for x in g["vec_bin"]])
+        # first-collision ownership: this (table, key) group emits the
+        # pair only if NO earlier table also collided — each pair then
+        # exits exactly one group across the whole corpus, so no
+        # second distinct shuffle is ever needed
+        keys = np.frombuffer(b"".join(g["keys_bin"]),
+                             dtype=np.int64).reshape(len(g), -1)
+        ix = m["index_x"].to_numpy()
+        iy = m["index_y"].to_numpy()
+        first_tab = (keys[ix] == keys[iy]).argmax(axis=1)
+        m = m[first_tab == m["table"].to_numpy()]
+        if not len(m):
+            return empty
+        # verify with the exact twin's numerics: float32 payload,
+        # float64 norm + dot (embedding_neardup_pairs does the same)
+        mat = np.frombuffer(b"".join(g["vec_bin"]),
+                            dtype=np.float32).reshape(len(g), -1) \
+            .astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        mat /= nrm[:, None]
         cos = np.einsum("ij,ij->i", mat[m["index_x"].to_numpy()],
                         mat[m["index_y"].to_numpy()])
         m = m[cos >= threshold]
-        out = (m[["vec_id_x", "vec_id_y"]].drop_duplicates()
-               .rename(columns={"vec_id_x": "vec_a", "vec_id_y": "vec_b"}))
-        # re-bucket by pair for the cross-table distinct (Ray grouped
-        # aggregates over high-cardinality keys are ~100x slower than
-        # 64 pandas dedups)
-        out["pair_bucket"] = ((out["vec_a"] * 1_000_003 + out["vec_b"])
-                              % 64).astype("int64")
-        return out
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = (t.column("key").to_numpy() * 31 + t.column("table").to_numpy()) % 64
-        return t.append_column("bucket", pa.array(b.astype(np.int64)))
-
-    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["vec_a", "vec_b"]].drop_duplicates()
+        return (m[["vec_id_x", "vec_id_y"]]
+                .rename(columns={"vec_id_x": "vec_a",
+                                 "vec_id_y": "vec_b"}))
 
     return (ds.select_columns([id_col, vec_col])
             .map_batches(bucket_keys, batch_format="pyarrow")
-            .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .groupby("pair_bucket")
-            .map_groups(distinct_pairs, batch_format="pandas"))
+            .map_groups(bucket_pairs, batch_format="pandas"))
 
 
 def components_labels(pairs_ds, *, pair_a="doc_a", pair_b="doc_b",
