@@ -8981,6 +8981,266 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# TPC-H join/subquery shapes over the available columns (Q14/Q15/Q17/Q19
+# analogues — the schema has no shipmode/container/partsupp, so each keeps
+# the reference query's PLAN shape with predicates on the columns we have)
+# ---------------------------------------------------------------------------
+
+
+def q_q14_promo_revenue_ratio(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): fact<-dimension key join +
+    conditional aggregate ratio per ship-year.  part rides the ADAPTIVE
+    attach (broadcast while small, bucket-gather at scale); per-batch
+    Arrow partials group by year so only |years| x |batches| tiny rows
+    reach the combine.  Ratio reported as integer basis points
+    (floor(10000 * promo / total)) so both sides compare exactly."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    fact, _ = attach_dim(li, part, "l_partkey", "p_partkey", ["p_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        year = pc.year(t.column("l_shipdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = _cents(t.column("l_extendedprice").to_numpy()
+                     * (1.0 - t.column("l_discount").to_numpy()))
+        promo = pc.equal(t.column("p_type"), "PROMO") \
+            .to_numpy(zero_copy_only=False)
+        g = (pa.table({"ship_year": pa.array(year),
+                       "pp": pa.array(np.where(promo, rev, 0)),
+                       "pt": pa.array(rev)})
+             .group_by("ship_year")
+             .aggregate([("pp", "sum"), ("pt", "sum")]))
+        return g.rename_columns(["ship_year", "pp", "pt"])
+
+    rows = fact.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (rows.groupby("ship_year", as_index=False)
+           .agg(promo_rev_cents=("pp", "sum"),
+                total_rev_cents=("pt", "sum")))
+    out["promo_bps"] = (out["promo_rev_cents"] * 10000
+                        // out["total_rev_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("ship_year").reset_index(drop=True)
+
+
+def q_q15_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): argmax over a keyed aggregate
+    with ties kept.  Per-batch Arrow partials on l_suppkey -> 64-way
+    bucket shuffle -> pandas per-key sums, each bucket emits ONLY its
+    max-revenue rows, the driver takes the global max among <= 64 x
+    ties candidates — the full per-supplier aggregate never lands on
+    the driver.  Winner names come from a distributed is_in filter of
+    supplier (winner set is tiny), not a driver-side table read."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        year = pc.year(t.column("l_shipdate")) \
+            .to_numpy(zero_copy_only=False)
+        keep = year == 1997
+        supp = t.column("l_suppkey").to_numpy()[keep].astype(np.int64)
+        rev = _cents(t.column("l_extendedprice").to_numpy()[keep]
+                     * (1.0 - t.column("l_discount").to_numpy()[keep]))
+        g = (pa.table({"s_suppkey": pa.array(supp), "p": pa.array(rev)})
+             .group_by("s_suppkey").aggregate([("p", "sum")])
+             .rename_columns(["s_suppkey", "p"]))
+        b = pc.cast(g.column("s_suppkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) % 64
+        return g.append_column("bucket", pa.array(b))
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["s_suppkey"] = g["s_suppkey"].astype("int64")  # lesson 13
+        per = g.groupby("s_suppkey", as_index=False)["p"].sum()
+        return per[per["p"] == per["p"].max()]
+
+    cand = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_max,
+                                          batch_format="pandas")
+            .to_pandas())
+    if len(cand) == 0:
+        return pd.DataFrame({"s_suppkey": pd.array([], dtype="int64"),
+                             "s_name": pd.array([], dtype="string"),
+                             "total_rev_cents": pd.array([],
+                                                         dtype="int64")})
+    best = int(cand["p"].max())
+    winners = sorted(int(k) for k in
+                     cand.loc[cand["p"] == best, "s_suppkey"])
+    wset = pa.array(winners, pa.int64())
+    names = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+             .map_batches(lambda t: t.filter(pc.is_in(
+                 pc.cast(t.column("s_suppkey"), pa.int64()),
+                 value_set=wset)), batch_format="pyarrow")
+             .to_pandas())
+    names["s_suppkey"] = names["s_suppkey"].astype("int64")
+    out = names.sort_values("s_suppkey").reset_index(drop=True)
+    out["total_rev_cents"] = np.int64(best)
+    return out[["s_suppkey", "s_name", "total_rev_cents"]]
+
+
+def q_q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): row-level filter
+    against a PER-KEY aggregate of the same table.  ONE partkey-bucket
+    shuffle; inside each pandas group the per-part (count, sum qty) is
+    a C groupby-transform and the correlated predicate
+    qty < 0.2 * avg(qty) is evaluated EXACTLY in integers as
+    5 * qty * cnt < sum_qty — no float division on either side.  Each
+    bucket emits one partial row; the driver adds 64 integers."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "l_partkey": pa.array(k),
+            "q": pa.array(t.column("l_quantity").to_numpy()
+                          .astype(np.int64)),
+            "epc": pa.array(_cents(t.column("l_extendedprice")
+                                   .to_numpy())),
+            "bucket": pa.array(k % 64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["l_partkey"] = g["l_partkey"].astype("int64")
+        grp = g.groupby("l_partkey")["q"]
+        cnt = grp.transform("size").to_numpy(dtype=np.int64)
+        sumq = grp.transform("sum").to_numpy(dtype=np.int64)
+        keep = 5 * g["q"].to_numpy(dtype=np.int64) * cnt < sumq
+        return pd.DataFrame({
+            "p_rev": pd.array([int(g.loc[keep, "epc"].sum())],
+                              dtype="int64"),
+            "p_n": pd.array([int(keep.sum())], dtype="int64")})
+
+    rows = (li.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas")
+            .to_pandas())
+    return pd.DataFrame({
+        "small_qty_rev_cents": pd.array([int(rows["p_rev"].sum())],
+                                        dtype="int64"),
+        "n_rows": pd.array([int(rows["p_n"].sum())], dtype="int64")})
+
+
+def q_q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    key join + an OR of three (brand AND size-range AND qty-range)
+    clauses evaluated as vectorized numpy masks after the adaptive
+    dimension attach.  Single global (sum, count) — every batch emits
+    one partial row."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    fact, _ = attach_dim(li, part, "l_partkey", "p_partkey",
+                         ["p_brand", "p_size"])
+    clauses = (("Brand#3", 1, 15, 1, 15),
+               ("Brand#14", 1, 25, 10, 30),
+               ("Brand#25", 1, 50, 20, 50))
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for b, s0, s1, q0, q1 in clauses:
+            keep |= ((brand == b) & (size >= s0) & (size <= s1)
+                     & (qty >= q0) & (qty <= q1))
+        rev = _cents(t.column("l_extendedprice").to_numpy()[keep]
+                     * (1.0 - t.column("l_discount").to_numpy()[keep]))
+        return pa.table({"p_rev": pa.array([int(rev.sum())]),
+                         "p_n": pa.array([int(keep.sum())])})
+
+    rows = fact.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "rev_cents": pd.array([int(rows["p_rev"].sum())],
+                              dtype="int64"),
+        "n_rows": pd.array([int(rows["p_n"].sum())], dtype="int64")})
+
+
+QUERIES.update({
+    "q14_promo_revenue_ratio": q_q14_promo_revenue_ratio,
+    "q15_top_supplier_revenue": q_q15_top_supplier_revenue,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+})
+
+ORACLE_SQL.update({
+    "q14_promo_revenue_ratio": """
+        WITH f AS (
+            SELECT CAST(date_part('year', l_shipdate) AS BIGINT)
+                       AS ship_year,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT) AS rev,
+                   p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT ship_year,
+               CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                    AS BIGINT) AS promo_rev_cents,
+               CAST(sum(rev) AS BIGINT) AS total_rev_cents,
+               CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                    * 10000 // sum(rev) AS BIGINT) AS promo_bps
+        FROM f GROUP BY 1 ORDER BY 1
+    """,
+    "q15_top_supplier_revenue": """
+        WITH r AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_rev_cents
+            FROM lineitem
+            WHERE date_part('year', l_shipdate) = 1997
+            GROUP BY 1)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               total_rev_cents
+        FROM r JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM r)
+        ORDER BY s_suppkey
+    """,
+    "q17_small_quantity_revenue": """
+        WITH l AS (
+            SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS epc
+            FROM lineitem),
+        s AS (
+            SELECT l_partkey, count(*) AS cnt,
+                   sum(q) AS sumq
+            FROM l GROUP BY 1)
+        SELECT CAST(COALESCE(sum(epc), 0) AS BIGINT)
+                   AS small_qty_rev_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM l JOIN s USING (l_partkey)
+        WHERE 5 * l.q * s.cnt < s.sumq
+    """,
+    "q19_disjunctive_revenue": """
+        WITH f AS (
+            SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+                   AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 50
+                   AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 50))
+        SELECT CAST(COALESCE(sum(rev), 0) AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM f
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

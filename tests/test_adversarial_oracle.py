@@ -298,6 +298,11 @@ ADVERSARIAL_QUERIES = [
     "dow_activity_profile", "winsorized_value_stats",
     "benford_first_digit", "event_transition_matrix",
     "q6_discount_revenue", "segment_balance_stats",
+    # session-6 TPC-H shapes: single-part q17 correlation, empty
+    # disjunctive match (q19 returns the (0, 0) row), 1997-window
+    # argmax with the fixture's heavy lineitem skew (order 1 = 6 rows)
+    "q14_promo_revenue_ratio", "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
 ]
 
 
