@@ -9241,6 +9241,200 @@ ORACLE_SQL.update({
 })
 
 
+def q_sole_supplier_orders(sf_dir: str):
+    """TPC-H Q21 shape (orders stuck on one supplier): per-order
+    grouped HAVING (>= 2 lines, exactly one distinct supplier) then a
+    per-supplier count.  ONE orderkey-bucket shuffle; each pandas group
+    reduces its orders to per-supplier PARTIAL counts so only
+    |suppliers-per-bucket| rows reach the tiny driver combine."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(ok),
+            "l_suppkey": pa.array(t.column("l_suppkey").to_numpy()
+                                  .astype(np.int64)),
+            "bucket": pa.array(ok % 64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        for c in ("l_orderkey", "l_suppkey"):
+            g[c] = g[c].astype("int64")                   # lesson 13
+        agg = (g.groupby("l_orderkey")["l_suppkey"]
+               .agg(n="size", mn="min", mx="max"))
+        sole = agg[(agg["n"] >= 2) & (agg["mn"] == agg["mx"])]
+        out = (sole.groupby("mn").size().rename("p")
+               .reset_index().rename(columns={"mn": "s_suppkey"}))
+        return out
+
+    rows = (li.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas")
+            .to_pandas())
+    if len(rows) == 0:
+        return pd.DataFrame({"s_suppkey": pd.array([], dtype="int64"),
+                             "n_orders": pd.array([], dtype="int64")})
+    out = (rows.groupby("s_suppkey", as_index=False)["p"].sum()
+           .rename(columns={"p": "n_orders"}))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape (rich customers with no recent orders): global
+    scalar subquery + anti-join + group.  The above-average predicate
+    is exact in integers (cents * n > sum_cents — no float division);
+    the anti-join against the 1998+ order custkeys is the broadcast
+    Bloom prefilter + keyed verify (ops/antijoin.py) so the done-set
+    never broadcasts whole; survivors group by nation via per-batch
+    Arrow partials (<= 25 keys)."""
+    from hepcrawl_ray.ops.antijoin import bloom_anti_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def p1(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy()
+        pos = bal > 0.0
+        return pa.table({"p_s": pa.array([int(_cents(bal[pos]).sum())]),
+                         "p_n": pa.array([int(pos.sum())])})
+
+    g = cust.map_batches(p1, batch_format="pyarrow").to_pandas()
+    s, n = int(g["p_s"].sum()), int(g["p_n"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal").to_numpy())
+        keep = cents * n > s
+        return pa.table({
+            "c_custkey": pa.array(t.column("c_custkey").to_numpy()
+                                  .astype(np.int64)[keep]),
+            "nationkey": pa.array(t.column("c_nationkey")
+                                  .to_numpy(zero_copy_only=False)
+                                  .astype(np.int64)[keep]),
+            "cents": pa.array(cents[keep])})
+
+    cutoff = np.datetime64("1998-01-01")
+
+    def recent(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = d.astype("datetime64[D]") >= cutoff
+        return pa.table({"o_custkey": pa.array(
+            t.column("o_custkey").to_numpy().astype(np.int64)[keep])})
+
+    active = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+              .map_batches(recent, batch_format="pyarrow"))
+    survivors = bloom_anti_join(
+        cust.map_batches(rich, batch_format="pyarrow"), active,
+        key_col="c_custkey", done_key_col="o_custkey")
+
+    def p2(t: pa.Table) -> pa.Table:
+        return (pa.table({"nationkey": t.column("nationkey"),
+                          "pc": pa.array(np.ones(t.num_rows, np.int64)),
+                          "ps": t.column("cents")})
+                .group_by("nationkey")
+                .aggregate([("pc", "sum"), ("ps", "sum")])
+                .rename_columns(["nationkey", "pc", "ps"]))
+
+    rows = survivors.map_batches(p2, batch_format="pyarrow").to_pandas()
+    if len(rows) == 0:
+        return pd.DataFrame({
+            "nationkey": pd.array([], dtype="int64"),
+            "n_customers": pd.array([], dtype="int64"),
+            "sum_bal_cents": pd.array([], dtype="int64")})
+    out = (rows.groupby("nationkey", as_index=False)
+           .agg(n_customers=("pc", "sum"), sum_bal_cents=("ps", "sum")))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def q_chunk_documents(sf_dir: str):
+    """Training-data chunking: split each document into K=64-token
+    windows with stride S=48 (16-token overlap), the standard LM
+    pre-tokenization shard op.  Tokenization is the single-space split
+    on BOTH sides (the corpus is single-space normalized) so chunk
+    text compares exactly.  flat_map shape: each batch emits its own
+    chunk rows, no shuffle, no driver materialization — the chunk
+    assembly slices one shared token list per doc (join is C-speed);
+    the split itself is the Arrow RE2 kernel."""
+    K, S = 64, 48
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ").to_pylist()
+        ids = t.column("doc_id").to_pylist()
+        oid, ocid, on, otxt = [], [], [], []
+        for did, tk in zip(ids, toks):
+            for ci, off in enumerate(range(0, len(tk), S)):
+                seg = tk[off:off + K]
+                oid.append(did)
+                ocid.append(ci)
+                on.append(len(seg))
+                otxt.append(" ".join(seg))
+        return pa.table({"doc_id": pa.array(oid, pa.int64()),
+                         "chunk_id": pa.array(ocid, pa.int64()),
+                         "n_tokens": pa.array(on, pa.int64()),
+                         "chunk_text": pa.array(otxt, pa.string())})
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "sole_supplier_orders": q_sole_supplier_orders,
+    "idle_rich_customers": q_idle_rich_customers,
+    "chunk_documents": q_chunk_documents,
+})
+
+ORACLE_SQL.update({
+    "sole_supplier_orders": """
+        WITH o AS (
+            SELECT l_orderkey, min(l_suppkey) AS sk
+            FROM lineitem GROUP BY 1
+            HAVING count(*) >= 2 AND min(l_suppkey) = max(l_suppkey))
+        SELECT CAST(sk AS BIGINT) AS s_suppkey,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM o GROUP BY 1 ORDER BY 1
+    """,
+    "idle_rich_customers": """
+        WITH g AS (
+            SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                       AS s,
+                   count(*) AS n
+            FROM customer WHERE c_acctbal > 0),
+        r AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM customer, g
+            WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * g.n
+                      > g.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_orderdate >= DATE '1998-01-01'))
+        SELECT nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS sum_bal_cents
+        FROM r GROUP BY 1 ORDER BY 1
+    """,
+    "chunk_documents": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, 48)) AS off
+            FROM t)
+        SELECT doc_id, CAST(off // 48 AS BIGINT) AS chunk_id,
+               CAST(least(64, len(toks) - off) AS BIGINT) AS n_tokens,
+               array_to_string(toks[off + 1 : off + 64], ' ')
+                   AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

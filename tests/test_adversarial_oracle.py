@@ -303,6 +303,11 @@ ADVERSARIAL_QUERIES = [
     # argmax with the fixture's heavy lineitem skew (order 1 = 6 rows)
     "q14_promo_revenue_ratio", "q15_top_supplier_revenue",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    # Q21/Q22 shapes + LM chunking: order 1 is the only multi-line
+    # sole-supplier order; the one above-avg customer HAS a recent
+    # order (idle_rich legitimately empty); the empty-text doc must
+    # chunk to a single ''-token window on both sides
+    "sole_supplier_orders", "idle_rich_customers", "chunk_documents",
 ]
 
 
