@@ -9435,6 +9435,689 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4/Q5/Q7/Q8/Q9/Q10 analogues (session-6 batch 1).  The schema
+# has no commitdate/receiptdate/partsupp/shipmode, so each keeps the
+# reference query's PLAN shape (EXISTS semi-join, multi-hop snowflake
+# join, nation-pair join, market-share ratio, profit rollup, returned-
+# item top-k) with predicates over the columns we have.  All joins go
+# through ops.joinutil.attach_dim (adaptive broadcast / bucket-gather)
+# so no fact table is ever driver-materialized.
+# ---------------------------------------------------------------------------
+
+
+def _nation_names(sf_dir: str):
+    """(keys int64 array, names list) for driver-side nationkey->name."""
+    nat = _read_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return (pc.cast(nat.column("n_nationkey"), pa.int64()),
+            nat.column("n_name"))
+
+
+def _region_nation_keys(sf_dir: str, r_name: str) -> set[int]:
+    """nationkeys belonging to one region (driver-side: 25x5 rows)."""
+    nat = _read_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _read_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    rk = {reg.column("r_regionkey")[i].as_py()
+          for i in range(reg.num_rows)
+          if reg.column("r_name")[i].as_py() == r_name}
+    return {nat.column("n_nationkey")[i].as_py()
+            for i in range(nat.num_rows)
+            if nat.column("n_regionkey")[i].as_py() in rk}
+
+
+def _orders_with_cnation(sf_dir: str, years, region_keys=None,
+                         with_year: bool = False):
+    """orders (filtered to ``years``) with the customer's nationkey
+    attached — the shared Q5/Q7/Q8 sub-plan.  Customer rides the
+    ADAPTIVE attach (broadcast at sandbox scale, bucket-gather at
+    fact scale); the region prune runs row-local against a <=25-key
+    set immediately after, so non-region orders never reach the
+    lineitem-side exchange."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    years = set(int(y) for y in years)
+
+    def prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column("o_year", pa.array(yr))
+        return t.filter(pa.array(np.isin(yr, list(years)))) \
+                .drop_columns(["o_orderdate"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(prep, batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders, _ = attach_dim(orders, cust, "o_custkey", "c_custkey",
+                           ["c_nationkey"])
+    if region_keys is not None:
+        keyset = pa.array(sorted(int(k) for k in region_keys),
+                          pa.int64())
+
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(
+                pc.cast(t.column("c_nationkey"), pa.int64()),
+                value_set=keyset))
+
+        orders = orders.map_batches(prune, batch_format="pyarrow")
+    cols = ["o_orderkey", "c_nationkey"] + (["o_year"] if with_year
+                                            else [])
+    return orders.select_columns(cols)
+
+
+def q_q4_order_priority_check(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): per-priority COUNT of
+    orders having an EXISTS'd lineitem condition.  The schema lacks
+    commit/receipt dates, so the late-line predicate is ``some line
+    shipped >= 60 days after the order date``.  EXISTS collapses to a
+    per-order MAX: per-batch Arrow group-max of l_shipdate (one row
+    per orderkey per batch), then orders + maxes share ONE
+    orderkey-bucket exchange; each bucket emits <=5 (priority, n)
+    partial rows, so the driver combine is |buckets| x 5 ints.
+    Timestamps compare as int64 epoch-us on both sides."""
+    n_buckets = 64
+    day_us = 86_400_000_000
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t.column("l_orderkey"), pa.int64())
+        ship = pc.cast(pc.cast(t.column("l_shipdate"),
+                               pa.timestamp("us")), pa.int64())
+        g = (pa.table({"o_orderkey": ok, "ship_us": ship})
+             .group_by("o_orderkey").aggregate([("ship_us", "max")])
+             .rename_columns(["o_orderkey", "ship_us"]))
+        k = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": g.column("o_orderkey"),
+            "ship_us": g.column("ship_us"),
+            "od_us": pa.nulls(g.num_rows, pa.int64()),
+            "o_orderpriority": pa.nulls(g.num_rows, pa.string()),
+            "_side": pa.array(np.ones(g.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(yr == 1997))
+        ok = pc.cast(t.column("o_orderkey"), pa.int64())
+        od = pc.cast(pc.cast(t.column("o_orderdate"),
+                             pa.timestamp("us")), pa.int64())
+        k = ok.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": ok,
+            "ship_us": pa.nulls(t.num_rows, pa.int64()),
+            "od_us": od,
+            "o_orderpriority": t.column("o_orderpriority"),
+            "_side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "_bucket": pa.array((k % n_buckets).astype(np.int64))})
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
+              .map_batches(orders_side, batch_format="pyarrow"))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["o_orderkey"] = g["o_orderkey"].astype("int64")  # lesson 13
+        mx = (g.loc[g["_side"] == 1]
+              .groupby("o_orderkey", as_index=False)["ship_us"].max())
+        o = g.loc[g["_side"] == 0,
+                  ["o_orderkey", "od_us", "o_orderpriority"]]
+        m = o.merge(mx, on="o_orderkey", how="inner")
+        late = m[m["ship_us"] >= m["od_us"] + 60 * day_us]
+        out = (late.groupby("o_orderpriority", as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return out
+
+    part = (li.union(orders).groupby("_bucket")
+            .map_groups(bucket_counts, batch_format="pandas")
+            .to_pandas())
+    out = (part.groupby("o_orderpriority", as_index=False)
+           .agg(n_orders=("n", "sum")))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): 6-table snowflake —
+    revenue in region ASIA, order-year 1997, counted only when the
+    customer and the line's supplier share a nation.  Plan: orders
+    pick up c_nationkey (adaptive attach) and prune to the region's
+    <=25 nationkeys BEFORE the wide exchange; lineitem pre-aggregates
+    (orderkey, suppkey) revenue per batch, resolves s_nationkey via
+    the broadcast supplier dim, prunes to the region, then gathers
+    c_nationkey through the ONE orderkey-keyed exchange; the equality
+    filter and the per-nation rollup are row-local partials after
+    that.  Nation names resolve driver-side on the 25-row table."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    rkeys = _region_nation_keys(sf_dir, "ASIA")
+    keyset = pa.array(sorted(rkeys), pa.int64())
+    orders = _orders_with_cnation(sf_dir, [1997], region_keys=rkeys)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _cents(t.column("l_extendedprice").to_numpy()
+                     * (1.0 - t.column("l_discount").to_numpy()))
+        g = (pa.table({"l_orderkey": pc.cast(t.column("l_orderkey"),
+                                             pa.int64()),
+                       "l_suppkey": pc.cast(t.column("l_suppkey"),
+                                            pa.int64()),
+                       "rev": pa.array(rev)})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("rev", "sum")])
+             .rename_columns(["l_orderkey", "l_suppkey", "rev"]))
+        return g
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li, _ = attach_dim(li, supp, "l_suppkey", "s_suppkey",
+                       ["s_nationkey"])
+
+    def prune_supp(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(
+            pc.cast(t.column("s_nationkey"), pa.int64()),
+            value_set=keyset))
+
+    li = li.map_batches(prune_supp, batch_format="pyarrow")
+    li, _ = attach_dim(li, orders, "l_orderkey", "o_orderkey",
+                       ["c_nationkey"])
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("s_nationkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        c = pc.cast(t.column("c_nationkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = s == c
+        g = (pa.table({"n_nationkey": pa.array(s[keep]),
+                       "rev": pc.filter(t.column("rev"),
+                                        pa.array(keep))})
+             .group_by("n_nationkey").aggregate([("rev", "sum")])
+             .rename_columns(["n_nationkey", "rev"]))
+        return g
+
+    part = (li.map_batches(local_partial, batch_format="pyarrow")
+            .to_pandas())
+    out = (part.groupby("n_nationkey", as_index=False)
+           .agg(revenue_cents=("rev", "sum")))
+    keys, names = _nation_names(sf_dir)
+    kmap = {keys[i].as_py(): names[i].as_py()
+            for i in range(len(keys))}
+    out["n_name"] = out["n_nationkey"].map(kmap)
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return (out[["n_name", "revenue_cents"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+def q_q7_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    specific REGIONS (supplier region != customer region; regions
+    stand in for Q7's nation pair because the synthetic supplier
+    table is sparse in nations at small sf), per ship-year 1996/1997.
+    Both endpoint prunes run BEFORE the one orderkey exchange
+    (supplier via broadcast dim, customer via the shared orders
+    sub-plan restricted to the pair's nationkeys), so only
+    candidate-pair rows shuffle.  Output: supp_region, cust_region,
+    ship_year, revenue_cents."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    nat = _read_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _read_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    rmap = {reg.column("r_regionkey")[i].as_py():
+            reg.column("r_name")[i].as_py()
+            for i in range(reg.num_rows)}
+    n2r = {nat.column("n_nationkey")[i].as_py():
+           nat.column("n_regionkey")[i].as_py()
+           for i in range(nat.num_rows)}
+    pair_regs = {rk for rk, rn in rmap.items()
+                 if rn in ("ASIA", "AMERICA")}
+    pair = {nk for nk, rk in n2r.items() if rk in pair_regs}
+    keyset = pa.array(sorted(pair), pa.int64())
+
+    # orders restricted to the two regions on the CUSTOMER side; no
+    # year filter there (Q7 filters on ship date, not order date)
+    orders = _orders_with_cnation(sf_dir, range(1995, 2002),
+                                  region_keys=pair)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("l_shipdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (yr == 1996) | (yr == 1997)
+        t = t.filter(pa.array(keep))
+        rev = _cents(t.column("l_extendedprice").to_numpy()
+                     * (1.0 - t.column("l_discount").to_numpy()))
+        g = (pa.table({"l_orderkey": pc.cast(t.column("l_orderkey"),
+                                             pa.int64()),
+                       "l_suppkey": pc.cast(t.column("l_suppkey"),
+                                            pa.int64()),
+                       "ship_year": pa.array(yr[keep]),
+                       "rev": pa.array(rev)})
+             .group_by(["l_orderkey", "l_suppkey", "ship_year"])
+             .aggregate([("rev", "sum")])
+             .rename_columns(["l_orderkey", "l_suppkey", "ship_year",
+                              "rev"]))
+        return g
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li, _ = attach_dim(li, supp, "l_suppkey", "s_suppkey",
+                       ["s_nationkey"])
+
+    def prune_supp(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(
+            pc.cast(t.column("s_nationkey"), pa.int64()),
+            value_set=keyset))
+
+    li = li.map_batches(prune_supp, batch_format="pyarrow")
+    li, _ = attach_dim(li, orders, "l_orderkey", "o_orderkey",
+                       ["c_nationkey"])
+
+    # nationkey -> regionkey as a vectorized lookup pair (25 rows)
+    lk_keys = pa.array(sorted(n2r), pa.int64())
+    lk_regs = pa.array([n2r[k] for k in sorted(n2r)], pa.int64())
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        s = pc.take(lk_regs, pc.index_in(
+            pc.cast(t.column("s_nationkey"), pa.int64()),
+            value_set=lk_keys)).to_numpy(zero_copy_only=False)
+        c = pc.take(lk_regs, pc.index_in(
+            pc.cast(t.column("c_nationkey"), pa.int64()),
+            value_set=lk_keys)).to_numpy(zero_copy_only=False)
+        keep = s != c
+        g = (pa.table({"s_reg": pa.array(s[keep].astype(np.int64)),
+                       "c_reg": pa.array(c[keep].astype(np.int64)),
+                       "ship_year": pc.filter(t.column("ship_year"),
+                                              pa.array(keep)),
+                       "rev": pc.filter(t.column("rev"),
+                                        pa.array(keep))})
+             .group_by(["s_reg", "c_reg", "ship_year"])
+             .aggregate([("rev", "sum")])
+             .rename_columns(["s_reg", "c_reg", "ship_year", "rev"]))
+        return g
+
+    part = (li.map_batches(pair_partial, batch_format="pyarrow")
+            .to_pandas())
+    if len(part) == 0 or "s_reg" not in part.columns:  # typed empty
+        return pd.DataFrame({
+            "supp_region": pd.array([], dtype="str"),
+            "cust_region": pd.array([], dtype="str"),
+            "ship_year": pd.array([], dtype="int64"),
+            "revenue_cents": pd.array([], dtype="int64")})
+    out = (part.groupby(["s_reg", "c_reg", "ship_year"],
+                        as_index=False)
+           .agg(revenue_cents=("rev", "sum")))
+    out["supp_region"] = out["s_reg"].map(rmap)
+    out["cust_region"] = out["c_reg"].map(rmap)
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["ship_year"] = out["ship_year"].astype("int64")
+    return (out[["supp_region", "cust_region", "ship_year",
+                 "revenue_cents"]]
+            .sort_values(["supp_region", "cust_region", "ship_year"])
+            .reset_index(drop=True))
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): of all ECONOMY-part
+    revenue sold to region-AMERICA customers in order-years 1996/1997,
+    the share supplied from region-ASIA suppliers (a region stands in
+    for Q8's single nation — the synthetic supplier table is sparse
+    in nations at small sf), per year, as integer basis points.  Part
+    prune is a SEMI attach (cols=[], adaptive), the supplier flag is
+    a broadcast dim compare, and the region+year restriction rides
+    the shared orders sub-plan — so the one orderkey exchange moves
+    only qualifying pre-aggregated rows.  Numerator and denominator
+    stream as a single conditional-partial pass (no second scan)."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    target = _region_nation_keys(sf_dir, "ASIA")
+    rkeys = _region_nation_keys(sf_dir, "AMERICA")
+    orders = _orders_with_cnation(sf_dir, [1996, 1997],
+                                  region_keys=rkeys, with_year=True)
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("p_type"), "ECONOMY")) \
+                .select(["p_partkey"])
+
+    part_dim = (_read(sf_dir, "part", ["p_partkey", "p_type"])
+                .map_batches(part_filter, batch_format="pyarrow"))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _cents(t.column("l_extendedprice").to_numpy()
+                     * (1.0 - t.column("l_discount").to_numpy()))
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "rev": pa.array(rev)})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    li, _ = attach_dim(li, part_dim, "l_partkey", "p_partkey", [])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li, _ = attach_dim(li, supp, "l_suppkey", "s_suppkey",
+                       ["s_nationkey"])
+    li, _ = attach_dim(li, orders, "l_orderkey", "o_orderkey",
+                       ["o_year"])
+    tset = pa.array(sorted(target), pa.int64())
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        rev = t.column("rev").to_numpy(zero_copy_only=False)
+        hit = pc.is_in(pc.cast(t.column("s_nationkey"), pa.int64()),
+                       value_set=tset).to_numpy(zero_copy_only=False)
+        g = (pa.table({"o_year": t.column("o_year"),
+                       "tr": pa.array(np.where(hit, rev, 0)),
+                       "ar": t.column("rev")})
+             .group_by("o_year")
+             .aggregate([("tr", "sum"), ("ar", "sum")])
+             .rename_columns(["o_year", "tr", "ar"]))
+        return g
+
+    part = (li.map_batches(share_partial, batch_format="pyarrow")
+            .to_pandas())
+    out = (part.groupby("o_year", as_index=False)
+           .agg(target_rev_cents=("tr", "sum"),
+                total_rev_cents=("ar", "sum")))
+    out["mkt_share_bps"] = (out["target_rev_cents"] * 10000
+                            // out["total_rev_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit): per supplier-nation and
+    ship-year profit over parts whose name contains "widget".  The
+    schema has no partsupp.ps_supplycost, so the documented analogue
+    cost is a flat 100 cents/unit: amount = rev_cents - 100*quantity
+    (keeps Q9's join+rollup plan and its mixed-sign aggregate).  Part
+    prune is a semi attach; supplier nation is a broadcast dim; the
+    rollup is per-batch Arrow partials over (nationkey, year) — at
+    most 25 x |years| rows per batch reach the combine."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t.column("p_name"),
+                                           "widget")) \
+                .select(["p_partkey"])
+
+    part_dim = (_read(sf_dir, "part", ["p_partkey", "p_name"])
+                .map_batches(part_filter, batch_format="pyarrow"))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _cents(t.column("l_extendedprice").to_numpy()
+                     * (1.0 - t.column("l_discount").to_numpy()))
+        qty = np.floor(t.column("l_quantity").to_numpy()
+                       + 0.5).astype(np.int64)
+        yr = pc.year(t.column("l_shipdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "ship_year": pa.array(yr),
+            "amount": pa.array(rev - 100 * qty)})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_partkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount", "l_quantity"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    li, _ = attach_dim(li, part_dim, "l_partkey", "p_partkey", [])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li, _ = attach_dim(li, supp, "l_suppkey", "s_suppkey",
+                       ["s_nationkey"])
+
+    def rollup(t: pa.Table) -> pa.Table:
+        g = (pa.table({"n_nationkey": pc.cast(t.column("s_nationkey"),
+                                              pa.int64()),
+                       "ship_year": t.column("ship_year"),
+                       "amount": t.column("amount")})
+             .group_by(["n_nationkey", "ship_year"])
+             .aggregate([("amount", "sum")])
+             .rename_columns(["n_nationkey", "ship_year", "amount"]))
+        return g
+
+    part = (li.map_batches(rollup, batch_format="pyarrow")
+            .to_pandas())
+    out = (part.groupby(["n_nationkey", "ship_year"], as_index=False)
+           .agg(profit_cents=("amount", "sum")))
+    keys, names = _nation_names(sf_dir)
+    kmap = {keys[i].as_py(): names[i].as_py() for i in range(len(keys))}
+    out["n_name"] = out["n_nationkey"].map(kmap)
+    out["profit_cents"] = out["profit_cents"].astype("int64")
+    out["ship_year"] = out["ship_year"].astype("int64")
+    return (out[["n_name", "ship_year", "profit_cents"]]
+            .sort_values(["n_name", "ship_year"])
+            .reset_index(drop=True))
+
+
+def q_q10_returned_revenue_customers(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue on RETURNED lines ('R') against orders placed in 1997-Q1.
+    Lineitem pre-aggregates returned revenue per orderkey per batch;
+    the quarter's orders attach o_custkey through the adaptive
+    exchange; per-customer sums shard by custkey-bucket where each
+    bucket emits only ITS top-20 (revenue DESC, custkey ASC — the
+    deterministic tiebreak both sides share), so the driver picks the
+    global 20 from <=20 x 64 candidate rows.  Names and nations
+    resolve by an is_in-filtered distributed read of customer over
+    the 20 winner keys (never a full-table driver pull)."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = _cents(t.column("l_extendedprice").to_numpy()
+                     * (1.0 - t.column("l_discount").to_numpy()))
+        g = (pa.table({"l_orderkey": pc.cast(t.column("l_orderkey"),
+                                             pa.int64()),
+                       "rev": pa.array(rev)})
+             .group_by("l_orderkey").aggregate([("rev", "sum")])
+             .rename_columns(["l_orderkey", "rev"]))
+        return g
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+
+    def orders_q1(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False)
+        mo = pc.month(t.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((yr == 1997) & (mo <= 3)))
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64())})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(orders_q1, batch_format="pyarrow"))
+    li, _ = attach_dim(li, orders, "l_orderkey", "o_orderkey",
+                       ["o_custkey"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"c_custkey": t.column("o_custkey"),
+                       "rev": t.column("rev")})
+             .group_by("c_custkey").aggregate([("rev", "sum")])
+             .rename_columns(["c_custkey", "rev"]))
+        k = g.column("c_custkey").to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket",
+                               pa.array((k % 64).astype(np.int64)))
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["c_custkey"] = g["c_custkey"].astype("int64")  # lesson 13
+        per = g.groupby("c_custkey", as_index=False)["rev"].sum()
+        per = per.sort_values(["rev", "c_custkey"],
+                              ascending=[False, True])
+        return per.head(20)
+
+    cand = (li.map_batches(cust_partial, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(bucket_top,
+                                           batch_format="pandas")
+            .to_pandas())
+    cand = (cand.sort_values(["rev", "c_custkey"],
+                             ascending=[False, True])
+            .head(20).reset_index(drop=True))
+    if len(cand) == 0:
+        return pd.DataFrame({
+            "c_custkey": pd.array([], dtype="int64"),
+            "c_name": pd.array([], dtype="str"),
+            "n_name": pd.array([], dtype="str"),
+            "revenue_cents": pd.array([], dtype="int64")})
+    wset = pa.array(sorted(int(k) for k in cand["c_custkey"]),
+                    pa.int64())
+    names = (_read(sf_dir, "customer",
+                   ["c_custkey", "c_name", "c_nationkey"])
+             .map_batches(lambda t: t.filter(pc.is_in(
+                 pc.cast(t.column("c_custkey"), pa.int64()),
+                 value_set=wset)), batch_format="pyarrow")
+             .to_pandas())
+    names["c_custkey"] = names["c_custkey"].astype("int64")
+    keys, nnames = _nation_names(sf_dir)
+    kmap = {keys[i].as_py(): nnames[i].as_py()
+            for i in range(len(keys))}
+    names["n_name"] = names["c_nationkey"].map(kmap)
+    out = cand.merge(names[["c_custkey", "c_name", "n_name"]],
+                     on="c_custkey", how="left")
+    out = out.rename(columns={"rev": "revenue_cents"})
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out[["c_custkey", "c_name", "n_name", "revenue_cents"]]
+
+
+QUERIES.update({
+    "q4_order_priority_check": q_q4_order_priority_check,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
+    "q7_nation_trade_volume": q_q7_nation_trade_volume,
+    "q8_market_share": q_q8_market_share,
+    "q9_profit_by_nation_year": q_q9_profit_by_nation_year,
+    "q10_returned_revenue_customers": q_q10_returned_revenue_customers,
+})
+
+ORACLE_SQL.update({
+    "q4_order_priority_check": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE date_part('year', o_orderdate) = 1997
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate >= o_orderdate
+                            + INTERVAL 60 DAY)
+        GROUP BY 1
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND date_part('year', o_orderdate) = 1997
+        GROUP BY n_name
+    """,
+    "q7_nation_trade_volume": """
+        SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+               CAST(date_part('year', l_shipdate) AS BIGINT)
+                   AS ship_year,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM supplier, lineitem, orders, customer,
+             nation n1, nation n2, region r1, region r2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND n1.n_regionkey = r1.r_regionkey
+          AND n2.n_regionkey = r2.r_regionkey
+          AND ((r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA')
+               OR (r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA'))
+          AND date_part('year', l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        WITH f AS (
+            SELECT CAST(date_part('year', o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 100 + 0.5) AS BIGINT) AS rev,
+                   (SELECT r_name FROM nation n1, region r1
+                    WHERE n1.n_nationkey = s_nationkey
+                      AND n1.n_regionkey = r1.r_regionkey)
+                       AS supp_region
+            FROM part, lineitem, supplier, orders, customer,
+                 nation n2, region
+            WHERE p_partkey = l_partkey
+              AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+              AND c_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r_regionkey
+              AND r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND date_part('year', o_orderdate) IN (1996, 1997))
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_region = 'ASIA'
+                             THEN rev ELSE 0 END) AS BIGINT)
+                   AS target_rev_cents,
+               CAST(sum(rev) AS BIGINT) AS total_rev_cents,
+               CAST(sum(CASE WHEN supp_region = 'ASIA'
+                             THEN rev ELSE 0 END) * 10000
+                    // sum(rev) AS BIGINT) AS mkt_share_bps
+        FROM f GROUP BY o_year
+    """,
+    "q9_profit_by_nation_year": """
+        SELECT n_name,
+               CAST(date_part('year', l_shipdate) AS BIGINT)
+                   AS ship_year,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)
+                        - 100 * CAST(floor(l_quantity + 0.5)
+                                     AS BIGINT))
+                    AS BIGINT) AS profit_cents
+        FROM part, lineitem, supplier, nation
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND s_nationkey = n_nationkey
+          AND p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "q10_returned_revenue_customers": """
+        WITH r AS (
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(floor(l_extendedprice
+                                       * (1 - l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND c_nationkey = n_nationkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1, 2, 3)
+        SELECT c_custkey, c_name, n_name, revenue_cents
+        FROM r
+        ORDER BY revenue_cents DESC, c_custkey
+        LIMIT 20
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
