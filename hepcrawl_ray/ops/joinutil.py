@@ -33,9 +33,18 @@ def _as_table(dim) -> pa.Table:
     if isinstance(dim, pa.Table):
         return dim
     if isinstance(dim, ray.data.Dataset):
-        return pa.concat_tables(
-            b for b in dim.iter_batches(batch_size=None,
+        batches = list(dim.iter_batches(batch_size=None,
                                         batch_format="pyarrow"))
+        if batches:
+            return pa.concat_tables(batches)
+        # fully-empty dim (e.g. a prune matched nothing): rebuild a
+        # TYPED empty table from the dataset schema when Ray still
+        # knows it; otherwise a schema-less marker the caller handles
+        sch = dim.schema()
+        if sch is not None and len(sch.names) > 0:
+            return pa.table({n: pa.nulls(0, t)
+                             for n, t in zip(sch.names, sch.types)})
+        return pa.table({})
     raise TypeError(f"unsupported dimension type {type(dim)!r}")
 
 
@@ -61,7 +70,23 @@ def attach_dim(fact_ds, dim, fact_key: str, dim_key: str,
         small = False
 
     if small:
-        tbl = _as_table(dim).select([dim_key] + cols)
+        tbl = _as_table(dim)
+        if tbl.num_rows == 0 and dim_key not in tbl.column_names:
+            # all-empty AND schema-less (Ray lost the block schema):
+            # inner join with an empty dim is empty — emit 0-row fact
+            # batches with null-typed attach columns (downstream casts
+            # accept the null type)
+            def empty_out(batch: pa.Table) -> pa.Table:
+                batch = batch.slice(0, 0)
+                for c in cols:
+                    batch = batch.append_column(
+                        c, pa.nulls(0, pa.null()))
+                return batch
+
+            return fact_ds.map_batches(empty_out,
+                                       batch_format="pyarrow"), \
+                "broadcast"
+        tbl = tbl.select([dim_key] + cols)
         ref = ray.put(tbl)
 
         def lookup(batch: pa.Table) -> pa.Table:

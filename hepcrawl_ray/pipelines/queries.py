@@ -9572,6 +9572,10 @@ def q_q4_order_priority_check(sf_dir: str):
     part = (li.union(orders).groupby("_bucket")
             .map_groups(bucket_counts, batch_format="pandas")
             .to_pandas())
+    if len(part) == 0 or "o_orderpriority" not in part.columns:
+        return pd.DataFrame({
+            "o_orderpriority": pd.array([], dtype="str"),
+            "n_orders": pd.array([], dtype="int64")})
     out = (part.groupby("o_orderpriority", as_index=False)
            .agg(n_orders=("n", "sum")))
     out["n_orders"] = out["n_orders"].astype("int64")
@@ -9640,6 +9644,10 @@ def q_q5_local_supplier_volume(sf_dir: str):
 
     part = (li.map_batches(local_partial, batch_format="pyarrow")
             .to_pandas())
+    if len(part) == 0 or "n_nationkey" not in part.columns:
+        return pd.DataFrame({
+            "n_name": pd.array([], dtype="str"),
+            "revenue_cents": pd.array([], dtype="int64")})
     out = (part.groupby("n_nationkey", as_index=False)
            .agg(revenue_cents=("rev", "sum")))
     keys, names = _nation_names(sf_dir)
@@ -9821,6 +9829,11 @@ def q_q8_market_share(sf_dir: str):
 
     part = (li.map_batches(share_partial, batch_format="pyarrow")
             .to_pandas())
+    if len(part) == 0 or "o_year" not in part.columns:
+        return pd.DataFrame(
+            {c: pd.array([], dtype="int64")
+             for c in ("o_year", "target_rev_cents",
+                       "total_rev_cents", "mkt_share_bps")})
     out = (part.groupby("o_year", as_index=False)
            .agg(target_rev_cents=("tr", "sum"),
                 total_rev_cents=("ar", "sum")))
@@ -9884,6 +9897,11 @@ def q_q9_profit_by_nation_year(sf_dir: str):
 
     part = (li.map_batches(rollup, batch_format="pyarrow")
             .to_pandas())
+    if len(part) == 0 or "n_nationkey" not in part.columns:
+        return pd.DataFrame({
+            "n_name": pd.array([], dtype="str"),
+            "ship_year": pd.array([], dtype="int64"),
+            "profit_cents": pd.array([], dtype="int64")})
     out = (part.groupby(["n_nationkey", "ship_year"], as_index=False)
            .agg(profit_cents=("amount", "sum")))
     keys, names = _nation_names(sf_dir)
@@ -9962,15 +9980,15 @@ def q_q10_returned_revenue_customers(sf_dir: str):
             .groupby("_bucket").map_groups(bucket_top,
                                            batch_format="pandas")
             .to_pandas())
-    cand = (cand.sort_values(["rev", "c_custkey"],
-                             ascending=[False, True])
-            .head(20).reset_index(drop=True))
-    if len(cand) == 0:
+    if len(cand) == 0 or "rev" not in cand.columns:  # typed empty
         return pd.DataFrame({
             "c_custkey": pd.array([], dtype="int64"),
             "c_name": pd.array([], dtype="str"),
             "n_name": pd.array([], dtype="str"),
             "revenue_cents": pd.array([], dtype="int64")})
+    cand = (cand.sort_values(["rev", "c_custkey"],
+                             ascending=[False, True])
+            .head(20).reset_index(drop=True))
     wset = pa.array(sorted(int(k) for k in cand["c_custkey"]),
                     pa.int64())
     names = (_read(sf_dir, "customer",

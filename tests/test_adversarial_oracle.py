@@ -308,6 +308,14 @@ ADVERSARIAL_QUERIES = [
     # order (idle_rich legitimately empty); the empty-text doc must
     # chunk to a single ''-token window on both sides
     "sole_supplier_orders", "idle_rich_customers", "chunk_documents",
+    # session-6 batch 1: Q4's EXISTS-as-MAX must not double-count the
+    # skewed order-1 lines; Q5's customer==supplier nation equality
+    # on the handcrafted keys; Q7/Q8 region pairs (possibly empty on
+    # this fixture — schema must still agree); Q10's tied revenues
+    # fall back to the custkey tiebreak on both sides
+    "q4_order_priority_check", "q5_local_supplier_volume",
+    "q7_nation_trade_volume", "q8_market_share",
+    "q9_profit_by_nation_year", "q10_returned_revenue_customers",
 ]
 
 

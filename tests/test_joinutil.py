@@ -84,3 +84,38 @@ def test_plans_agree_with_missing_and_duplicate_keys(fact_and_dim):
     b, _ = attach_dim(ds, dim, "k", "dk", ["name", "w"],
                       broadcast_rows=0)
     pd.testing.assert_frame_equal(_got(a), _got(b))
+
+
+def test_empty_dataset_dimension_yields_typed_empty(fact_and_dim):
+    """A dim Dataset whose prune matched NOTHING must not crash the
+    broadcast collect (pa.concat_tables of zero batches) — the inner
+    join result is an empty fact."""
+    import pyarrow.compute as pc
+
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    ds, fact, dim = fact_and_dim
+    import ray
+    dim_ds = (ray.data.from_arrow(dim)
+              .map_batches(lambda t: t.filter(
+                  pc.equal(t.column("dk"), -99999)),
+                  batch_format="pyarrow"))
+    out, strategy = attach_dim(ds, dim_ds, "k", "dk", ["name", "w"])
+    assert strategy == "broadcast"
+    got = out.to_pandas()
+    assert len(got) == 0
+    if len(got.columns):           # Ray may drop schema on all-empty
+        assert {"name", "w"} <= set(got.columns)
+
+
+def test_semi_join_empty_cols(fact_and_dim):
+    """cols=[] is the semi-join shape (filter only, nothing attached)."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    ds, fact, dim = fact_and_dim
+    out, _ = attach_dim(ds, dim, "k", "dk", [])
+    got = out.to_pandas()
+    dks = set(dim.column("dk").to_pylist())
+    want = fact.to_pandas()
+    want = want[want["k"].isin(dks)]
+    assert sorted(got["k"].astype("int64")) == sorted(want["k"])
