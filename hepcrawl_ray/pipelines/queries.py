@@ -10136,6 +10136,378 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q2/Q11/Q12/Q20 analogues (session-6 batch 2) — completes all 22
+# classic plan shapes.  No partsupp table, so "supply cost"/"stock" are
+# derived from lineitem shipping history; each keeps the reference
+# plan's SHAPE (groupwise-min join-back, share-of-global-scalar HAVING,
+# two-class conditional counts over a fact-fact attach, dominant-share
+# nested aggregate).
+# ---------------------------------------------------------------------------
+
+
+def q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier): for every size-10 part,
+    the supplier(s) with the lowest observed unit price, ties kept.
+    Per-batch Arrow partials collapse to one (part, supp) min row per
+    batch; a partkey-bucket shuffle computes per-part best with ties
+    in pandas-C; names resolve via is_in-filtered distributed reads
+    over the winner sets (never a driver table pull).  Unit price is
+    integer cents of the IEEE division floor(ep/qty*100+0.5) — both
+    sides share the formula exactly."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("p_size"), 10)) \
+                .select(["p_partkey"])
+
+    part_dim = (_read(sf_dir, "part", ["p_partkey", "p_size"])
+                .map_batches(part_filter, batch_format="pyarrow"))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        unit = np.floor(t.column("l_extendedprice").to_numpy()
+                        / t.column("l_quantity").to_numpy()
+                        * 100.0 + 0.5).astype(np.int64)
+        g = (pa.table({"l_partkey": pc.cast(t.column("l_partkey"),
+                                            pa.int64()),
+                       "l_suppkey": pc.cast(t.column("l_suppkey"),
+                                            pa.int64()),
+                       "unit": pa.array(unit)})
+             .group_by(["l_partkey", "l_suppkey"])
+             .aggregate([("unit", "min")])
+             .rename_columns(["l_partkey", "l_suppkey", "unit"]))
+        k = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket",
+                               pa.array((k % 64).astype(np.int64)))
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_quantity"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    li, _ = attach_dim(li, part_dim, "l_partkey", "p_partkey", [])
+
+    def per_part_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        for c in ("l_partkey", "l_suppkey"):       # lesson 13
+            g[c] = g[c].astype("int64")
+        per = (g.groupby(["l_partkey", "l_suppkey"], as_index=False)
+               ["unit"].min())
+        best = per.groupby("l_partkey")["unit"].transform("min")
+        return per[per["unit"] == best]
+
+    cand = (li.groupby("_bucket")
+            .map_groups(per_part_best, batch_format="pandas")
+            .to_pandas())
+    if len(cand) == 0 or "l_partkey" not in cand.columns:
+        return pd.DataFrame({
+            "p_partkey": pd.array([], dtype="int64"),
+            "p_name": pd.array([], dtype="str"),
+            "s_suppkey": pd.array([], dtype="int64"),
+            "s_name": pd.array([], dtype="str"),
+            "best_unit_cents": pd.array([], dtype="int64")})
+    pset = pa.array(sorted(set(int(k) for k in cand["l_partkey"])),
+                    pa.int64())
+    sset = pa.array(sorted(set(int(k) for k in cand["l_suppkey"])),
+                    pa.int64())
+    pnames = (_read(sf_dir, "part", ["p_partkey", "p_name"])
+              .map_batches(lambda t: t.filter(pc.is_in(
+                  pc.cast(t.column("p_partkey"), pa.int64()),
+                  value_set=pset)), batch_format="pyarrow")
+              .to_pandas())
+    snames = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+              .map_batches(lambda t: t.filter(pc.is_in(
+                  pc.cast(t.column("s_suppkey"), pa.int64()),
+                  value_set=sset)), batch_format="pyarrow")
+              .to_pandas())
+    pnames["p_partkey"] = pnames["p_partkey"].astype("int64")
+    snames["s_suppkey"] = snames["s_suppkey"].astype("int64")
+    out = (cand.rename(columns={"l_partkey": "p_partkey",
+                                "l_suppkey": "s_suppkey",
+                                "unit": "best_unit_cents"})
+           .merge(pnames, on="p_partkey")
+           .merge(snames, on="s_suppkey"))
+    for c in ("p_partkey", "s_suppkey", "best_unit_cents"):
+        out[c] = out[c].astype("int64")
+    return (out[["p_partkey", "p_name", "s_suppkey", "s_name",
+                 "best_unit_cents"]]
+            .sort_values(["p_partkey", "s_suppkey"])
+            .reset_index(drop=True))
+
+
+def q_q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (important stock): per-part shipped value from
+    region-ASIA suppliers, keeping parts whose value exceeds 0.01%% of
+    the global total (integer cross-multiplied compare: value*10000 >
+    total).  One conditional-partial pass feeds BOTH the per-part
+    bucket aggregate and the driver-scalar total — no second scan; the
+    global threshold broadcasts as one integer."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    rkeys = _region_nation_keys(sf_dir, "ASIA")
+    keyset = pa.array(sorted(rkeys), pa.int64())
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        val = _cents(t.column("l_extendedprice").to_numpy())
+        g = (pa.table({"p_partkey": pc.cast(t.column("l_partkey"),
+                                            pa.int64()),
+                       "val": pa.array(val)})
+             .group_by("p_partkey").aggregate([("val", "sum")])
+             .rename_columns(["p_partkey", "val"]))
+        k = g.column("p_partkey").to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket",
+                               pa.array((k % 64).astype(np.int64)))
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_partkey", "l_suppkey", "l_extendedprice"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li, _ = attach_dim(li, supp, "l_suppkey", "s_suppkey",
+                       ["s_nationkey"])
+
+    def prune_supp(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(
+            pc.cast(t.column("s_nationkey"), pa.int64()),
+            value_set=keyset))
+
+    li = (li.map_batches(prune_supp, batch_format="pyarrow")
+          .map_batches(li_partial, batch_format="pyarrow"))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["p_partkey"] = g["p_partkey"].astype("int64")  # lesson 13
+        return g.groupby("p_partkey", as_index=False)["val"].sum()
+
+    per = (li.groupby("_bucket")
+           .map_groups(per_part, batch_format="pandas")
+           .to_pandas())
+    if len(per) == 0 or "p_partkey" not in per.columns:
+        return pd.DataFrame({
+            "p_partkey": pd.array([], dtype="int64"),
+            "value_cents": pd.array([], dtype="int64")})
+    total = int(per["val"].sum())
+    out = per[per["val"] * 10000 > total].rename(
+        columns={"val": "value_cents"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_q12_late_lines_by_priority(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode / priority classes): among 1997
+    lines shipped more than 90 days after their order date, per
+    returnflag (standing in for shipmode) count HIGH-priority
+    (1-URGENT / 2-HIGH) vs other orders.  The order date+priority ride
+    ONE orderkey-keyed attach onto per-line rows; the two-class
+    conditional count is a row-local Arrow partial after it."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    day_us = 86_400_000_000
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = pc.cast(pc.cast(t.column("o_orderdate"),
+                             pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "od_us": od,
+            "o_orderpriority": t.column("o_orderpriority")})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
+              .map_batches(orders_side, batch_format="pyarrow"))
+
+    def li_side(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("l_shipdate")) \
+            .to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(yr == 1997))
+        ship = pc.cast(pc.cast(t.column("l_shipdate"),
+                               pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "ship_us": ship,
+            "l_returnflag": t.column("l_returnflag")})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_shipdate", "l_returnflag"])
+          .map_batches(li_side, batch_format="pyarrow"))
+    li, _ = attach_dim(li, orders, "l_orderkey", "o_orderkey",
+                       ["od_us", "o_orderpriority"])
+
+    def class_partial(t: pa.Table) -> pa.Table:
+        ship = t.column("ship_us").to_numpy(zero_copy_only=False)
+        od = t.column("od_us").to_numpy(zero_copy_only=False)
+        late = ship > od + 90 * day_us
+        t = t.filter(pa.array(late))
+        pri = t.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)
+        high = np.isin(pri, ["1-URGENT", "2-HIGH"]).astype(np.int64)
+        g = (pa.table({"l_returnflag": t.column("l_returnflag"),
+                       "h": pa.array(high),
+                       "l": pa.array(1 - high)})
+             .group_by("l_returnflag")
+             .aggregate([("h", "sum"), ("l", "sum")])
+             .rename_columns(["l_returnflag", "h", "l"]))
+        return g
+
+    part = (li.map_batches(class_partial, batch_format="pyarrow")
+            .to_pandas())
+    if len(part) == 0 or "l_returnflag" not in part.columns:
+        return pd.DataFrame({
+            "l_returnflag": pd.array([], dtype="str"),
+            "high_line_count": pd.array([], dtype="int64"),
+            "low_line_count": pd.array([], dtype="int64")})
+    out = (part.groupby("l_returnflag", as_index=False)
+           .agg(high_line_count=("h", "sum"),
+                low_line_count=("l", "sum")))
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_q20_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (part promotion / nested aggregate threshold):
+    suppliers that shipped MORE THAN HALF of some widget-part's total
+    1997 quantity (integer cross-multiply: 2*supp_qty > part_total).
+    Per-(part, supp) quantity partials ride a partkey-bucket shuffle;
+    the per-part total and the dominance test complete inside the
+    bucket; the distinct winner set is candidate-sized and names
+    resolve via an is_in-filtered read."""
+    from hepcrawl_ray.ops.joinutil import attach_dim
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t.column("p_name"),
+                                           "widget")) \
+                .select(["p_partkey"])
+
+    part_dim = (_read(sf_dir, "part", ["p_partkey", "p_name"])
+                .map_batches(part_filter, batch_format="pyarrow"))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("l_shipdate")) \
+            .to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(yr == 1997))
+        qty = np.floor(t.column("l_quantity").to_numpy()
+                       + 0.5).astype(np.int64)
+        g = (pa.table({"l_partkey": pc.cast(t.column("l_partkey"),
+                                            pa.int64()),
+                       "l_suppkey": pc.cast(t.column("l_suppkey"),
+                                            pa.int64()),
+                       "qty": pa.array(qty)})
+             .group_by(["l_partkey", "l_suppkey"])
+             .aggregate([("qty", "sum")])
+             .rename_columns(["l_partkey", "l_suppkey", "qty"]))
+        k = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        return g.append_column("_bucket",
+                               pa.array((k % 64).astype(np.int64)))
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_partkey", "l_suppkey", "l_quantity",
+                 "l_shipdate"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    li, _ = attach_dim(li, part_dim, "l_partkey", "p_partkey", [])
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        for c in ("l_partkey", "l_suppkey"):       # lesson 13
+            g[c] = g[c].astype("int64")
+        per = (g.groupby(["l_partkey", "l_suppkey"], as_index=False)
+               ["qty"].sum())
+        tot = per.groupby("l_partkey")["qty"].transform("sum")
+        win = per[per["qty"] * 2 > tot]
+        return win[["l_suppkey"]].drop_duplicates()
+
+    cand = (li.groupby("_bucket")
+            .map_groups(dominant, batch_format="pandas")
+            .to_pandas())
+    if len(cand) == 0 or "l_suppkey" not in cand.columns:
+        return pd.DataFrame({
+            "s_suppkey": pd.array([], dtype="int64"),
+            "s_name": pd.array([], dtype="str")})
+    wset = pa.array(sorted(set(int(k) for k in cand["l_suppkey"])),
+                    pa.int64())
+    out = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+           .map_batches(lambda t: t.filter(pc.is_in(
+               pc.cast(t.column("s_suppkey"), pa.int64()),
+               value_set=wset)), batch_format="pyarrow")
+           .to_pandas())
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out[["s_suppkey", "s_name"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+QUERIES.update({
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q11_important_parts": q_q11_important_parts,
+    "q12_late_lines_by_priority": q_q12_late_lines_by_priority,
+    "q20_dominant_suppliers": q_q20_dominant_suppliers,
+})
+
+ORACLE_SQL.update({
+    "q2_min_cost_supplier": """
+        WITH u AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(floor(l_extendedprice / l_quantity * 100
+                                  + 0.5) AS BIGINT)) AS unit_cents
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_size = 10
+            GROUP BY 1, 2),
+        m AS (SELECT l_partkey, min(unit_cents) AS best
+              FROM u GROUP BY 1)
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               CAST(u.unit_cents AS BIGINT) AS best_unit_cents
+        FROM u, m, part, supplier
+        WHERE u.l_partkey = m.l_partkey AND u.unit_cents = m.best
+          AND p_partkey = u.l_partkey AND s_suppkey = u.l_suppkey
+    """,
+    "q11_important_parts": """
+        WITH v AS (
+            SELECT l_partkey AS p_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS value_cents
+            FROM lineitem, supplier, nation, region
+            WHERE s_suppkey = l_suppkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+            GROUP BY 1)
+        SELECT p_partkey, value_cents FROM v
+        WHERE value_cents * 10000 >
+              (SELECT sum(value_cents) FROM v)
+    """,
+    "q12_late_lines_by_priority": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                             ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN
+                             ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND date_part('year', l_shipdate) = 1997
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_returnflag
+    """,
+    "q20_dominant_suppliers": """
+        WITH q AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS qty
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_name LIKE '%widget%'
+              AND date_part('year', l_shipdate) = 1997
+            GROUP BY 1, 2),
+        t AS (SELECT l_partkey, sum(qty) AS tot FROM q GROUP BY 1)
+        SELECT DISTINCT s_suppkey, s_name
+        FROM q, t, supplier
+        WHERE q.l_partkey = t.l_partkey
+          AND q.qty * 2 > t.tot
+          AND s_suppkey = q.l_suppkey
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

@@ -316,6 +316,11 @@ ADVERSARIAL_QUERIES = [
     "q4_order_priority_check", "q5_local_supplier_volume",
     "q7_nation_trade_volume", "q8_market_share",
     "q9_profit_by_nation_year", "q10_returned_revenue_customers",
+    # session-6 batch 2 (suite complete: all 22 TPC-H plan shapes):
+    # Q2 unit-price ties on the skewed order-1 lines; Q11/Q20 possibly
+    # empty winner sets; Q12's 90-day boundary on handcrafted dates
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q12_late_lines_by_priority", "q20_dominant_suppliers",
 ]
 
 
