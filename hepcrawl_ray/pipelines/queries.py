@@ -10508,6 +10508,297 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# LM-corpus text ops (session-6 batch 3): unigram-LM quality surrogate,
+# integer fixed-point BM25 retrieval, hapax-legomenon vocabulary audit.
+# All-integer scoring so the DuckDB twins hash-match exactly (no float
+# log / division drift).
+# ---------------------------------------------------------------------------
+
+
+def q_lm_unigram_score(sf_dir: str):
+    """Unigram-LM quality surrogate (the CCNet/KenLM filtering shape
+    without float log-probs): per document, the mean GLOBAL frequency
+    of its tokens, integer milli (1000 * sum(count(tok)) // n_tokens).
+    High = common-word prose, low = rare-token noise.  Two streaming
+    passes: (1) per-batch term-count partials -> term-hash bucket
+    pandas sums -> the vocabulary count table (vocabulary-sized by
+    Zipf; a production corpus would cap to top-V with an OOV floor,
+    documented); (2) the table broadcasts once via ``ray.put`` and
+    each batch scores via index_in + bincount — no per-doc Python."""
+    import ray
+
+    n_buckets = 64
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _explode_terms(t)
+        g = (pa.table({"term": flat,
+                       "one": pa.array(np.ones(len(flat), np.int64))})
+             .group_by("term").aggregate([("one", "sum")])
+             .rename_columns(["term", "n"]))
+        h = T.content_hash64(g.column("term").to_pylist())
+        return g.append_column("_b", pa.array(
+            (h % n_buckets).astype(np.int64)))
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)["n"].sum()
+
+    vocab = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(count_partial, batch_format="pyarrow")
+             .groupby("_b").map_groups(bucket_sum,
+                                       batch_format="pandas")
+             .to_pandas())
+    if len(vocab) == 0 or "term" not in vocab.columns:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "n_tokens": pd.array([], dtype="int64"),
+                             "score_milli": pd.array([],
+                                                     dtype="int64")})
+    terms_ref = ray.put(pa.array(vocab["term"].tolist(), pa.string()))
+    counts_ref = ray.put(np.asarray(vocab["n"], np.int64))
+
+    def score(t: pa.Table) -> pa.Table:
+        terms, counts = ray.get(terms_ref), ray.get(counts_ref)
+        flat, parent = _explode_terms(t)
+        idx = pc.index_in(flat, value_set=terms) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = counts[idx]
+        n = t.num_rows
+        tot = np.bincount(parent, weights=cnt, minlength=n) \
+            .astype(np.int64)
+        ntok = np.bincount(parent, minlength=n).astype(np.int64)
+        keep = ntok > 0                      # trimmed-empty docs drop
+        docs = pc.cast(t.column("doc_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "doc_id": pa.array(docs),
+            "n_tokens": pa.array(ntok[keep]),
+            "score_milli": pa.array(1000 * tot[keep] // ntok[keep])})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+_BM25_TERMS = ("join", "merge", "window")
+_BM25_K = 10
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval (top-10 docs for a fixed keyword query) in
+    integer milli fixed-point — k1=1.2, b=0.75 and a rational idf
+    surrogate (2(N-df)+1)*1000 // (2df+1) replace the float log so
+    both engines compute bit-identical scores.  Two streaming passes:
+    (1) one-row-per-batch corpus scalars (n_docs, total tokens, df
+    per query term — each doc lives in exactly one batch, so
+    per-batch distinct counts sum to the global df); (2) per-batch
+    vectorized tf/dl bincounts -> integer score -> LOCAL top-10, so
+    the driver combine is <= 10 x batches candidate rows, never the
+    corpus.  Deterministic order: score DESC, doc_id ASC."""
+    qterms = _BM25_TERMS
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        ntok = np.bincount(parent, minlength=t.num_rows)
+        row = {"n_docs": pa.array([int((ntok > 0).sum())]),
+               "total": pa.array([int(len(flat))])}
+        for qi, q in enumerate(qterms):
+            m = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[m], minlength=t.num_rows)
+            row[f"df{qi}"] = pa.array([int((tf > 0).sum())])
+        return pa.table(row)
+
+    stats = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(stats_partial, batch_format="pyarrow")
+             .to_pandas())
+    if len(stats) == 0 or int(stats["n_docs"].sum()) == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score_milli": pd.array([],
+                                                     dtype="int64")})
+    n_docs = int(stats["n_docs"].sum())
+    total = int(stats["total"].sum())
+    dfs = [int(stats[f"df{qi}"].sum()) for qi in range(len(qterms))]
+    avgdl_milli = total * 1000 // n_docs
+    idf_milli = [((2 * (n_docs - d) + 1) * 1000) // (2 * d + 1)
+                 if d > 0 else 0 for d in dfs]
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        n = t.num_rows
+        dl = np.bincount(parent, minlength=n).astype(np.int64)
+        ratio_milli = dl * 1_000_000 // max(avgdl_milli, 1)
+        norm_milli = 250 + (750 * ratio_milli) // 1000
+        score = np.zeros(n, np.int64)
+        hit = np.zeros(n, bool)
+        for qi, q in enumerate(qterms):
+            if dfs[qi] == 0:
+                continue
+            m = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[m], minlength=n).astype(np.int64)
+            has = tf > 0
+            hit |= has
+            denom = tf * 1000 + (1200 * norm_milli) // 1000
+            comp = np.where(has, tf * 2200 * 1000
+                            // np.maximum(denom, 1), 0)
+            score += idf_milli[qi] * comp // 1000
+        docs = pc.cast(t.column("doc_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[hit]
+        sc = score[hit]
+        order = np.lexsort((docs, -sc))[:_BM25_K]   # local prune
+        return pa.table({"doc_id": pa.array(docs[order]),
+                         "score_milli": pa.array(sc[order])})
+
+    cand = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(score_batch, batch_format="pyarrow")
+            .to_pandas())
+    if len(cand) == 0 or "doc_id" not in cand.columns:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score_milli": pd.array([],
+                                                     dtype="int64")})
+    out = (cand.sort_values(["score_milli", "doc_id"],
+                            ascending=[False, True])
+           .head(_BM25_K).reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_hapax_ratio_by_source(sf_dir: str):
+    """Hapax-legomenon audit per source: vocabulary size, number of
+    once-only tokens, and the hapax ratio in integer milli — the
+    classic corpus-health signal (a high ratio flags OCR noise /
+    boilerplate explosions).  Per-batch (source, term) count partials
+    ride ONE term-hash bucket shuffle (a term's counts land in one
+    bucket for every source), the bucket collapses to per-source
+    (vocab, hapax) partials, and the driver combine is |sources| x
+    |buckets| rows."""
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        src = np.asarray(t.column("source").to_pylist(),
+                         dtype=object)[parent]
+        g = (pa.table({"source": pa.array(src, pa.string()),
+                       "term": flat,
+                       "one": pa.array(np.ones(len(flat), np.int64))})
+             .group_by(["source", "term"])
+             .aggregate([("one", "sum")])
+             .rename_columns(["source", "term", "n"]))
+        h = T.content_hash64(g.column("term").to_pylist())
+        return g.append_column("_b", pa.array(
+            (h % n_buckets).astype(np.int64)))
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["source", "term"], as_index=False)["n"].sum()
+        out = (per.assign(h=(per["n"] == 1).astype("int64"))
+               .groupby("source", as_index=False)
+               .agg(vocab=("term", "count"), hapax=("h", "sum")))
+        return out
+
+    part = (_read(sf_dir, "documents", ["source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_b").map_groups(bucket_stats,
+                                      batch_format="pandas")
+            .to_pandas())
+    if len(part) == 0 or "source" not in part.columns:
+        return pd.DataFrame({
+            "source": pd.array([], dtype="str"),
+            "vocab_size": pd.array([], dtype="int64"),
+            "hapax_count": pd.array([], dtype="int64"),
+            "hapax_milli": pd.array([], dtype="int64")})
+    out = (part.groupby("source", as_index=False)
+           .agg(vocab_size=("vocab", "sum"),
+                hapax_count=("hapax", "sum")))
+    out["hapax_milli"] = 1000 * out["hapax_count"] // out["vocab_size"]
+    for c in ("vocab_size", "hapax_count", "hapax_milli"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+QUERIES.update({
+    "lm_unigram_score": q_lm_unigram_score,
+    "bm25_topk": q_bm25_topk,
+    "hapax_ratio_by_source": q_hapax_ratio_by_source,
+})
+
+ORACLE_SQL.update({
+    "lm_unigram_score": """
+        WITH tok AS (
+            SELECT doc_id, t
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text),
+                                                      '\\s+')) AS t
+                  FROM documents)
+            WHERE t <> ''),
+        cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+                FROM tok GROUP BY t)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(1000 * sum(n) // count(*) AS BIGINT)
+                   AS score_milli
+        FROM tok JOIN cnt USING (t)
+        GROUP BY doc_id
+    """,
+    "bm25_topk": """
+        WITH tok AS (
+            SELECT doc_id, t
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text),
+                                                      '\\s+')) AS t
+                  FROM documents)
+            WHERE t <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY doc_id),
+        sc AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                          AS n_docs,
+                      CAST(count(*) AS BIGINT) AS total_toks
+               FROM tok),
+        df AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM tok WHERE t IN ('join', 'merge', 'window')
+               GROUP BY t),
+        tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE t IN ('join', 'merge', 'window')
+               GROUP BY doc_id, t),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum(((2 * (sc.n_docs - df.df) + 1) * 1000
+                        // (2 * df.df + 1))
+                       * ((tf.tf * 2200 * 1000)
+                          // (tf.tf * 1000
+                              + (1200 * (250
+                                 + (750 * (dl.dl * 1000000
+                                    // (sc.total_toks * 1000
+                                        // sc.n_docs))) // 1000))
+                                // 1000))
+                       // 1000) AS score_milli
+            FROM tf, df, dl, sc
+            WHERE tf.t = df.t AND dl.doc_id = tf.doc_id
+            GROUP BY tf.doc_id)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(score_milli AS BIGINT) AS score_milli
+        FROM scored
+        ORDER BY score_milli DESC, doc_id
+        LIMIT 10
+    """,
+    "hapax_ratio_by_source": """
+        WITH tok AS (
+            SELECT source, t
+            FROM (SELECT source,
+                         unnest(regexp_split_to_array(trim(text),
+                                                      '\\s+')) AS t
+                  FROM documents)
+            WHERE t <> ''),
+        c AS (SELECT source, t, count(*) AS n
+              FROM tok GROUP BY 1, 2)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax_count,
+               CAST(1000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS hapax_milli
+        FROM c GROUP BY source
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

@@ -321,6 +321,10 @@ ADVERSARIAL_QUERIES = [
     # empty winner sets; Q12's 90-day boundary on handcrafted dates
     "q2_min_cost_supplier", "q11_important_parts",
     "q12_late_lines_by_priority", "q20_dominant_suppliers",
+    # session-6 batch 3 text ops: the empty-text doc must drop from
+    # tokenization on BOTH sides; BM25 integer fixed-point must agree
+    # on tiny corpora where idf surrogates hit their floors
+    "lm_unigram_score", "bm25_topk", "hapax_ratio_by_source",
 ]
 
 
