@@ -10799,6 +10799,225 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# Privacy / statistics ops (session-6 batch 4): k-anonymity audit,
+# 3-sigma anomaly flags, integer least-squares regression.  Each is a
+# streaming-partials plan (no row shuffle) with cross-multiplied
+# integer math so the DuckDB twin hash-matches exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over the (nationkey, mktsegment)
+    quasi-identifier pair: per equivalence class its size, plus the
+    at-risk flag for classes below k=5 — the release-gate check a
+    privacy pipeline runs before publishing.  Per-batch Arrow count
+    partials over the ~125-key class space; ONE dimension-sized
+    combine, zero row shuffles."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"c_nationkey": pc.cast(t.column("c_nationkey"),
+                                              pa.int64()),
+                       "c_mktsegment": t.column("c_mktsegment"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["c_nationkey", "c_mktsegment"])
+             .aggregate([("one", "sum")])
+             .rename_columns(["c_nationkey", "c_mktsegment", "n"]))
+        return g
+
+    part = (cust.map_batches(partial, batch_format="pyarrow")
+            .to_pandas())
+    if len(part) == 0 or "c_nationkey" not in part.columns:
+        return pd.DataFrame({
+            "c_nationkey": pd.array([], dtype="int64"),
+            "c_mktsegment": pd.array([], dtype="str"),
+            "class_size": pd.array([], dtype="int64"),
+            "below_k": pd.array([], dtype="int64")})
+    out = (part.groupby(["c_nationkey", "c_mktsegment"],
+                        as_index=False)
+           .agg(class_size=("n", "sum")))
+    out["below_k"] = (out["class_size"] < 5).astype("int64")
+    for c in ("c_nationkey", "class_size"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["c_nationkey", "c_mktsegment"])
+            .reset_index(drop=True))
+
+
+def q_anomaly_events_3sigma(sf_dir: str):
+    """Per-type 3-sigma outlier flags over event values without any
+    float moments: pass 1 accumulates integer-cents sufficient stats
+    (n, sum, sum-of-squares) per event type; pass 2 flags rows where
+    ``(n*v - sum)^2 > 9 * (n*sumsq - sum^2)`` — the 3-sigma test
+    cross-multiplied so both engines compare exact integers (note
+    var = (n*sumsq - sum^2) / n^2, so n^2 cancels against d^2).
+    Moments broadcast as a dict; the flag pass is row-local."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("value").to_numpy())
+        g = (pa.table({"event_type": t.column("event_type"),
+                       "n": pa.array(np.ones(len(v), np.int64)),
+                       "s": pa.array(v),
+                       "q": pa.array(v * v)})
+             .group_by("event_type")
+             .aggregate([("n", "sum"), ("s", "sum"), ("q", "sum")])
+             .rename_columns(["event_type", "n", "s", "q"]))
+        return g
+
+    part = ev.map_batches(moments, batch_format="pyarrow").to_pandas()
+    if len(part) == 0 or "event_type" not in part.columns:
+        return pd.DataFrame({
+            "event_id": pd.array([], dtype="int64"),
+            "event_type": pd.array([], dtype="str"),
+            "value_cents": pd.array([], dtype="int64")})
+    m = (part.groupby("event_type", as_index=False)
+         .agg(n=("n", "sum"), s=("s", "sum"), q=("q", "sum")))
+    stats = {r.event_type: (int(r.n), int(r.s), int(r.q))
+             for r in m.itertuples()}
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("value").to_numpy())
+        ty_col = t.column("event_type")
+        keep = np.zeros(len(v), bool)
+        for ty, (n, s, qq) in stats.items():   # |types| iterations
+            m = pc.equal(ty_col, ty).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            vv = v[m]
+            a = 9 * (n * qq - s * s)           # exact python int
+            bound = n * int(np.abs(vv).max()) + abs(s)
+            if bound < (1 << 31):
+                # |d| < 2^31 -> d*d exact in int64; if the threshold
+                # exceeds every possible d^2, nothing flags
+                if a >= bound * bound:
+                    continue
+                d = n * vv - s
+                keep[m] = d * d > a
+            else:                               # exact big-int path
+                keep[m] = np.fromiter(
+                    (((n * int(x) - s) ** 2 > a) for x in vv),
+                    bool, count=len(vv))
+        out = pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": ty_col,
+            "value_cents": pa.array(v)})
+        return out.filter(pa.array(keep))
+
+    # anomalies are rare by the 3-sigma construction, so the flagged
+    # set is driver-sized; materialize with a typed-empty fallback
+    # (an all-empty Dataset loses its schema through to_pandas)
+    out = (ev.map_batches(flag, batch_format="pyarrow").to_pandas())
+    if len(out) == 0 or "event_id" not in out.columns:
+        return pd.DataFrame({
+            "event_id": pd.array([], dtype="int64"),
+            "event_type": pd.array([], dtype="str"),
+            "value_cents": pd.array([], dtype="int64")})
+    for c in ("event_id", "value_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_regression_price_qty(sf_dir: str):
+    """Distributed simple least-squares (extendedprice-cents against
+    quantity) from integer sufficient statistics — the closed-form
+    slope/intercept a feature pipeline derives without ever
+    collecting rows: slope_micro = 1e6*(n*Sxy - Sx*Sy) // (n*Sxx -
+    Sx^2), intercept from the means, both floor-divided the same way
+    in SQL.  One streaming pass, a single 5-integer combine."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("l_quantity").to_numpy()
+                     + 0.5).astype(np.int64)
+        y = _cents(t.column("l_extendedprice").to_numpy())
+        return pa.table({"n": pa.array([len(x)]),
+                         "sx": pa.array([int(x.sum())]),
+                         "sy": pa.array([int(y.sum())]),
+                         "sxx": pa.array([int((x * x).sum())]),
+                         "sxy": pa.array([int((x * y).sum())])})
+
+    p = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    if n == 0:
+        return pd.DataFrame({
+            "n_rows": pd.array([], dtype="int64"),
+            "slope_micro": pd.array([], dtype="int64"),
+            "intercept_cents": pd.array([], dtype="int64")})
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxx, sxy = int(p["sxx"].sum()), int(p["sxy"].sum())
+
+    def tdiv(a: int, b: int) -> int:
+        """Truncate-toward-zero division (DuckDB's // on integers;
+        Python's // floors — they differ on negative quotients)."""
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    # exact python-int arithmetic: n*Sxy overflows int64 at fact scale
+    slope_micro = tdiv(1_000_000 * (n * sxy - sx * sy),
+                       n * sxx - sx * sx)
+    intercept_cents = tdiv(sy - tdiv(slope_micro * sx, 1_000_000), n)
+    return pd.DataFrame({
+        "n_rows": pd.array([n], dtype="int64"),
+        "slope_micro": pd.array([slope_micro], dtype="int64"),
+        "intercept_cents": pd.array([intercept_cents], dtype="int64")})
+
+
+QUERIES.update({
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "anomaly_events_3sigma": q_anomaly_events_3sigma,
+    "regression_price_qty": q_regression_price_qty,
+})
+
+ORACLE_SQL.update({
+    "k_anonymity_audit": """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               c_mktsegment,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END
+                    AS BIGINT) AS below_k
+        FROM customer GROUP BY 1, 2
+    """,
+    "anomaly_events_3sigma": """
+        WITH c AS (
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(v) AS HUGEINT) AS s,
+                   CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+            FROM c GROUP BY event_type)
+        SELECT event_id, c.event_type, v AS value_cents
+        FROM c JOIN m ON c.event_type = m.event_type
+        WHERE (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
+    """,
+    "regression_price_qty": """
+        WITH s AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS HUGEINT) AS sx,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+                            * CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS HUGEINT) AS sxx,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+                            * CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)) AS HUGEINT) AS sxy
+            FROM lineitem)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               CAST(1000000 * (n * sxy - sx * sy)
+                    // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+               CAST((sy - (1000000 * (n * sxy - sx * sy)
+                           // (n * sxx - sx * sx)) * sx // 1000000)
+                    // n AS BIGINT) AS intercept_cents
+        FROM s
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

@@ -325,6 +325,11 @@ ADVERSARIAL_QUERIES = [
     # tokenization on BOTH sides; BM25 integer fixed-point must agree
     # on tiny corpora where idf surrogates hit their floors
     "lm_unigram_score", "bm25_topk", "hapax_ratio_by_source",
+    # session-6 batch 4: k-anonymity class sizes of 1 on handcrafted
+    # keys; 3-sigma with near-constant per-type values (var ~ 0);
+    # regression with negative slope (truncating division semantics)
+    "k_anonymity_audit", "anomaly_events_3sigma",
+    "regression_price_qty",
 ]
 
 
