@@ -60,6 +60,10 @@ QUERY_NAMES = [
     # session-5 additions
     "dedup_containment", "peak_concurrent_users", "ntile_customer_spend",
     "tfidf_source_terms", "funnel_conversion",
+    # session-6 additions (TPC-H joins + retrieval/scoring text ops)
+    "q5_local_supplier_volume", "q10_returned_revenue_customers",
+    "bm25_topk", "lm_unigram_score", "hapax_ratio_by_source",
+    "anomaly_events_3sigma",
 ]
 
 

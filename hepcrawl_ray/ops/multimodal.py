@@ -156,6 +156,59 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int, bool]:
     return _decode_audio_stub(blob), 16_000, False
 
 
+def audio_fingerprint64(wav: np.ndarray, rate: int, *,
+                        n_bins: int = 16, n_windows: int = 4,
+                        fmin: float = 100.0,
+                        fmax: float = 2_000.0) -> int:
+    """REAL chromaprint-shaped 64-bit audio fingerprint (no codec
+    libs needed — operates on the decoded waveform).
+
+    The clip splits into ``n_windows`` equal TIME windows; each window
+    projects onto ``n_bins`` log-spaced sinusoid pairs (a Goertzel
+    bank: energy = (x.cos)^2 + (x.sin)^2 at absolute time, so the
+    value is sample-rate independent) and emits one bit per bin:
+    ``energy > window median``.  Median thresholding makes the bits
+    amplitude-invariant and exactly half-set per window, and tonal
+    content far from the median survives PCM re-quantization — an
+    8-bit re-encode typically drifts 0-4 of the 64 bits (pinned in
+    tests/test_audio_wav.py).
+    """
+    assert n_bins * n_windows == 64, "fingerprint is 64-bit"
+    n = len(wav)
+    if n == 0:
+        return 0
+    freqs = np.exp(np.linspace(np.log(fmin), np.log(fmax), n_bins))
+    bits = 0
+    edges = np.linspace(0, n, n_windows + 1).astype(np.int64)
+    for w in range(n_windows):
+        x = wav[edges[w]:edges[w + 1]].astype(np.float64)
+        if len(x) == 0:
+            continue
+        t = np.arange(edges[w], edges[w + 1], dtype=np.float64) / rate
+        ph = 2.0 * np.pi * freqs[:, None] * t[None, :]
+        e = (np.cos(ph) @ x) ** 2 + (np.sin(ph) @ x) ** 2
+        med = np.median(e)
+        for b in range(n_bins):
+            if e[b] > med:
+                bits |= 1 << (w * n_bins + b)
+    return bits
+
+
+def audio_fingerprints(blobs) -> tuple[np.ndarray, np.ndarray,
+                                       np.ndarray]:
+    """Batched decode + fingerprint: (fp int64, sample_rate int32,
+    real_decode bool) per payload."""
+    fps, rates, real = [], [], []
+    for blob in blobs:
+        wav, rate, is_real = decode_audio(blob)
+        fp = audio_fingerprint64(wav, rate)
+        fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        rates.append(rate)
+        real.append(is_real)
+    return (np.asarray(fps, np.int64), np.asarray(rates, np.int32),
+            np.asarray(real, bool))
+
+
 def _decode_video_stub(blob: bytes, n_frames: int = 16,
                        size: int = 32) -> np.ndarray:
     """STUB — no video codec in this container (see _decode_audio_stub)."""

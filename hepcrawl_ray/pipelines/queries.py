@@ -11018,6 +11018,96 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# End-to-end AUDIO dedup (session-6 batch 5): the audio twin of
+# q_image_dedup_pipeline — real WAV decode, real Goertzel-bank
+# fingerprint, generic Hamming-pair/component/canonical machinery.
+# ---------------------------------------------------------------------------
+
+
+def q_audio_dedup_pipeline(sf_dir: str):
+    """End-to-end AUDIO near-dup dedup over real WAV payloads:
+    stdlib-wave decode -> REAL 64-bit Goertzel-bank fingerprint
+    (ops.multimodal.audio_fingerprint64: 4 time windows x 16 log-
+    spaced band energies, median-thresholded — amplitude and
+    sample-rate invariant) -> pigeonhole Hamming pairs -> connected
+    components -> keep the widest-sample-width member per component.
+
+    Every 4th clip also emits a PLANTED probe: the same waveform
+    re-encoded as 8-bit PCM (a lossy re-quantization), a genuine
+    near-duplicate whose fingerprint drifts 0-4 bits — the pipeline
+    demonstrably collapses re-encoded copies while the base clips
+    (synthesized on disjoint fingerprint-bin subsets, pairwise
+    Hamming >= 16) stay apart (pinned in tests/test_audio_wav.py).
+
+    Scale shape: decode+fingerprint is the fused per-batch hot stage
+    (payload bytes never leave it); pairs/components/selection reuse
+    the generic 64-bit-signature machinery (ops/dedup.py) — one keyed
+    shuffle each."""
+    import ray
+
+    from hepcrawl_ray.ops import dedup as D
+    from hepcrawl_ray.ops.multimodal import (audio_fingerprints,
+                                             encode_wav_pcm)
+
+    freqs = np.exp(np.linspace(np.log(100.0), np.log(2000.0), 16))
+    nums, blobs, widths, probes = [], [], [], []
+    for i in range(48):
+        rate = (8_000, 16_000, 44_100)[i % 3]
+        n = rate // 4
+        t = np.arange(n, dtype=np.float64) / rate
+        rng = np.random.default_rng(1000 + i)
+        edges = np.linspace(0, n, 5).astype(np.int64)
+        w = np.zeros(n)
+        for k in range(4):
+            bins = rng.choice(16, size=8, replace=False)
+            amps = 0.06 + 0.04 * rng.random(8)
+            seg = slice(edges[k], edges[k + 1])
+            for b, a in zip(bins, amps):
+                w[seg] += a * np.sin(2 * np.pi * freqs[b] * t[seg]
+                                     + rng.random() * 6.28)
+        width = (2, 4)[i % 2]
+        nums.append(i)
+        blobs.append(encode_wav_pcm(w, rate, sampwidth=width))
+        widths.append(width)
+        probes.append(False)
+        if i % 4 == 0:                       # planted 8-bit re-encode
+            nums.append(i + _PROBE_OFFSET)
+            blobs.append(encode_wav_pcm(w, rate, sampwidth=1))
+            widths.append(1)
+            probes.append(True)
+
+    corpus = pa.table({
+        "aud_num": pa.array(np.asarray(nums, np.int64)),
+        "bytes": pa.array(blobs, pa.binary()),
+        "sampwidth": pa.array(np.asarray(widths, np.int64)),
+        "is_probe": pa.array(probes)})
+    chunks = [corpus.slice(o, 16) for o in range(0, corpus.num_rows, 16)]
+
+    def fp_stage(t: pa.Table) -> pa.Table:
+        fps, rates, real = audio_fingerprints(
+            t.column("bytes").to_pylist())
+        return pa.table({
+            "aud_num": t.column("aud_num"),
+            "fp": pa.array(fps),
+            "sample_rate": pa.array(rates),
+            "real_decode": pa.array(real),
+            "sampwidth": t.column("sampwidth"),
+            "is_probe": t.column("is_probe")})
+
+    sigs = ray.data.from_arrow(chunks).map_batches(
+        fp_stage, batch_format="pyarrow", batch_size=16)
+    pairs = D.hamming_neardup_pairs(sigs, sig_col="fp",
+                                    id_col="aud_num", max_distance=4)
+    comp = D.neardup_components(sigs, pairs, id_col="aud_num",
+                                carry_cols=("sampwidth", "is_probe"))
+    return D.canonical_per_component(comp, score_col="sampwidth",
+                                     id_col="aud_num")
+
+
+QUERIES.update({"audio_dedup_pipeline": q_audio_dedup_pipeline})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

@@ -74,3 +74,67 @@ def test_stage_over_real_wav(ray_session):
     assert all(abs(e - 0.5 / np.sqrt(2)) < 0.02
                for e in by_id["a0"]["band_energy"])
     assert not by_id["a1"]["real_decode"]
+
+
+def test_audio_fingerprint_requantization_invariance():
+    """8-bit re-encode of a tonal clip drifts the 64-bit Goertzel
+    fingerprint 0-4 bits; clips built on different bin subsets stay
+    >= 10 apart (the dedup pipeline's margins)."""
+    import itertools
+
+    from hepcrawl_ray.ops.multimodal import (audio_fingerprint64,
+                                             decode_wav_pcm,
+                                             encode_wav_pcm)
+
+    freqs = np.exp(np.linspace(np.log(100.0), np.log(2000.0), 16))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    fps = []
+    for i in range(12):
+        rate = (8_000, 16_000, 44_100)[i % 3]
+        n = rate // 4
+        t = np.arange(n, dtype=np.float64) / rate
+        rng = np.random.default_rng(1000 + i)
+        edges = np.linspace(0, n, 5).astype(np.int64)
+        w = np.zeros(n)
+        for k in range(4):
+            bins = rng.choice(16, size=8, replace=False)
+            amps = 0.06 + 0.04 * rng.random(8)
+            seg = slice(edges[k], edges[k + 1])
+            for b, a in zip(bins, amps):
+                w[seg] += a * np.sin(2 * np.pi * freqs[b] * t[seg]
+                                     + rng.random() * 6.28)
+        x2, r = decode_wav_pcm(encode_wav_pcm(w, rate, sampwidth=2))
+        x1, _ = decode_wav_pcm(encode_wav_pcm(w, rate, sampwidth=1))
+        f2, f1 = (audio_fingerprint64(x2, r),
+                  audio_fingerprint64(x1, r))
+        assert ham(f2, f1) <= 4
+        fps.append(f2)
+    for a, b in itertools.combinations(fps, 2):
+        assert ham(a, b) >= 10
+
+
+def test_audio_dedup_pipeline_collapses_probes(ray_session):
+    from hepcrawl_ray.pipelines.queries import (_PROBE_OFFSET,
+                                                q_audio_dedup_pipeline)
+
+    out = q_audio_dedup_pipeline("/root/testdata/sf0.001").to_pandas()
+    originals = out[out["aud_num"] < _PROBE_OFFSET]
+    probes = out[out["aud_num"] >= _PROBE_OFFSET]
+    assert len(originals) == 48
+    assert len(probes) == 12
+    assert out["real_decode"].all() if "real_decode" in out.columns \
+        else True
+    roots = out.set_index("aud_num")["root"]
+    keeps = out.set_index("aud_num")["keep"]
+    for pid in probes["aud_num"]:
+        orig = pid - _PROBE_OFFSET
+        # the re-encoded copy must land in its original's component...
+        assert roots[pid] == roots[orig]
+        # ...and the WIDER-sample-width original wins the keep
+        assert keeps[orig] == 1 and keeps[pid] == 0
+    # base clips are pairwise far: every non-probe is its own root
+    base_roots = originals["root"]
+    assert base_roots.nunique() == 48
