@@ -11108,6 +11108,74 @@ def q_audio_dedup_pipeline(sf_dir: str):
 QUERIES.update({"audio_dedup_pipeline": q_audio_dedup_pipeline})
 
 
+# ---------------------------------------------------------------------------
+# Graph batch 2 (session-6): degree histogram (oracled) + k-core
+# decomposition (iterative peeling; distributed == reference pinned).
+# ---------------------------------------------------------------------------
+
+
+def q_graph_degree_stats(sf_dir: str):
+    """Degree histogram of the shared deterministic doc graph
+    (undirected, self-loops dropped, deduped): (degree, n_nodes).
+    Three collapses — batch-distinct canonical edges, lo-bucket global
+    dedup, node-bucket degree sums — and only the |degrees|-sized
+    histogram reaches the driver.  SQL twin reproduces the
+    multiplicative-hash edge generator exactly."""
+    from hepcrawl_ray.ops import graph as G
+
+    hist = G.degree_histogram(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(_doc_edges, batch_format="pyarrow")).to_pandas()
+    if len(hist) == 0 or "degree" not in hist.columns:
+        return pd.DataFrame({"degree": pd.array([], dtype="int64"),
+                             "n_nodes": pd.array([], dtype="int64")})
+    out = (hist.groupby("degree", as_index=False)
+           .agg(n_nodes=("n_nodes", "sum")))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("degree").reset_index(drop=True)
+
+
+def q_graph_kcore(sf_dir: str):
+    """k-core decomposition (k=2) of the shared doc graph via
+    distributed iterative peeling (ops.graph.kcore).  Rows-only by
+    design — the fixed point of a peeling loop isn't SQL-expressible
+    without recursive aggregation — but the distributed result equals
+    the single-process reference EXACTLY (tests/test_graph.py)."""
+    from hepcrawl_ray.ops import graph as G
+
+    return G.kcore(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(_doc_edges, batch_format="pyarrow"), k=2)
+
+
+QUERIES.update({
+    "graph_degree_stats": q_graph_degree_stats,
+    "graph_kcore": q_graph_kcore,
+})
+
+ORACLE_SQL.update({
+    "graph_degree_stats": """
+        WITH s0 AS (SELECT doc_id AS s FROM documents),
+        e0 AS (
+            SELECT s, (s * 2654435761 + 17) % 1024 AS d FROM s0
+            UNION ALL
+            SELECT s, (s * 40503 + 101) % 1024 FROM s0
+            UNION ALL
+            SELECT s, (s * 2246822519 + 997) % 1024 FROM s0),
+        e1 AS (SELECT DISTINCT LEAST(s, d) AS lo, GREATEST(s, d) AS hi
+               FROM e0 WHERE s <> d),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT lo AS node FROM e1
+                  UNION ALL SELECT hi FROM e1)
+            GROUP BY node)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+})
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:

@@ -330,6 +330,9 @@ ADVERSARIAL_QUERIES = [
     # regression with negative slope (truncating division semantics)
     "k_anonymity_audit", "anomaly_events_3sigma",
     "regression_price_qty",
+    # session-6 batch 5: degree histogram over the tiny handcrafted
+    # doc set (SQL edge generator must agree bit-for-bit)
+    "graph_degree_stats",
 ]
 
 
