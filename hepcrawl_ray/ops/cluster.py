@@ -33,7 +33,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from hepcrawl_ray.ops.knn import _normalize, list_column_to_matrix
+from hepcrawl_ray.ops.knn import (_normalize, drop_null_vectors,
+                                  list_column_to_matrix)
 
 _HASH_MULT = 2654435761  # Knuth multiplicative hash (deterministic init)
 
@@ -48,6 +49,7 @@ def _init_centroids(ds, k, *, id_col, vec_col) -> np.ndarray:
     pool_n = max(8 * k, k)
 
     def local_k(t: pa.Table) -> pa.Table:
+        t = drop_null_vectors(t, vec_col)
         ids = t.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         h = (ids * _HASH_MULT) % (1 << 31)
@@ -100,6 +102,7 @@ def kmeans_fit(ds, k=10, *, iters=6, id_col="vec_id",
 
         def partial_sums(t: pa.Table, cent=cur) -> pa.Table:
             kk, d = cent.shape
+            t = drop_null_vectors(t, vec_col)
             if t.num_rows == 0:
                 return pa.table({"cluster": pa.array([], pa.int64()),
                                  "n": pa.array([], pa.int64()),
@@ -151,6 +154,7 @@ def kmeans_assign(ds, centroids: np.ndarray, *, id_col="vec_id",
     cent = centroids
 
     def assign_fn(t: pa.Table) -> pa.Table:
+        t = drop_null_vectors(t, vec_col)
         if t.num_rows == 0:
             cols = {id_col: pa.array([], pa.int64()),
                     "cluster": pa.array([], pa.int64()),
@@ -210,6 +214,7 @@ def mean_vector(ds, *, vec_col="embedding") -> tuple[np.ndarray, int]:
     per-batch (sum, n) partials (binary-packed, driver-reduced in a
     deterministic order)."""
     def partial(t: pa.Table) -> pa.Table:
+        t = drop_null_vectors(t, vec_col)
         if t.num_rows == 0:
             return pa.table({"s": pa.array([], pa.binary()),
                              "n": pa.array([], pa.int64())})
@@ -251,6 +256,7 @@ def power_iteration_top_pc(ds, *, iters=12, vec_col="embedding",
         cur = v
 
         def partial(t: pa.Table, v=cur) -> pa.Table:
+            t = drop_null_vectors(t, vec_col)
             if t.num_rows == 0:
                 return pa.table({"s": pa.array([], pa.binary())})
             mat = list_column_to_matrix(t.column(vec_col))

@@ -142,19 +142,33 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """One row per distinct text, keeping the smallest id
     (deterministic winner).  Returns columns (id_col, text_col).
 
-    Partial min per batch (combiner) then one built-in grouped Min —
-    no per-group Python (map_groups costs ~0.5 ms per group)."""
-    from ray.data.aggregate import Min
+    Partial min per batch (Arrow combiner; nulls form their own group,
+    the SQL GROUP BY rule), then the 64-bucket content-hash shuffle
+    with a pandas per-bucket min — the shuffle moves int64 buckets,
+    never sorts multi-KB text keys, and a NULL text (hashing to the
+    fixed null-group key) survives where a text-keyed Ray sort-shuffle
+    would crash comparing None to str."""
+    from hepcrawl_ray.ops.text import content_hash64
+
+    n_buckets = 64
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(text_col).aggregate([(id_col, "min")])
-        return g.rename_columns([text_col, "_pmin"])
+        g = g.rename_columns([text_col, "_pmin"])
+        h = content_hash64(g.column(text_col).to_pylist())
+        return g.append_column("_bucket", pa.array(
+            (h % n_buckets).astype(np.int64)))
 
-    out = (ds.select_columns([id_col, text_col])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby(text_col)
-           .aggregate(Min("_pmin", alias_name=id_col)))
-    return out
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(text_col, as_index=False, dropna=False)
+               ["_pmin"].min().rename(columns={"_pmin": id_col}))
+        out[id_col] = out[id_col].astype("int64")
+        return out[[id_col, text_col]]
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(pick, batch_format="pandas"))
 
 
 # ---------------------------------------------------------- minhash LSH ----
@@ -609,8 +623,10 @@ def embedding_neardup_pairs(ds, *, threshold=0.95, id_col="vec_id",
             batch_format="pyarrow")
 
     def prenormalize(t: pa.Table) -> pa.Table:
-        from hepcrawl_ray.ops.knn import list_column_to_matrix
+        from hepcrawl_ray.ops.knn import (drop_null_vectors,
+                                          list_column_to_matrix)
 
+        t = drop_null_vectors(t, vec_col)
         if t.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "vec_bin": pa.array([], pa.binary())})
@@ -730,8 +746,10 @@ def embedding_lsh_neardup_pairs(ds, *, threshold=0.4, id_col="vec_id",
         vector packed to fixed-size binary (one buffer, no per-row
         tobytes loop), and the row's FULL key set for the
         first-collision ownership check downstream."""
-        from hepcrawl_ray.ops.knn import list_column_to_matrix
+        from hepcrawl_ray.ops.knn import (drop_null_vectors,
+                                          list_column_to_matrix)
 
+        t = drop_null_vectors(t, vec_col)
         if t.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "table": pa.array([], pa.int32()),

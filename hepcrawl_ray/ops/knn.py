@@ -43,6 +43,23 @@ def _fixed_pool(want: int) -> int:
     return max(1, min(want, int((avail - 1.5) / 0.5)))
 
 
+def drop_null_vectors(t: pa.Table, vec_col: str = "embedding") -> pa.Table:
+    """Filter rows whose vector is NULL.  The contract everywhere in
+    this package: null vectors are UNINDEXED and UNSEARCHABLE (the
+    vector-index convention — a missing embedding can neither be a
+    neighbor nor a query), so every embedding op drops them at its
+    first batch stage and the SQL oracles carry the same
+    ``embedding IS NOT NULL`` predicate."""
+    import pyarrow.compute as pc
+
+    col = t.column(vec_col)
+    nc = col.null_count if not isinstance(col, pa.ChunkedArray) \
+        else sum(c.null_count for c in col.chunks)
+    if nc:
+        t = t.filter(pc.is_valid(col))
+    return t
+
+
 def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
     """list<float> column -> (n, dim) matrix.
 
@@ -77,7 +94,9 @@ def knn_bruteforce(ds, query_ids, *, k=10, id_col="vec_id",
 
     qset = pa.array(sorted(set(int(q) for q in query_ids)), type=pa.int64())
     q_rows = ds.select_columns([id_col, vec_col]).map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column(id_col), value_set=qset)),
+        lambda t: drop_null_vectors(
+            t.filter(pa.compute.is_in(t.column(id_col), value_set=qset)),
+            vec_col),
         batch_format="pyarrow").take_all()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
@@ -85,6 +104,7 @@ def knn_bruteforce(ds, query_ids, *, k=10, id_col="vec_id",
     def local_topk(batch: pa.Table) -> pa.Table:
         # query matrix rides the task closure (tiny, stateless task —
         # no actor pool to ramp; CLAUDE lesson 15)
+        batch = drop_null_vectors(batch, vec_col)
         if batch.num_rows == 0:
             return _TOPK_EMPTY
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
@@ -135,7 +155,9 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
 
     qset = pa.array(sorted(set(int(q) for q in query_ids)), type=pa.int64())
     q_rows = ds.select_columns([id_col, vec_col]).map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column(id_col), value_set=qset)),
+        lambda t: drop_null_vectors(
+            t.filter(pa.compute.is_in(t.column(id_col), value_set=qset)),
+            vec_col),
         batch_format="pyarrow").take_all()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
@@ -144,6 +166,7 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
     def bucket_topk(batch: pa.Table) -> pa.Table:
         # centroids + query pack ride the task closure (tiny,
         # stateless task — lesson 15)
+        batch = drop_null_vectors(batch, vec_col)
         if batch.num_rows == 0:
             return _TOPK_EMPTY
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
@@ -233,6 +256,7 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids=16,
             self.cent = ray.get(cent_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            t = drop_null_vectors(t, vec_col)
             if t.num_rows == 0:
                 return t.append_column("bucket",
                                        pa.array([], pa.int32()))

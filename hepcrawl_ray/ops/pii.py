@@ -33,16 +33,17 @@ PII_PATTERNS = (
 )
 
 
-def pii_counts(col) -> dict[str, np.ndarray]:
-    """Per-row match counts for every PII pattern (int64 arrays keyed
-    ``n_{name}s``), computed independently on the original text."""
+def pii_counts(col) -> dict[str, pa.Array]:
+    """Per-row match counts for every PII pattern (nullable int64
+    Arrow arrays keyed ``n_{name}s``), computed independently on the
+    original text.  NULL text rows count NULL — the SQL semantics
+    (`len(regexp_extract_all(NULL, ...))` is NULL), not a silent 0."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     out = {}
     for name, pat, _ in PII_PATTERNS:
-        out[f"n_{name}s"] = pc.count_substring_regex(
-            col, pattern=pat).to_numpy(zero_copy_only=False).astype(
-            np.int64)
+        out[f"n_{name}s"] = pc.cast(
+            pc.count_substring_regex(col, pattern=pat), pa.int64())
     return out
 
 
@@ -63,5 +64,5 @@ def redact_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     t = t.set_column(t.schema.get_field_index(text_col), text_col,
                      redact(t.column(text_col)))
     for k, v in counts.items():
-        t = t.append_column(k, pa.array(v))
+        t = t.append_column(k, v)
     return t

@@ -29,8 +29,12 @@ _LANG_MARKERS = {
 }
 
 
-def tokenize_ws(text: str) -> list[str]:
-    """Whitespace tokens of the trimmed text (SQL-replicable)."""
+def tokenize_ws(text: str | None) -> list[str]:
+    """Whitespace tokens of the trimmed text (SQL-replicable).  A NULL
+    text yields no tokens — matching SQL, where
+    ``unnest(regexp_split_to_array(NULL, ...))`` produces zero rows."""
+    if text is None:
+        return []
     text = text.strip()
     return _WS.split(text) if text else []
 
@@ -58,12 +62,21 @@ def token_stats_arrow(col) -> dict[str, np.ndarray]:
     """Vectorized ``token_stats`` over an Arrow string column — every
     kernel is pyarrow.compute (RE2), which is also what DuckDB runs,
     so the regex dialect matches the oracle by construction (Python
-    ``re``'s Unicode ``\\s`` is wider than RE2's ASCII ``\\s``)."""
+    ``re``'s Unicode ``\\s`` is wider than RE2's ASCII ``\\s``).
+
+    NULL texts: every metric is computed as 0/false and the rows are
+    flagged in the extra ``null_mask`` key (np.bool_), so callers can
+    either drop them (SQL filter semantics — a NULL predicate drops
+    the row) or surface SQL's NULL stats via ``pa.array(v, mask=...)``.
+    """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        col = pc.fill_null(col, "")
     trimmed = pc.utf8_trim_whitespace(col)
     empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(
         zero_copy_only=False)
@@ -84,8 +97,14 @@ def token_stats_arrow(col) -> dict[str, np.ndarray]:
     n_stop[empty] = 0
     has_digits = pc.match_substring_regex(col, "[0-9]").to_numpy(
         zero_copy_only=False)
+    if null_mask.any():
+        n_tokens[null_mask] = 0
+        chars_no_ws[null_mask] = 0
+        n_stop[null_mask] = 0
+        has_digits[null_mask] = False
     return {"n_tokens": n_tokens, "chars_no_ws": chars_no_ws,
-            "n_stopwords": n_stop, "has_digits": has_digits}
+            "n_stopwords": n_stop, "has_digits": has_digits,
+            "null_mask": null_mask}
 
 
 def langid(texts) -> list[str]:
@@ -142,8 +161,8 @@ def bpe_token_count(col) -> np.ndarray:
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return pc.count_substring_regex(
-        col, pattern=BPE_SPLIT_PATTERN).to_numpy(
+    return pc.fill_null(pc.count_substring_regex(
+        col, pattern=BPE_SPLIT_PATTERN), 0).to_numpy(
         zero_copy_only=False).astype(np.int64)
 
 
@@ -162,7 +181,12 @@ def fingerprint64(texts) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     MOD = np.uint64((1 << 31) - 1)
     BASES = (np.uint64(257), np.uint64(263))
-    bufs = [t.encode("utf-8") for t in texts]
+    # None fingerprints like "" but is flagged afterwards with an
+    # out-of-range sentinel (rolling hashes are < 2^31 per half, so
+    # MOD<<31|MOD is unreachable for real texts)
+    null_rows = np.fromiter((t is None for t in texts), dtype=bool,
+                            count=n)
+    bufs = [b"" if t is None else t.encode("utf-8") for t in texts]
     maxlen = max(len(b) for b in bufs)
     mat = np.zeros((n, maxlen), dtype=np.uint8)
     for i, b in enumerate(bufs):
@@ -174,14 +198,26 @@ def fingerprint64(texts) -> np.ndarray:
         c = mat[:, col].astype(np.uint64)
         h1 = (h1 * BASES[0] + c) % MOD
         h2 = (h2 * BASES[1] + c) % MOD
+    if null_rows.any():
+        h1[null_rows] = MOD
+        h2[null_rows] = MOD
     return ((h1 << np.uint64(31)) | h2).view(np.int64)
 
 
+# dedup key for NULL texts: SQL GROUP BY puts every NULL in ONE group,
+# so all nulls share one fixed key.  The `person` parameter keys a
+# separate blake2b family no real text can reach, so a null never
+# collides with a content hash beyond the usual 2^-64.
+_NULL_HASH64 = int.from_bytes(
+    blake2b(b"", digest_size=8, person=b"nulltext").digest(), "little")
+
+
 def content_hash64(texts) -> np.ndarray:
-    """Stable blake2b-64 of the exact text (dedup key)."""
+    """Stable blake2b-64 of the exact text (dedup key).  None hashes
+    to the fixed null-group key (SQL groups all NULLs together)."""
     out = np.empty(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
-        out[i] = int.from_bytes(
+        out[i] = _NULL_HASH64 if t is None else int.from_bytes(
             blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
     return out.view(np.int64)
 
@@ -291,7 +327,8 @@ def minhash_batch(texts, a: np.ndarray, b: np.ndarray, k: int = 3):
     n = len(texts)
     if n == 0:
         return np.zeros(0, np.int64), np.zeros((0, len(a)), np.uint64)
-    col = pc.utf8_trim_whitespace(pa.array(list(texts), pa.string()))
+    col = pc.utf8_trim_whitespace(pc.fill_null(
+        pa.array(list(texts), pa.string()), ""))
     toks = pc.split_pattern_regex(col, pattern=r"\s+")
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
         .astype(np.int64)

@@ -651,11 +651,15 @@ def q_text_token_stats(sf_dir: str):
     """Whitespace token stats (SQL-replicable integer metrics)."""
     def f(t: pa.Table) -> pa.Table:
         s = T.token_stats_arrow(t.column("text"))
+        nm = s["null_mask"]  # NULL text -> every stat NULL (SQL)
         return pa.table({"doc_id": t.column("doc_id"),
-                         "n_tokens": s["n_tokens"],
-                         "chars_no_ws": s["chars_no_ws"],
-                         "n_stopwords": s["n_stopwords"],
-                         "has_digits": s["has_digits"].astype(np.int64)})
+                         "n_tokens": pa.array(s["n_tokens"], mask=nm),
+                         "chars_no_ws": pa.array(s["chars_no_ws"],
+                                                 mask=nm),
+                         "n_stopwords": pa.array(s["n_stopwords"],
+                                                 mask=nm),
+                         "has_digits": pa.array(
+                             s["has_digits"].astype(np.int64), mask=nm)})
 
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(f, batch_format="pyarrow"))
@@ -1109,11 +1113,16 @@ ORACLE_SQL = {
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
     "knn_bruteforce": """
+        -- NULL embeddings are unindexed/unsearchable (the engine-wide
+        -- vector-index contract, ops/knn.py drop_null_vectors): they
+        -- can be neither queries nor neighbors
         WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
-                   FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+                   FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+                     AND embedding IS NOT NULL),
         s AS (SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
                      list_cosine_similarity(q.e, CAST(v.embedding AS DOUBLE[])) AS sim
-              FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.qid)
+              FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.qid
+                AND v.embedding IS NOT NULL)
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sim DESC, neighbor_id) AS rank
@@ -1604,7 +1613,9 @@ def q_corpus_clean_pipeline(sf_dir: str):
                              "n_tokens": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64())})
         stats = T.token_stats_arrow(t.column("text"))
-        t = t.append_column("n_tokens", pa.array(stats["n_tokens"]))
+        # NULL text -> NULL n_tokens; SQL's filter drops NULL rows
+        t = t.append_column("n_tokens", pa.array(
+            stats["n_tokens"], mask=stats["null_mask"]))
         t = t.filter(pc.greater_equal(t.column("n_tokens"), 20))
         h = T.content_hash64(t.column("text").to_pylist())
         return t.append_column("bucket",
@@ -2839,10 +2850,14 @@ def q_text_pii_redact(sf_dir: str):
             " host 10." + s(d % 256) + "." + s((d * 7) % 256) + "."
             + s(d % 250 + 1),
             ""))
-        aug = pa.array(txt + email + phone + ssn + host, pa.string())
+        # NULL text propagates: pandas string concat yields NaN for
+        # None rows, pa.array maps NaN -> null, and the count/redact
+        # kernels emit NULL — the SQL `text || ...` semantics
+        aug = pa.array(txt + email + phone + ssn + host, pa.string(),
+                       from_pandas=True)
         counts = P.pii_counts(aug)
         return pa.table({"doc_id": t.column("doc_id"),
-                         **{k: pa.array(v) for k, v in counts.items()},
+                         **counts,
                          "redacted": P.redact(aug)})
 
     return (_read(sf_dir, "documents", ["doc_id", "text"])
@@ -2858,7 +2873,7 @@ def q_text_quality_gate(sf_dir: str):
         nt, cw = stats["n_tokens"], stats["chars_no_ws"]
         nsw = stats["n_stopwords"]
         keep = ((nt >= 10) & (cw <= 8 * nt) & (cw >= 2 * nt)
-                & (nsw * 20 >= nt))
+                & (nsw * 20 >= nt) & ~stats["null_mask"])
         return pa.table({
             "doc_id": t.column("doc_id").to_numpy()[keep],
             "n_tokens": nt[keep], "chars_no_ws": cw[keep],
@@ -2964,10 +2979,13 @@ def q_text_bpe_tokens(sf_dir: str):
     budget number): RE2 pattern shared verbatim with the oracle."""
     def f(t: pa.Table) -> pa.Table:
         stats = T.token_stats_arrow(t.column("text"))
+        nm = stats["null_mask"]  # SQL: NULL text -> NULL counts
         return pa.table({"doc_id": t.column("doc_id"),
-                         "n_ws_tokens": pa.array(stats["n_tokens"]),
+                         "n_ws_tokens": pa.array(stats["n_tokens"],
+                                                 mask=nm),
                          "n_bpe_tokens": pa.array(
-                             T.bpe_token_count(t.column("text")))})
+                             T.bpe_token_count(t.column("text")),
+                             mask=nm)})
 
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(f, batch_format="pyarrow"))
@@ -5309,7 +5327,10 @@ def _explode_terms(t: pa.Table, extra_cols=()) -> tuple:
     txt = pc.utf8_trim_whitespace(t.column("text").combine_chunks())
     lists = pc.split_pattern_regex(txt, pattern=r"\s+")
     flat = pc.list_flatten(lists)
-    n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    # NULL text -> null list: list_flatten skips it, so its length
+    # must count as 0 tokens (SQL: unnest of NULL yields no rows)
+    n = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), n)
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     return flat.filter(pa.array(keep)), parent[keep]
@@ -7568,9 +7589,16 @@ def q_vector_top_dims(sf_dir: str):
     list column, stable so value ties break by dimension index, same
     rule as the SQL ROW_NUMBER tie order."""
     def top3(t: pa.Table) -> pa.Table:
+        t = K.drop_null_vectors(t, "embedding")  # nulls have no dims
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64())})
         col = t.column("embedding")
         arrs = []
         for chunk in (col.chunks if hasattr(col, "chunks") else [col]):
+            if len(chunk) == 0:
+                continue
             flat = chunk.flatten().to_numpy(zero_copy_only=False)
             arrs.append(flat.reshape(len(chunk), -1))
         mat = np.vstack(arrs)
@@ -9367,6 +9395,8 @@ def q_chunk_documents(sf_dir: str):
         ids = t.column("doc_id").to_pylist()
         oid, ocid, on, otxt = [], [], [], []
         for did, tk in zip(ids, toks):
+            if tk is None:      # NULL text: unnest yields no chunks
+                continue
             for ci, off in enumerate(range(0, len(tk), S)):
                 seg = tk[off:off + K]
                 oid.append(did)

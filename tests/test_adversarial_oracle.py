@@ -146,14 +146,20 @@ def adv_dir(tmp_path_factory):
     texts += ["the quick brown fox jumps over the lazy dog while the "
               "sun set over the hill in the late day and the cat sat "
               "on the mat by the door with w1 w2 w3 near x y b"]
+    # NULL text: real corpora carry null payload rows; SQL unnest of
+    # a NULL split yields no token rows, and the engine must agree
+    texts += [None]
     docs = pa.table({
         "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(["en", "en", "en", "en", "de", "fr", "en",
-                          "de", "en"] + ["en"] * 7 + ["en"], pa.string()),
+                          "de", "en"] + ["en"] * 7 + ["en", "en"],
+                         pa.string()),
         "source": pa.array(["s1", "s1", "s1", "s2", "s1", "s2", "s2",
-                            "s2", "s1"] + ["s1"] * 7 + ["s2"], pa.string()),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                            "s2", "s1"] + ["s1"] * 7 + ["s2", "s2"],
+                           pa.string()),
+        "n_chars": pa.array([len(t) if t is not None else 0
+                             for t in texts], pa.int64()),
     })
     pq.write_table(docs, os.path.join(d, "documents.parquet"))
 
@@ -167,6 +173,11 @@ def adv_dir(tmp_path_factory):
         [0.0, 1.0, 0.0, 0.0],
         [0.0, 0.0, 1.0, 0.0],
         [-0.5, -0.5, -0.5, -0.5],    # all-negative, all-tie
+        # NULL embedding: real tables carry rows whose vector never
+        # materialized; the contract (ops/knn.py drop_null_vectors)
+        # is that they are unindexed — not a neighbor, not a query,
+        # no dimensions — and the oracles agree via IS NOT NULL
+        None,
     ]
     emb = pa.table({
         "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),

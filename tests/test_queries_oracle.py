@@ -41,7 +41,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # canonicalize missing first: engine-side NaN and
+            # oracle-side None both stringify as "None"
+            df[c] = df[c].where(pd.notna(df[c]), None).astype(str)
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     # unify integer widths
     for c in df.columns:
