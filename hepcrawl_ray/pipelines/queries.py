@@ -1319,6 +1319,77 @@ def q_source_xml_feed_expand(sf_dir: str):
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
+def q_source_sitemap_expand(sf_dir: str):
+    """Two-hop sitemap discovery: sitemap INDEX -> child sitemaps ->
+    URL rows (reference analog: the PoS multi-hop scrape,
+    hepcrawl/spiders/pos_spider.py:93-199 — each fetched page names
+    the next pages to fetch).  Real sitemaps.org-namespaced XML is
+    parsed at both hops; output rows are frontier-seed shaped.
+
+    Scale shape: two chained flat-map expansions, no shuffle; the
+    child-sitemap bodies are content-addressed behind ``ray.put`` as
+    the sandbox network stand-in (they are metadata-sized XML — at
+    production scale this hop IS the keyed fetch stage, exactly like
+    stages.KeyedFetchStage, and nothing else changes)."""
+    import ray
+
+    from hepcrawl_ray.sources.expand import (expand_sitemap,
+                                             expand_sitemap_index)
+
+    PAGE = 5
+    NS = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    by_src = _docs_by_source(sf_dir)
+    sites, idx_xml = [], []
+    child_xml: dict[str, str] = {}
+    for src, rows in sorted(by_src.items()):
+        entries = []
+        for k in range(0, len(rows), PAGE):
+            loc = f"https://{src}.example.org/sitemap_{k // PAGE}.xml"
+            entries.append(f"<sitemap><loc>{loc}</loc></sitemap>")
+            urls = "".join(
+                f"<url><loc>https://{src}.example.org/doc/{r['doc_id']}"
+                f"</loc><lastmod>2024-01-0{1 + r['doc_id'] % 9}"
+                f"</lastmod></url>"
+                for r in rows[k:k + PAGE])
+            child_xml[loc] = f"<urlset{NS}>{urls}</urlset>"
+        sites.append(src)
+        idx_xml.append(
+            f"<sitemapindex{NS}>{''.join(entries)}</sitemapindex>")
+    child_ref = ray.put(child_xml)
+    ds = ray.data.from_arrow(pa.table({"site_id": sites, "xml": idx_xml}))
+
+    def hop1(t: pa.Table) -> pa.Table:
+        out = expand_sitemap_index(t)
+        return out.filter(pc.is_valid(out.column("sitemap_loc")))
+
+    def fetch_children(t: pa.Table) -> pa.Table:
+        bodies = ray.get(child_ref)      # broadcast once per worker
+        locs = t.column("sitemap_loc").to_pylist()
+        return pa.table({"sitemap_loc": pa.array(locs, pa.string()),
+                         "xml": pa.array([bodies[x] for x in locs],
+                                         pa.string())})
+
+    def hop2(t: pa.Table) -> pa.Table:
+        out = expand_sitemap(t, id_col="sitemap_loc")
+        out = out.filter(pc.is_valid(out.column("loc")))
+        src = pc.extract_regex(
+            out.column("sitemap_loc"),
+            pattern=r"^https://(?P<source>[^.]+)\.example\.org/"
+                    r"sitemap_(?P<k>\d+)\.xml$")
+        did = pc.extract_regex(out.column("loc"),
+                               pattern=r"/doc/(?P<id>\d+)$")
+        return pa.table({
+            "source": pc.struct_field(src, "source"),
+            "sitemap_id": pc.cast(pc.struct_field(src, "k"), pa.int64()),
+            "doc_id": pc.cast(pc.struct_field(did, "id"), pa.int64()),
+            "loc": out.column("loc"),
+            "lastmod": out.column("lastmod")})
+
+    return (ds.map_batches(hop1, batch_format="pyarrow")
+            .map_batches(fetch_children, batch_format="pyarrow")
+            .map_batches(hop2, batch_format="pyarrow"))
+
+
 def q_source_jsonl_expand(sf_dir: str):
     """S3-JSONL source parse (analog: DesySpider.parse,
     reference: hepcrawl/spiders/desy_spider.py:185-210): one JSONL blob
@@ -1417,6 +1488,7 @@ QUERIES.update({
     "source_paged_harvest": q_source_paged_harvest,
     "filter_harvest_predicate": q_filter_harvest_predicate,
     "source_xml_feed_expand": q_source_xml_feed_expand,
+    "source_sitemap_expand": q_source_sitemap_expand,
     "source_jsonl_expand": q_source_jsonl_expand,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -1453,6 +1525,20 @@ ORACLE_SQL.update({
     """,
     "source_xml_feed_expand": """
         SELECT source AS feed_id, doc_id FROM documents
+    """,
+    "source_sitemap_expand": """
+        WITH r AS (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) - 1 AS rn
+            FROM documents)
+        SELECT source,
+               CAST(rn // 5 AS BIGINT) AS sitemap_id,
+               doc_id,
+               'https://' || source || '.example.org/doc/'
+                   || CAST(doc_id AS VARCHAR) AS loc,
+               '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+        FROM r
     """,
     "source_jsonl_expand": """
         SELECT source, doc_id, lang FROM documents

@@ -124,6 +124,102 @@ def expand_xml_feed(batch: pa.Table, *, xml_col: str = "xml",
                      "error": pa.array(err, pa.string())})
 
 
+def _localname(tag: str) -> str:
+    """XML tag -> local name (namespace-agnostic: real sitemaps carry
+    the sitemaps.org xmlns, hand-rolled ones often don't)."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def expand_sitemap_index(batch: pa.Table, *, xml_col: str = "xml",
+                         id_col: str = "site_id") -> pa.Table:
+    """Sitemap-protocol INDEX hop: ``<sitemapindex><sitemap><loc>`` ->
+    one row per child sitemap (site_id, sitemap_idx, sitemap_loc, err).
+
+    First hop of the crawl-discovery chain (reference analog: the PoS
+    multi-hop scrape, hepcrawl/spiders/pos_spider.py:93-199 — a page
+    whose records are themselves pages to fetch).  Bad XML becomes an
+    error ROW, never an exception (errors-as-rows channel)."""
+    sid, idx, loc, err = [], [], [], []
+    for s, doc in zip(batch.column(id_col).to_pylist(),
+                      batch.column(xml_col).to_pylist()):
+        try:
+            root = ET.fromstring(doc)
+            n = 0
+            for el in root.iter():
+                if _localname(el.tag) != "sitemap":
+                    continue
+                child_loc = None
+                for sub in el:
+                    if _localname(sub.tag) == "loc":
+                        child_loc = (sub.text or "").strip()
+                sid.append(s)
+                idx.append(n)
+                loc.append(child_loc)
+                err.append(None if child_loc else "sitemap without <loc>")
+                n += 1
+            if n == 0:
+                sid.append(s)
+                idx.append(-1)
+                loc.append(None)
+                err.append("no <sitemap> entries")
+        except ET.ParseError as exc:
+            sid.append(s)
+            idx.append(-1)
+            loc.append(None)
+            err.append(f"bad xml: {exc}")
+    return pa.table({id_col: sid,
+                     "sitemap_idx": pa.array(idx, pa.int32()),
+                     "sitemap_loc": pa.array(loc, pa.string()),
+                     "error": pa.array(err, pa.string())})
+
+
+def expand_sitemap(batch: pa.Table, *, xml_col: str = "xml",
+                   id_col: str = "sitemap_id") -> pa.Table:
+    """Sitemap-protocol URL hop: ``<urlset><url><loc>/<lastmod>`` ->
+    one row per URL (sitemap_id, url_idx, loc, lastmod, err).  Second
+    hop of the discovery chain; output rows are frontier seed
+    candidates (canonicalize -> seen-filter -> admit)."""
+    sid, idx, loc, lastmod, err = [], [], [], [], []
+    for s, doc in zip(batch.column(id_col).to_pylist(),
+                      batch.column(xml_col).to_pylist()):
+        try:
+            root = ET.fromstring(doc)
+            n = 0
+            for el in root.iter():
+                if _localname(el.tag) != "url":
+                    continue
+                u_loc, u_mod = None, None
+                for sub in el:
+                    name = _localname(sub.tag)
+                    if name == "loc":
+                        u_loc = (sub.text or "").strip()
+                    elif name == "lastmod":
+                        u_mod = (sub.text or "").strip()
+                sid.append(s)
+                idx.append(n)
+                loc.append(u_loc)
+                lastmod.append(u_mod)
+                err.append(None if u_loc else "url without <loc>")
+                n += 1
+            if n == 0:
+                sid.append(s)
+                idx.append(-1)
+                loc.append(None)
+                lastmod.append(None)
+                err.append("no <url> entries")
+        except ET.ParseError as exc:
+            sid.append(s)
+            idx.append(-1)
+            loc.append(None)
+            lastmod.append(None)
+            err.append(f"bad xml: {exc}")
+    return pa.table({id_col: sid,
+                     "url_idx": pa.array(idx, pa.int32()),
+                     "loc": pa.array(loc, pa.string()),
+                     "lastmod": pa.array(lastmod, pa.string()),
+                     "error": pa.array(err, pa.string())})
+
+
 def expand_jsonl(batch: pa.Table, *, text_col: str = "jsonl",
                  id_col: str = "file_id") -> pa.Table:
     """One row per JSONL line; bad lines become error rows."""
