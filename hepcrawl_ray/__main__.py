@@ -38,8 +38,24 @@ def _to_table(result):
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return pa.Table.from_pandas(result.to_pandas(),
-                                    preserve_index=False)
+        df = result.to_pandas()
+        if df.shape[1] == 0:
+            # all-empty Dataset: Ray dropped every block — recover the
+            # typed empty from the plan schema (queries carry a typed
+            # zero-row seed) so `query --out` writes a USABLE parquet
+            pinned = getattr(result, "_hepcrawl_schema", None)
+            if pinned is not None:
+                return pinned.empty_table()
+            try:
+                s = result.schema(fetch_if_missing=False)
+                if s is None:
+                    s = result.schema(fetch_if_missing=True)
+            except Exception:
+                s = None   # Ray asserts re-executing consumed plans
+            if s is not None and len(s.names):
+                return pa.schema(list(zip(s.names, s.types))) \
+                    .empty_table()
+        return pa.Table.from_pandas(df, preserve_index=False)
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result, preserve_index=False)
     return result

@@ -99,7 +99,11 @@ def knn_bruteforce(ds, query_ids, *, k=10, id_col="vec_id",
             vec_col),
         batch_format="pyarrow").take_all()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    # empty corpus / no resolvable queries -> zero neighbors (shape
+    # guard: np.array([]) is 1-D and breaks the axis-1 normalize)
+    q_mat = _normalize(np.array([r[vec_col] for r in q_rows],
+                                dtype=np.float64)) \
+        if q_rows else np.zeros((0, 1), dtype=np.float64)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         # query matrix rides the task closure (tiny, stateless task —
@@ -160,7 +164,11 @@ def knn_ivf(ds, query_ids, *, k=10, n_centroids=16, nprobe=4,
             vec_col),
         batch_format="pyarrow").take_all()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    # empty corpus / no resolvable queries -> zero neighbors (shape
+    # guard: np.array([]) is 1-D and breaks the axis-1 normalize)
+    q_mat = _normalize(np.array([r[vec_col] for r in q_rows],
+                                dtype=np.float64)) \
+        if q_rows else np.zeros((0, 1), dtype=np.float64)
     q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
 
     def bucket_topk(batch: pa.Table) -> pa.Table:

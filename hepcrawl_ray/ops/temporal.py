@@ -36,7 +36,8 @@ def _int_ns(series: pd.Series) -> np.ndarray:
 
 
 def asof_join(left, right, *, by, on, tie, payload,
-              suffix="_r", num_buckets=64):
+              suffix="_r", num_buckets=64,
+              left_schema=None, right_schema=None):
     """Backward as-of join: for each left row, the right row with the
     greatest ``on`` <= left ``on`` and the same ``by`` key; ties on
     ``on`` break to the greatest ``tie``.  INNER semantics (left rows
@@ -48,8 +49,11 @@ def asof_join(left, right, *, by, on, tie, payload,
     Output: every left column plus the payload columns, one row per
     matched left row.
     """
-    ls = left.schema(fetch_if_missing=True)
-    rs = right.schema(fetch_if_missing=True)
+    # Ray can't report a schema for an all-empty map-derived
+    # Dataset; callers pass the pa.Schema fallbacks so an empty shard
+    # still joins (to nothing) instead of crashing
+    ls = left.schema(fetch_if_missing=True) or left_schema
+    rs = right.schema(fetch_if_missing=True) or right_schema
     left_cols = list(ls.names)
     ltypes = dict(zip(ls.names, ls.types))
     rtypes = dict(zip(rs.names, rs.types))
@@ -154,6 +158,7 @@ def asof_join(left, right, *, by, on, tie, payload,
 
 
 def range_join_agg(left, right, *, by, on, lo_us, hi_us, val_col,
+                   left_schema=None,
                    n_name="n_matches", sum_name="sum_val",
                    num_buckets=64):
     """Range-join aggregate: for each left row, the COUNT and SUM of
@@ -167,7 +172,7 @@ def range_join_agg(left, right, *, by, on, lo_us, hi_us, val_col,
     key segment + a cumsum (same kernel as the sliding window,
     pipelines/queries.py q_window_sliding_events).
     """
-    ls = left.schema(fetch_if_missing=True)
+    ls = left.schema(fetch_if_missing=True) or left_schema
     left_cols = list(ls.names)
     ltypes = dict(zip(ls.names, ls.types))
     lo_ns, hi_ns = lo_us * 1000, hi_us * 1000

@@ -36,11 +36,55 @@ def _strip_meta(t: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as _pq
+
     import ray
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    ).map_batches(_strip_meta, batch_format="pyarrow")
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    ds = ray.data.read_parquet(path, columns=columns) \
+        .map_batches(_strip_meta, batch_format="pyarrow")
+    # typed zero-row seed: Ray drops empty map-output blocks, so an
+    # EMPTY SHARD otherwise loses its schema (ds.schema() -> None and
+    # every downstream .schema()/.names consumer crashes).  The seed
+    # block is indistinguishable from the empty block an empty parquet
+    # read already produces, so non-empty behavior is unchanged.
+    schema = _pq.read_schema(path).with_metadata(None)
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.from_arrow(schema.empty_table()).union(ds)
+
+
+def _pdf(ds, columns) -> pd.DataFrame:
+    """Dataset -> driver pandas for DIMENSION-SIZED partials,
+    empty-safe: Ray drops zero-row map-output blocks, so an all-empty
+    result arrives with NO columns — rebuild the typed-shape empty
+    from the caller's declared column list so every downstream
+    groupby / astype / sort behaves like SQL over an empty relation
+    (empty shards are routine at 100 TB; a KeyError is not)."""
+    df = ds.to_pandas()
+    if df.shape[1] == 0 and len(columns):
+        df = pd.DataFrame({c: pd.Series([], dtype="object")
+                           for c in columns})
+    return df
+
+
+def _seeded(ds, schema: pa.Schema):
+    """Union a typed zero-row block onto a Dataset so Ray still
+    reports its schema when every real block turned out empty (map
+    outputs drop empty blocks; downstream .schema() consumers crash
+    on None otherwise)."""
+    import ray.data as rd
+
+    return rd.from_arrow(schema.empty_table()).union(ds)
+
+
+def _rows_df(rows, columns) -> pd.DataFrame:
+    """take_all() rows -> pandas, empty-safe (same contract as _pdf)."""
+    df = pd.DataFrame(rows)
+    if df.shape[1] == 0 and len(columns):
+        df = pd.DataFrame({c: pd.Series([], dtype="object")
+                           for c in columns})
+    return df
 
 
 def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
@@ -176,19 +220,22 @@ def q_join_revenue_by_nation(sf_dir: str):
     utils.py:210-217).
 
     Scale shape: ONLY truly dimension-sized state (nation, 25 rows) is
-    broadcast.  lineitem joins orders on orderkey via Ray's distributed
-    hash join, after a per-batch partial aggregation that collapses
-    lineitem to one row per orderkey — ~4x fewer rows and just 3 narrow
-    columns through the shuffle.  (Density precondition per CLAUDE.md
-    lesson 11: every join partition sees LEFT rows because the lineitem
-    partials are dense over orderkeys; an upstream filter that sparsens
-    the left side should switch this to the bucket-gather below.)  The
-    custkey -> nation resolution is the house union + bucket-groupby
-    pandas-merge gather, so the customer table — fact-scale in this
-    schema — never lands on the driver and is never broadcast."""
+    broadcast.  lineitem joins orders on orderkey via the house
+    adaptive attach (ops/joinutil.attach_dim: broadcast under the size
+    bar, else one bucket-gather shuffle), after a per-batch partial
+    aggregation that collapses lineitem to one row per orderkey — ~4x
+    fewer rows and just 3 narrow columns through the shuffle.  Ray's
+    Dataset.join was dropped here: it crashes whenever a shuffle
+    partition receives zero LEFT rows (CLAUDE.md lesson 11), which an
+    empty shard reproduces deterministically.  The custkey -> nation
+    resolution is the house union + bucket-groupby pandas-merge
+    gather, so the customer table — fact-scale in this schema — never
+    lands on the driver and is never broadcast."""
     import ray
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    # dimension read stays driver-side parquet (typed even when empty)
+    nation = _read_table(sf_dir, "nation",
+                         ["n_nationkey", "n_name"]).to_pandas()
     nation_ref = ray.put(dict(zip(nation["n_nationkey"].to_numpy(),
                                   nation["n_name"].to_list())))
     n_buckets = 32
@@ -207,10 +254,16 @@ def q_join_revenue_by_nation(sf_dir: str):
                                      "l_discount"])
           .map_batches(li_partial, batch_format="pyarrow"))
 
+    # lineitem-partials <- orders via the house adaptive attach
+    # (broadcast under the size bar, else ONE bucket-gather shuffle).
+    # Ray's Dataset.join is out: it crashes whenever a shuffle
+    # partition receives zero LEFT rows (CLAUDE.md lesson 11) — an
+    # empty shard reproduces it deterministically.
+    from hepcrawl_ray.ops import joinutil as J
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(orders, join_type="inner", num_partitions=4,
-                     on=("l_orderkey",), right_on=("o_orderkey",),
-                     aggregator_ray_remote_args={"num_cpus": 0.5})
+    joined, _ = J.attach_dim(li, orders, fact_key="l_orderkey",
+                             dim_key="o_orderkey", cols=["o_custkey"])
 
     def fact_partial(t: pa.Table) -> pa.Table:
         """join output -> one row per custkey per batch, union schema."""
@@ -286,7 +339,8 @@ def q_anti_join_inactive_customers(sf_dir: str):
     key set filter inside map_batches."""
     import ray
 
-    users = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    # Dataset.unique returns None (not []) over an empty table
+    users = _read(sf_dir, "events", ["user_id"]).unique("user_id") or []
     seen = pa.array(sorted(int(u) for u in users), type=pa.int64())
     seen_ref = ray.put(seen)
 
@@ -1762,7 +1816,7 @@ def q_top_ngrams(sf_dir: str):
           .groupby("bucket")
           .map_groups(sum_bucket, batch_format="pandas"))
     rows = ds.take_all()  # <= 64 buckets x 20 rows — driver-small
-    df = pd.DataFrame(rows).sort_values(
+    df = _rows_df(rows, ["shingle", "df"]).sort_values(
         ["df", "shingle"], ascending=[False, True]).head(20)
     df["df"] = df["df"].astype("int64")
     return pa.Table.from_pandas(df[["shingle", "df"]],
@@ -1790,6 +1844,10 @@ def q_percentile_prices(sf_dir: str):
             .take_all())
     vals = np.array([r["price_cents"] for r in hist], dtype=np.int64)
     cnts = np.array([r["n"] for r in hist], dtype=np.int64)
+    if not len(vals):
+        # SQL over an empty relation: quantile_disc is NULL per q row
+        return pa.table({"q": pa.array([0.25, 0.50, 0.75], pa.float64()),
+                         "price_cents": pa.array([None] * 3, pa.int64())})
     cum = np.cumsum(cnts)
     total = int(cum[-1])
     out_q, out_v = [], []
@@ -2143,9 +2201,13 @@ def q_incremental_harvest(sf_dir: str):
                 return pa.table({
                     "event_id": t.column("event_id"),
                     "day": pc.strftime(t.column("ts"), format="%Y-%m-%d")})
-            return pa.concat_tables(
+            tables = list(
                 windowed.map_batches(prep, batch_format="pyarrow")
                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+            if not tables:      # empty window (empty shard / no rows)
+                return pa.table({"event_id": pa.array([], pa.int64()),
+                                 "day": pa.array([], pa.string())})
+            return pa.concat_tables(tables)
 
         out, (lo, hi) = run_incremental_harvest(
             ds, "ts", store=store, set_id="all", until_date=d2,
@@ -2297,8 +2359,9 @@ def q_parts_above_avg_price(sf_dir: str):
         batch_format="pyarrow")
     total = cents.sum("c")
     n = cents.count()
-    # same fixed-point average definition in SQL: floor(avg_cents)
-    avg_cents = total // n
+    # same fixed-point average definition in SQL: floor(avg_cents);
+    # empty input -> no average exists and the filter keeps nothing
+    avg_cents = total // n if n else 0
 
     def above(t: pa.Table) -> pa.Table:
         c = _cents(t.column("p_retailprice").to_numpy())
@@ -3237,8 +3300,12 @@ def q_asof_purchase_view(sf_dir: str):
 
     left = ev.map_batches(split("purchase"), batch_format="pyarrow")
     right = ev.map_batches(split("view"), batch_format="pyarrow")
+    ev_schema = pa.schema([("event_id", pa.int64()),
+                           ("user_id", pa.int64()),
+                           ("ts", pa.timestamp("us"))])
     joined = TJ.asof_join(left, right, by="user_id", on="ts",
-                          tie="event_id", payload=["event_id", "ts"])
+                          tie="event_id", payload=["event_id", "ts"],
+                          left_schema=ev_schema, right_schema=ev_schema)
 
     def finish(t: pa.Table) -> pa.Table:
         l_ns = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
@@ -3278,7 +3345,11 @@ def q_range_join_clicks(sf_dir: str):
     out = TJ.range_join_agg(left, right, by="user_id", on="ts",
                             lo_us=-3_600_000_000, hi_us=0,
                             val_col="cents", n_name="n_clicks",
-                            sum_name="sum_click_cents")
+                            sum_name="sum_click_cents",
+                            left_schema=pa.schema(
+                                [("event_id", pa.int64()),
+                                 ("user_id", pa.int64()),
+                                 ("ts", pa.timestamp("us"))]))
     return out.select_columns(["event_id", "user_id", "n_clicks",
                                "sum_click_cents"])
 
@@ -3638,8 +3709,9 @@ def q_rollup_orders(sf_dir: str):
 
     # <= years*months rows per block after the partial; the global
     # combine + rollup runs over that tiny table.
-    small = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    small = _pdf(_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+                 .map_batches(partial, batch_format="pyarrow"),
+                 ["yr", "mo", "cents", "n"])
     del orders
     small["yr"] = small["yr"].astype("int64")
     small["mo"] = small["mo"].astype("int64")
@@ -3648,13 +3720,20 @@ def q_rollup_orders(sf_dir: str):
     by_year = fine.groupby("yr", as_index=False).agg(
         rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum"))
     by_year["mo"] = -1
+    # SQL rollup over an empty relation: grand total is one row with
+    # count 0 and a NULL sum (sum over nothing is NULL, not 0)
     total = pd.DataFrame({"yr": [-1], "mo": [-1],
-                          "rev_cents": [fine["rev_cents"].sum()],
-                          "n_orders": [fine["n_orders"].sum()]})
+                          "rev_cents": [fine["rev_cents"].sum()
+                                        if len(fine) else np.nan],
+                          "n_orders": [int(fine["n_orders"].sum())
+                                       if len(fine) else 0]})
     out = pd.concat([fine, by_year[["yr", "mo", "rev_cents", "n_orders"]],
                      total], ignore_index=True)
     for c in out.columns:
-        out[c] = out[c].astype("int64")
+        # concat through object-dtyped empties leaves object columns;
+        # coerce: int64 when complete, float64 (NaN = SQL NULL) if not
+        out[c] = out[c].astype("int64") if out[c].notna().all() \
+            else out[c].astype("float64")
     return out
 
 
@@ -3802,7 +3881,8 @@ def q_grouped_quantiles_chars(sf_dir: str):
              .group_by(["source", "n_chars"]).aggregate([("one", "sum")]))
         return g.rename_columns(["source", "n_chars", "cnt"])
 
-    small = docs.map_batches(hist, batch_format="pyarrow").to_pandas()
+    small = _pdf(docs.map_batches(hist, batch_format="pyarrow"),
+                 ["source", "n_chars", "cnt"])
     small["n_chars"] = small["n_chars"].astype("int64")
     merged = (small.groupby(["source", "n_chars"], as_index=False)
               ["cnt"].sum().sort_values(["source", "n_chars"]))
@@ -3832,7 +3912,8 @@ def q_semi_join_active_customers(sf_dir: str):
     customer stream filters row-locally — no shuffle."""
     import ray
 
-    users = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    # Dataset.unique returns None (not []) over an empty table
+    users = _read(sf_dir, "events", ["user_id"]).unique("user_id") or []
     seen = pa.array(sorted(int(u) for u in users), type=pa.int64())
     seen_ref = ray.put(seen)
 
@@ -4185,6 +4266,10 @@ def q_iqr_outlier_events(sf_dir: str):
          .groupby("c").aggregate(Sum("p_n", alias_name="n"))
          .sort("c").take_all())
     vals = np.array([r["c"] for r in h], dtype=np.int64)
+    if not len(vals):
+        # no rows -> no quantiles -> no outliers (SQL: empty result)
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "value_cents": pa.array([], pa.int64())})
     cum = np.cumsum(np.array([r["n"] for r in h], dtype=np.int64))
     total = int(cum[-1])
     qv = []
@@ -4715,6 +4800,9 @@ def q_revenue_share_by_nation(sf_dir: str):
     25-row aggregate driver-side — the global total is one scalar."""
     base = q_join_revenue_by_nation(sf_dir)
     df = base.to_pandas() if not isinstance(base, pd.DataFrame) else base
+    if df.shape[1] == 0:    # all-empty Dataset lost its schema
+        df = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                           "revenue_cents": pd.Series([], dtype="int64")})
     total = int(df["revenue_cents"].sum())
     out = df.copy()
     out["share_bps"] = (out["revenue_cents"] * 10000 // max(total, 1)) \
@@ -5290,11 +5378,11 @@ def q_cohort_retention(sf_dir: str):
                .size().rename(columns={"size": "n"}))
         return out
 
-    part = (_read(sf_dir, "events", ["user_id", "ts"])
-            .map_batches(pairs, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(per_bucket, batch_format="pandas")
-            .to_pandas())
+    part = _pdf(_read(sf_dir, "events", ["user_id", "ts"])
+                .map_batches(pairs, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(per_bucket, batch_format="pandas"),
+                ["cohort_wk", "wk", "n"])
     out = (part.groupby(["cohort_wk", "wk"], as_index=False)["n"].sum()
            .rename(columns={"n": "n_users"}))
     for c in out.columns:
@@ -5316,8 +5404,9 @@ def q_mode_part_size(sf_dir: str):
              .rename_columns(["p_brand", "p_size", "n"]))
         return g
 
-    small = (_read(sf_dir, "part", ["p_brand", "p_size"])
-             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    small = _pdf(_read(sf_dir, "part", ["p_brand", "p_size"])
+                 .map_batches(partial, batch_format="pyarrow"),
+                 ["p_brand", "p_size", "n"])
     small["p_size"] = small["p_size"].astype("int64")
     comb = small.groupby(["p_brand", "p_size"], as_index=False)["n"].sum()
     comb = comb.sort_values(["p_brand", "n", "p_size"],
@@ -5491,10 +5580,10 @@ def q_dsir_importance(sf_dir: str):
         return g.head(_DSIR_VOCAB)
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    cand = (docs.map_batches(cnt_partial, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(topv, batch_format="pandas")
-            .to_pandas())
+    cand = _pdf(docs.map_batches(cnt_partial, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(topv, batch_format="pandas"),
+                ["term", "all_cnt", "tgt_cnt"])
     cand = cand.sort_values(["all_cnt", "term"],
                             ascending=[False, True]).head(_DSIR_VOCAB)
     a = cand["all_cnt"].to_numpy(dtype=np.int64)
@@ -5519,7 +5608,8 @@ def q_dsir_importance(sf_dir: str):
         return pa.table({"doc_id": pa.array(docs_[order]),
                          "score": pa.array(sc[order])})
 
-    part = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    part = _pdf(docs.map_batches(score, batch_format="pyarrow"),
+                ["doc_id", "score"])
     part = part.sort_values(["score", "doc_id"],
                             ascending=[False, True]).head(_DSIR_TOPN)
     part["doc_id"] = part["doc_id"].astype("int64")
@@ -5560,10 +5650,11 @@ def q_mad_event_values(sf_dir: str):
         return pd.DataFrame({"med": [med]})
 
     def grouped_median(ds):
-        part = ds.groupby("event_type") \
-            .map_groups(lambda g: median_of(g).assign(
-                event_type=g["event_type"].iloc[0]),
-                batch_format="pandas").to_pandas()
+        part = _pdf(ds.groupby("event_type")
+                    .map_groups(lambda g: median_of(g).assign(
+                        event_type=g["event_type"].iloc[0]),
+                        batch_format="pandas"),
+                    ["med", "event_type"])
         return dict(zip(part["event_type"], part["med"].astype("int64")))
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
@@ -5689,13 +5780,13 @@ def q_bigram_collocations(sf_dir: str):
                               ascending=[False, True, True])
                 .head(_PMI_TOPN))
 
-    part = (_read(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(parts, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(attach_a, batch_format="pandas")
-            .groupby("_bucket")
-            .map_groups(attach_b, batch_format="pandas")
-            .to_pandas())
+    part = _pdf(_read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(parts, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(attach_a, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(attach_b, batch_format="pandas"),
+                ["a", "b", "nab", "n_a", "n_b"])
     out = part.sort_values(["nab", "a", "b"],
                            ascending=[False, True, True]) \
         .head(_PMI_TOPN).reset_index(drop=True)
@@ -5936,9 +6027,11 @@ def q_grouping_sets_orders(sf_dir: str):
              .aggregate([("cents", "sum"), ("one", "sum")]))
         return g.rename_columns(["st", "pr", "cents", "n"])
 
-    small = (_read(sf_dir, "orders",
-                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
-             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    small = _pdf(_read(sf_dir, "orders",
+                       ["o_orderstatus", "o_orderpriority",
+                        "o_totalprice"])
+                 .map_batches(partial, batch_format="pyarrow"),
+                 ["st", "pr", "cents", "n"])
     fine = small.groupby(["st", "pr"], as_index=False).agg(
         rev_cents=("cents", "sum"), n_orders=("n", "sum"))
     by_st = fine.groupby("st", as_index=False).agg(
@@ -6106,9 +6199,9 @@ def q_embedding_dim_stats(sf_dir: str):
             "n_vals": pa.array(np.bincount(
                 dims, minlength=d).astype(np.int64))})
 
-    small = (_read(sf_dir, "embeddings", ["embedding"])
-             .map_batches(partial, batch_format="pyarrow")
-             .to_pandas())
+    small = _pdf(_read(sf_dir, "embeddings", ["embedding"])
+                 .map_batches(partial, batch_format="pyarrow"),
+                 ["dim", "sum_micros", "n_vals"])
     out = small.groupby("dim", as_index=False)[
         ["sum_micros", "n_vals"]].sum()
     for c in ("dim", "sum_micros", "n_vals"):
@@ -6187,8 +6280,10 @@ def q_above_nation_avg_revenue(sf_dir: str):
              .aggregate([("rev_cents", "sum"), ("one", "sum")]))
         return g.rename_columns(["nationkey", "tot", "cnt"])
 
-    nat = (per_cust.map_batches(nat_partial, batch_format="pyarrow")
-           .to_pandas().groupby("nationkey", as_index=False)
+    nat = (_pdf(per_cust.map_batches(nat_partial,
+                                     batch_format="pyarrow"),
+                ["nationkey", "tot", "cnt"])
+           .groupby("nationkey", as_index=False)
            [["tot", "cnt"]].sum())
     tot = dict(zip(nat["nationkey"].astype("int64"),
                    nat["tot"].astype("int64")))
@@ -6231,8 +6326,8 @@ def q_read_pushdown_parts(sf_dir: str):
              .aggregate([("p_partkey", "count")]))
         return g.rename_columns(["p_brand", "p_size", "n"])
 
-    small = (ds.map_batches(partial, batch_format="pyarrow")
-             .to_pandas())
+    small = _pdf(ds.map_batches(partial, batch_format="pyarrow"),
+                 ["p_brand", "p_size", "n"])
     out = small.groupby(["p_brand", "p_size"], as_index=False)["n"] \
         .sum()
     out["p_size"] = out["p_size"].astype("int64")
@@ -6341,9 +6436,11 @@ def q_cube_orders(sf_dir: str):
              .aggregate([("cents", "sum"), ("one", "sum")]))
         return g.rename_columns(["st", "pr", "cents", "n"])
 
-    small = (_read(sf_dir, "orders",
-                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
-             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    small = _pdf(_read(sf_dir, "orders",
+                       ["o_orderstatus", "o_orderpriority",
+                        "o_totalprice"])
+                 .map_batches(partial, batch_format="pyarrow"),
+                 ["st", "pr", "cents", "n"])
     fine = small.groupby(["st", "pr"], as_index=False).agg(
         rev_cents=("cents", "sum"), n_orders=("n", "sum"))
     by_st = fine.groupby("st", as_index=False).agg(
@@ -6352,15 +6449,20 @@ def q_cube_orders(sf_dir: str):
     by_pr = fine.groupby("pr", as_index=False).agg(
         rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum"))
     by_pr["st"] = "(all)"
+    # SQL CUBE over an empty relation still emits the grand-total
+    # row: count 0, NULL sum (sum over nothing is NULL)
     grand = pd.DataFrame({
         "st": ["(all)"], "pr": ["(all)"],
-        "rev_cents": [fine["rev_cents"].sum()],
-        "n_orders": [fine["n_orders"].sum()]})
+        "rev_cents": [fine["rev_cents"].sum() if len(fine) else np.nan],
+        "n_orders": [int(fine["n_orders"].sum()) if len(fine) else 0]})
     cols = ["st", "pr", "rev_cents", "n_orders"]
     out = pd.concat([fine[cols], by_st[cols], by_pr[cols], grand[cols]],
                     ignore_index=True)
     for c in ("rev_cents", "n_orders"):
-        out[c] = out[c].astype("int64")
+        # concat through object-dtyped empties leaves object columns;
+        # coerce: int64 when complete, float64 (NaN = SQL NULL) if not
+        out[c] = out[c].astype("int64") if out[c].notna().all() \
+            else out[c].astype("float64")
     return out
 
 
@@ -6627,8 +6729,9 @@ def q_customer_order_distribution(sf_dir: str):
         .map_batches(ord_partial, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey"]) \
         .map_batches(cust_side, batch_format="pyarrow")
-    local = orders.union(cust).groupby("_bucket") \
-        .map_groups(local_hist, batch_format="pandas").to_pandas()
+    local = _pdf(orders.union(cust).groupby("_bucket")
+                 .map_groups(local_hist, batch_format="pandas"),
+                 ["c_count", "n_custs"])
     return (local.groupby("c_count", as_index=False)["n_custs"].sum()
             .astype({"c_count": "int64", "n_custs": "int64"}))
 
@@ -6891,9 +6994,9 @@ def q_rolling_active_users(sf_dir: str):
 
     # observed-day calendar: dimension-sized (epoch days), safe to
     # collect and close over
-    cal = base.map_batches(
+    cal = _pdf(base.map_batches(
         lambda t: pa.table({"day": pc.unique(t.column("day"))}),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow"), ["day"])
     days = np.sort(cal["day"].unique()).astype(np.int64)
 
     def expand(t: pa.Table) -> pa.Table:
@@ -6949,6 +7052,12 @@ def q_price_decile_stats(sf_dir: str):
             .sort("cents").take_all())
     vals = np.array([r["cents"] for r in rows], dtype=np.int64)
     cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    if not len(vals):   # empty relation: no deciles, no rows (SQL)
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table(
+            {"decile": pa.array([], pa.int64()),
+             "rev_cents": pa.array([], pa.int64()),
+             "n_orders": pa.array([], pa.int64())}))
     cum = np.cumsum(cnts)
     total = int(cum[-1])
     bounds = np.array(
@@ -7024,8 +7133,9 @@ def q_event_trigrams(sf_dir: str):
                 .groupby("_bucket")
                 .map_groups(trigram_counts, batch_format="pandas")
                 .groupby("trigram")
-                .aggregate(Sum("p_n", alias_name="n"))
-                .to_pandas())  # vocabulary-sized (<= |types|^3 rows)
+                .aggregate(Sum("p_n", alias_name="n")))
+    combined = _pdf(combined, ["trigram", "n"])
+    # vocabulary-sized (<= |types|^3 rows)
     top = combined.sort_values(["n", "trigram"],
                                ascending=[False, True]).head(10)
     return top.reset_index(drop=True).astype({"n": "int64"})
@@ -7107,12 +7217,14 @@ def q_weighted_median_price(sf_dir: str):
              .group_by(["flag", "cents"]).aggregate([("w", "sum")]))
         return g.rename_columns(["flag", "cents", "p_w"])
 
-    hist = (_read(sf_dir, "lineitem",
-                  ["l_returnflag", "l_extendedprice", "l_quantity"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["flag", "cents"])
-            .aggregate(Sum("p_w", alias_name="w"))
-            .to_pandas())        # distinct (flag, price) pairs only
+    hist = _pdf(_read(sf_dir, "lineitem",
+                      ["l_returnflag", "l_extendedprice",
+                       "l_quantity"])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(["flag", "cents"])
+                .aggregate(Sum("p_w", alias_name="w")),
+                ["flag", "cents", "w"])
+    # distinct (flag, price) pairs only
     out_f, out_v = [], []
     for flag, g in hist.groupby("flag"):
         g = g.sort_values("cents")
@@ -7217,10 +7329,11 @@ def q_nation_rank_agreement(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    per_nation = (fact.groupby("n_name")
-                  .aggregate(Sum("p_rev", alias_name="rev"),
-                             Sum("p_n", alias_name="n_orders"))
-                  .to_pandas())           # 25 rows by construction
+    per_nation = _pdf(fact.groupby("n_name")
+                      .aggregate(Sum("p_rev", alias_name="rev"),
+                                 Sum("p_n", alias_name="n_orders")),
+                      ["n_name", "rev", "n_orders"])
+    # 25 rows by construction
     per_nation = per_nation.sort_values("n_name").reset_index(drop=True)
     rr = per_nation.sort_values(["rev", "n_name"],
                                 ascending=[False, True])
@@ -7297,7 +7410,8 @@ def q_monthly_revenue_growth(sf_dir: str):
     Scale shape: the distributed monthly aggregate collapses to a
     vocabulary-sized series (one row per month), so the LAG runs on
     the driver by design."""
-    monthly = q_monthly_revenue(sf_dir).to_pandas() \
+    monthly = _pdf(q_monthly_revenue(sf_dir),
+                   ["month", "rev_cents", "n_orders"]) \
         .sort_values("month").reset_index(drop=True)
     prev = monthly["rev_cents"].shift(1)
     out = monthly.iloc[1:].copy()
@@ -7335,12 +7449,22 @@ def q_data_quality_audit(sf_dir: str):
             "check": pa.array(list(checks), pa.string()),
             "p_viol": pa.array(list(checks.values()), pa.int64())})
 
-    return (_read(sf_dir, "orders",
-                  ["o_orderkey", "o_totalprice", "o_orderdate",
-                   "o_orderstatus"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("check")
-            .aggregate(Sum("p_viol", alias_name="violations")))
+    agg = _pdf(_read(sf_dir, "orders",
+                     ["o_orderkey", "o_totalprice", "o_orderdate",
+                      "o_orderstatus"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("check")
+               .aggregate(Sum("p_viol", alias_name="violations")),
+               ["check", "violations"])
+    # the audit reports EVERY check, zero-filled — SQL's constant check
+    # list aggregates to 0 rows even over an empty table
+    out = (pd.DataFrame({"check": ["nonpositive_price",
+                                   "null_or_bad_key",
+                                   "date_before_1990",
+                                   "unknown_status"]})
+           .merge(agg, on="check", how="left"))
+    out["violations"] = out["violations"].fillna(0).astype("int64")
+    return out.sort_values("check").reset_index(drop=True)
 
 
 def q_debounce_events(sf_dir: str):
@@ -7552,14 +7676,22 @@ def q_incremental_agg_merge(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    lo_hi = _read(sf_dir, "events", ["ts"]).map_batches(
-        lambda t: pa.table({
+    def minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({
             "lo": [int(pc.min(t.column("ts")).cast(pa.int64()).as_py())],
-            "hi": [int(pc.max(t.column("ts")).cast(pa.int64()).as_py())]}),
-        batch_format="pyarrow").to_pandas()
-    lo = int(lo_hi["lo"].min()) // 86_400_000_000
-    hi = int(lo_hi["hi"].max()) // 86_400_000_000
-    cut_day = (lo + hi) // 2
+            "hi": [int(pc.max(t.column("ts")).cast(pa.int64()).as_py())]})
+
+    lo_hi = _pdf(_read(sf_dir, "events", ["ts"]).map_batches(
+        minmax, batch_format="pyarrow"), ["lo", "hi"])
+    if len(lo_hi):
+        lo = int(lo_hi["lo"].min()) // 86_400_000_000
+        hi = int(lo_hi["hi"].max()) // 86_400_000_000
+        cut_day = (lo + hi) // 2
+    else:
+        cut_day = 0    # no observed days: both halves are empty
 
     def partial(half: str):
         def f(t: pa.Table) -> pa.Table:
@@ -7586,7 +7718,14 @@ def q_incremental_agg_merge(sf_dir: str):
     state_dir = tempfile.mkdtemp(prefix="ivm_state_",
                                  dir=os.environ.get("TMPDIR", "/tmp"))
     agg("state").write_parquet(state_dir)          # the stored view
-    state = ray.data.read_parquet(state_dir)       # ...read back
+    if any(f.endswith(".parquet") for f in os.listdir(state_dir)):
+        state = ray.data.read_parquet(state_dir)   # ...read back
+    else:
+        # an all-empty aggregate writes no files: typed-empty state
+        state = ray.data.from_arrow(pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "sum_cents": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}))
     delta = agg("delta")
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -7610,8 +7749,10 @@ def q_status_priority_grid(sf_dir: str):
              .group_by(["st", "pr"]).aggregate([("one", "sum")]))
         return g.rename_columns(["st", "pr", "n"])
 
-    small = (_read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
-             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    small = _pdf(_read(sf_dir, "orders",
+                       ["o_orderstatus", "o_orderpriority"])
+                 .map_batches(partial, batch_format="pyarrow"),
+                 ["st", "pr", "n"])
     fine = small.groupby(["st", "pr"], as_index=False)["n"].sum()
     grid = pd.MultiIndex.from_product(
         [sorted(fine["st"].unique()), sorted(fine["pr"].unique())],
@@ -8222,10 +8363,11 @@ def q_tfidf_source_terms(sf_dir: str):
         out = tf.groupby("source").head(_TFIDF_TOPK)
         return out[["source", "term", "tf", "df", "score_micro"]]
 
-    cand = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
-            .map_batches(explode, batch_format="pyarrow")
-            .groupby("_b").map_groups(score, batch_format="pandas")
-            .to_pandas())
+    cand = _pdf(_read(sf_dir, "documents", ["doc_id", "text",
+                                            "source"])
+                .map_batches(explode, batch_format="pyarrow")
+                .groupby("_b").map_groups(score, batch_format="pandas"),
+                ["source", "term", "tf", "df", "score_micro"])
     cand = cand.sort_values(["source", "score_micro", "term"],
                             ascending=[True, False, True],
                             kind="mergesort")
@@ -8639,8 +8781,9 @@ def q_peak_concurrent_users(sf_dir: str):
             "peak": np.array([cur[i]], np.int64),
             "first_peak_ts_us": np.array([g["ts"].iloc[i]], np.int64)})
 
-    cand = (net.groupby("tb")
-            .map_groups(local_peak, batch_format="pandas").to_pandas())
+    cand = _pdf(net.groupby("tb")
+                .map_groups(local_peak, batch_format="pandas"),
+                ["peak", "first_peak_ts_us"])
     cand = cand.sort_values(["peak", "first_peak_ts_us"],
                             ascending=[False, True], kind="mergesort")
     out = cand.head(1).reset_index(drop=True)
@@ -8783,9 +8926,10 @@ def q_dow_activity_profile(sf_dir: str):
             out[c] = out[c].astype("int64")
         return out
 
-    part = (ev.map_batches(partial, batch_format="pyarrow")
-            .groupby("_b").map_groups(per_bucket, batch_format="pandas")
-            .to_pandas())
+    part = _pdf(ev.map_batches(partial, batch_format="pyarrow")
+                .groupby("_b").map_groups(per_bucket,
+                                          batch_format="pandas"),
+                ["dow", "p_events", "p_users"])
     out = (part.groupby("dow", as_index=False)
            .agg(n_events=("p_events", "sum"),
                 n_users=("p_users", "sum")))
@@ -8853,6 +8997,12 @@ def q_winsorized_value_stats(sf_dir: str):
             .sort("cents").take_all())
     vals = np.array([int(r["cents"]) for r in hist], np.int64)
     cnts = np.array([int(r["n"]) for r in hist], np.int64)
+    if not len(vals):   # empty relation: no cut points, no rows (SQL)
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "sum_wins_cents": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}))
     cum = np.cumsum(cnts)
     n_total = int(cum[-1])
 
@@ -9025,7 +9175,8 @@ def q_q6_discount_revenue(sf_dir: str):
         return pa.table({"p_rev": pa.array([int(rev.sum())]),
                          "p_n": pa.array([int(keep.sum())])})
 
-    rows = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = _pdf(li.map_batches(partial, batch_format="pyarrow"),
+                ["p_rev", "p_n"])
     return pd.DataFrame({
         "rev_cents": pd.array([int(rows["p_rev"].sum())], dtype="int64"),
         "n_rows": pd.array([int(rows["p_n"].sum())], dtype="int64")})
@@ -9050,8 +9201,8 @@ def q_segment_balance_stats(sf_dir: str):
         return g.rename_columns(
             ["c_mktsegment", "p_s", "p_mn", "p_mx", "p_n"])
 
-    part = (cust.map_batches(partial, batch_format="pyarrow")
-            .to_pandas())
+    part = _pdf(cust.map_batches(partial, batch_format="pyarrow"),
+                ["c_mktsegment", "p_s", "p_mn", "p_mx", "p_n"])
     out = (part.groupby("c_mktsegment", as_index=False)
            .agg(n_customers=("p_n", "sum"),
                 sum_bal_cents=("p_s", "sum"),
@@ -9131,7 +9282,8 @@ def q_q14_promo_revenue_ratio(sf_dir: str):
              .aggregate([("pp", "sum"), ("pt", "sum")]))
         return g.rename_columns(["ship_year", "pp", "pt"])
 
-    rows = fact.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = _pdf(fact.map_batches(partial, batch_format="pyarrow"),
+                ["ship_year", "pp", "pt"])
     out = (rows.groupby("ship_year", as_index=False)
            .agg(promo_rev_cents=("pp", "sum"),
                 total_rev_cents=("pt", "sum")))
@@ -9233,10 +9385,10 @@ def q_q17_small_quantity_revenue(sf_dir: str):
                               dtype="int64"),
             "p_n": pd.array([int(keep.sum())], dtype="int64")})
 
-    rows = (li.map_batches(tag, batch_format="pyarrow")
-            .groupby("bucket").map_groups(per_bucket,
-                                          batch_format="pandas")
-            .to_pandas())
+    rows = _pdf(li.map_batches(tag, batch_format="pyarrow")
+                .groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas"),
+                ["p_rev", "p_n"])
     return pd.DataFrame({
         "small_qty_rev_cents": pd.array([int(rows["p_rev"].sum())],
                                         dtype="int64"),
@@ -9275,7 +9427,8 @@ def q_q19_disjunctive_revenue(sf_dir: str):
         return pa.table({"p_rev": pa.array([int(rev.sum())]),
                          "p_n": pa.array([int(keep.sum())])})
 
-    rows = fact.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = _pdf(fact.map_batches(partial, batch_format="pyarrow"),
+                ["p_rev", "p_n"])
     return pd.DataFrame({
         "rev_cents": pd.array([int(rows["p_rev"].sum())],
                               dtype="int64"),
@@ -9415,7 +9568,8 @@ def q_idle_rich_customers(sf_dir: str):
         return pa.table({"p_s": pa.array([int(_cents(bal[pos]).sum())]),
                          "p_n": pa.array([int(pos.sum())])})
 
-    g = cust.map_batches(p1, batch_format="pyarrow").to_pandas()
+    g = _pdf(cust.map_batches(p1, batch_format="pyarrow"),
+             ["p_s", "p_n"])
     s, n = int(g["p_s"].sum()), int(g["p_n"].sum())
 
     def rich(t: pa.Table) -> pa.Table:
@@ -9439,9 +9593,13 @@ def q_idle_rich_customers(sf_dir: str):
 
     active = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
               .map_batches(recent, batch_format="pyarrow"))
-    survivors = bloom_anti_join(
-        cust.map_batches(rich, batch_format="pyarrow"), active,
-        key_col="c_custkey", done_key_col="o_custkey")
+    rich_ds = _seeded(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64()),
+                   ("nationkey", pa.int64()),
+                   ("cents", pa.int64())]))
+    survivors = bloom_anti_join(rich_ds, active, key_col="c_custkey",
+                                done_key_col="o_custkey")
 
     def p2(t: pa.Table) -> pa.Table:
         return (pa.table({"nationkey": t.column("nationkey"),
@@ -9451,7 +9609,8 @@ def q_idle_rich_customers(sf_dir: str):
                 .aggregate([("pc", "sum"), ("ps", "sum")])
                 .rename_columns(["nationkey", "pc", "ps"]))
 
-    rows = survivors.map_batches(p2, batch_format="pyarrow").to_pandas()
+    rows = _pdf(survivors.map_batches(p2, batch_format="pyarrow"),
+                ["nationkey", "pc", "ps"])
     if len(rows) == 0:
         return pd.DataFrame({
             "nationkey": pd.array([], dtype="int64"),
@@ -11053,13 +11212,16 @@ def q_regression_price_qty(sf_dir: str):
                          "sxx": pa.array([int((x * x).sum())]),
                          "sxy": pa.array([int((x * y).sum())])})
 
-    p = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    p = _pdf(li.map_batches(partial, batch_format="pyarrow"),
+             ["n", "sx", "sy", "sxx", "sxy"])
     n = int(p["n"].sum())
     if n == 0:
+        # SQL: global aggregate over an empty relation is ONE row —
+        # count 0 and NULL regression coefficients
         return pd.DataFrame({
-            "n_rows": pd.array([], dtype="int64"),
-            "slope_micro": pd.array([], dtype="int64"),
-            "intercept_cents": pd.array([], dtype="int64")})
+            "n_rows": pd.array([0], dtype="int64"),
+            "slope_micro": pd.array([np.nan], dtype="float64"),
+            "intercept_cents": pd.array([np.nan], dtype="float64")})
     sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
     sxx, sxy = int(p["sxx"].sum()), int(p["sxy"].sum())
 
@@ -11292,14 +11454,55 @@ ORACLE_SQL.update({
 })
 
 
+_SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
+               "bool": pa.bool_(), "float64": pa.float64()}
+
+
+def _with_output_schema(name, fn):
+    """Wrap an oracled query so its returned Dataset carries a typed
+    zero-row seed block (hepcrawl_ray/output_schemas.py): Ray drops
+    empty map-output blocks, so an ALL-EMPTY result (an empty shard)
+    otherwise loses its schema entirely — ds.schema() is None and a
+    write_parquet of it is columnless.  With the seed, consumers can
+    always recover the typed empty from ds.schema().  Non-Dataset
+    returns (driver-side pandas/pyarrow results) already carry their
+    schema and pass through untouched."""
+    import functools
+
+    from hepcrawl_ray.output_schemas import OUTPUT_SCHEMAS
+
+    spec = OUTPUT_SCHEMAS.get(name)
+    if spec is None:
+        return fn
+    schema = pa.schema([(c, _SEED_TYPES[t]) for c, t in spec])
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str):
+        import ray.data as rd
+
+        out = fn(sf_dir)
+        if isinstance(out, rd.Dataset):
+            out = _seeded(out, schema)
+            # sort/limit plans can't report a schema statically and
+            # Ray asserts re-executing a consumed plan, so pin the
+            # known schema on the object for conversion boundaries
+            out._hepcrawl_schema = schema
+        return out
+
+    return wrapped
+
+
 def _reorder_registry():
     """Driver correctness runs check a BOUNDED PREFIX of this registry
     (r02 checked exactly the first 50 of 63 entries), so order it:
     every ORACLE_SQL-bearing query first (full three-gate check), then
     the flagship crawl queries, then the remaining rows-only entries.
-    Must run LAST in this module — keep it below every QUERIES.update.
+    Also attaches the typed-empty output-schema seed to every oracled
+    query (see _with_output_schema).  Must run LAST in this module —
+    keep it below every QUERIES.update.
     """
-    ordered = {n: QUERIES[n] for n in QUERIES if n in ORACLE_SQL}
+    ordered = {n: _with_output_schema(n, QUERIES[n])
+               for n in QUERIES if n in ORACLE_SQL}
     ordered.update({n: QUERIES[n] for n in QUERIES
                     if n.startswith("crawl_") and n not in ordered})
     ordered.update({n: QUERIES[n] for n in QUERIES if n not in ordered})

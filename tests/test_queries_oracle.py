@@ -31,7 +31,25 @@ def to_pandas(result) -> pd.DataFrame:
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if df.shape[1] == 0:
+            # Ray's to_pandas drops empty blocks, losing the schema of
+            # an all-empty result; recover the typed empty from the
+            # plan schema (queries seed it — pipelines/queries.py
+            # _with_output_schema)
+            pinned = getattr(result, "_hepcrawl_schema", None)
+            if pinned is not None:
+                return pinned.empty_table().to_pandas()
+            try:
+                s = result.schema(fetch_if_missing=False)
+                if s is None:
+                    s = result.schema(fetch_if_missing=True)
+            except Exception:
+                s = None   # Ray asserts re-executing consumed plans
+            if s is not None and len(s.names):
+                df = pa.schema(list(zip(s.names, s.types))) \
+                    .empty_table().to_pandas()
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result
