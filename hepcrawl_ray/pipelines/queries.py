@@ -11454,6 +11454,203 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# Session-7 batch 1: string-similarity join (FastSS), Pareto skyline,
+# market-basket pair mining, relational division.
+# ---------------------------------------------------------------------------
+
+
+def q_simjoin_editdist_names(sf_dir: str):
+    """Exact Levenshtein<=2 self-join over DISTINCT part names via
+    FastSS deletion neighborhoods (ops/simjoin.py) — the fuzzy-key
+    record-matching shape (analog: hepcrawl's dedupe of records with
+    no exact id, hepcrawl/utils.py:220-240).  Candidate generation is
+    ONE equi-key shuffle on the 64-bit variant hash; the O(len^2)
+    DP verify runs on candidate pairs only, never across the
+    vocabulary.  Oracle uses DuckDB's levenshtein() over the same
+    distinct-value cross join (vocabulary is small; the corpus scan
+    that FEEDS the distinct is the scale side)."""
+    from hepcrawl_ray.ops import simjoin as SJ
+
+    out = _pdf(SJ.editdist_selfjoin(
+        _read(sf_dir, "part", ["p_name"]), col="p_name", k=2),
+        ["name_a", "name_b", "dist"])
+    out = out[["name_a", "name_b", "dist"]]
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+def q_skyline_parts(sf_dir: str):
+    """2-D Pareto skyline of part: minimize price (integer cents),
+    maximize size — parts not dominated by any cheaper-and-bigger
+    part (analog: pick-the-best-source harvest planning).  Per-batch
+    vectorized local skyline, then one driver re-filter of the tiny
+    union (ops/simjoin.py:skyline2d) — the driver never sees O(n)."""
+    from hepcrawl_ray.ops import simjoin as SJ
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "price_cents": pa.array(
+                _cents(t.column("p_retailprice").to_numpy(
+                    zero_copy_only=False))),
+            "p_size": t.column("p_size").cast(pa.int64()),
+        })
+
+    out = SJ.skyline2d(
+        _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(prep, batch_format="pyarrow"),
+        min_col="price_cents", max_col="p_size")
+    if out.shape[1] == 0:
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ("p_partkey", "price_cents",
+                                      "p_size")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out[["p_partkey", "price_cents", "p_size"]]
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
+def q_basket_pair_counts(sf_dir: str):
+    """Market-basket pair mining: part pairs co-ordered in >= 2
+    distinct orders (the co-occurrence step of frequent-itemset
+    mining).  Per-order pair expansion happens INSIDE the orderkey
+    bucket groups (pandas self-merge in C — never a corpus cross
+    join), partial pair counts combine per bucket, and only
+    (pair, count) rows cross the second shuffle."""
+    n_buckets = 64
+
+    def op_distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        b = (g.column("l_orderkey").to_numpy(zero_copy_only=False)
+             .astype(np.int64) % n_buckets)
+        return g.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = (m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+               .agg(_pn=("l_orderkey", "count")))
+        out["_pb"] = ((out["l_partkey_a"] * 1_000_003
+                       + out["l_partkey_b"]) % n_buckets).astype("int64")
+        return out
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+               .agg(n_orders=("_pn", "sum")))
+        out = out[out["n_orders"] >= 2]
+        return out.rename(columns={"l_partkey_a": "part_a",
+                                   "l_partkey_b": "part_b"})
+
+    out = _pdf(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(op_distinct, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(pairs, batch_format="pandas")
+        .groupby("_pb").map_groups(total, batch_format="pandas"),
+        ["part_a", "part_b", "n_orders"])
+    out = out[["part_a", "part_b", "n_orders"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["part_a", "part_b"])
+            .reset_index(drop=True))
+
+
+def q_division_users_all_types(sf_dir: str):
+    """Relational division: users who triggered EVERY event type
+    (the "suppliers covering all parts" shape).  Per-batch distinct
+    (user, type) pairs shrink the shuffle; the user-bucket group
+    counts distinct types per user in pandas C; the divisor (the
+    global type dimension) is collected separately — it is
+    vocabulary-sized by definition of division."""
+    n_buckets = 64
+
+    def pdistinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        b = (g.column("user_id").to_numpy(zero_copy_only=False)
+             .astype(np.int64) % n_buckets)
+        return g.append_column("_bucket", pa.array(b, pa.int64()))
+
+    pairs = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(pdistinct, batch_format="pyarrow"))
+
+    def types_only(t: pa.Table) -> pa.Table:
+        return pa.table({"t": pc.unique(t.column("event_type"))})
+
+    n_types = len(set(
+        _pdf(pairs.map_batches(types_only, batch_format="pyarrow"),
+             ["t"])["t"]))
+
+    def full_cover(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.drop_duplicates(["user_id", "event_type"])
+               .groupby("user_id", as_index=False)
+               .agg(n=("event_type", "nunique")))
+        out = cnt.loc[cnt["n"] == n_types, ["user_id"]]
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    out = _pdf(pairs.groupby("_bucket")
+               .map_groups(full_cover, batch_format="pandas"),
+               ["user_id"])
+    out = out[["user_id"]]
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES.update({
+    "simjoin_editdist_names": q_simjoin_editdist_names,
+    "skyline_parts": q_skyline_parts,
+    "basket_pair_counts": q_basket_pair_counts,
+    "division_users_all_types": q_division_users_all_types,
+})
+
+ORACLE_SQL.update({
+    "simjoin_editdist_names": """
+        WITH n AS (SELECT DISTINCT p_name FROM part
+                   WHERE p_name IS NOT NULL)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM n a JOIN n b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY name_a, name_b
+    """,
+    "skyline_parts": """
+        WITH p AS (
+            SELECT p_partkey,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(p_size AS BIGINT) AS p_size
+            FROM part)
+        SELECT p_partkey, price_cents, p_size FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.price_cents <= a.price_cents
+              AND b.p_size >= a.p_size
+              AND (b.price_cents < a.price_cents
+                   OR b.p_size > a.p_size))
+        ORDER BY p_partkey
+    """,
+    "basket_pair_counts": """
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY part_a, part_b
+    """,
+    "division_users_all_types": """
+        SELECT user_id FROM events
+        GROUP BY user_id
+        HAVING count(DISTINCT event_type) =
+               (SELECT count(DISTINCT event_type) FROM events)
+        ORDER BY user_id
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

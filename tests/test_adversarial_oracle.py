@@ -344,6 +344,13 @@ ADVERSARIAL_QUERIES = [
     # session-6 batch 5: degree histogram over the tiny handcrafted
     # doc set (SQL edge generator must agree bit-for-bit)
     "graph_degree_stats",
+    # session-7 batch 1: "part N" names are all pairwise lev<=1
+    # (FastSS must emit the full clique); skyline with price AND size
+    # ties (all tied non-dominated rows survive); single-part baskets
+    # (pair join over one partkey is empty); division over handcrafted
+    # users where NO user covers all 5 types (legitimately empty)
+    "simjoin_editdist_names", "skyline_parts", "basket_pair_counts",
+    "division_users_all_types",
 ]
 
 

@@ -1,0 +1,114 @@
+"""FastSS edit-distance join and 2-D skyline: exactness vs brute force.
+
+The distributed paths (ops/simjoin.py) must produce EXACTLY the pairs /
+rows a naive O(n^2) scan finds — FastSS candidate generation is only a
+speedup, never a recall trade, and per-block local skylines must be a
+lossless projection of the global frontier.
+"""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hepcrawl_ray.ops import simjoin as SJ
+
+
+def _brute_pairs(vocab, k):
+    out = set()
+    for a in vocab:
+        for b in vocab:
+            if a < b and SJ.levenshtein(a, b) <= k:
+                out.add((a, b, SJ.levenshtein(a, b)))
+    return out
+
+
+def test_levenshtein_basics():
+    assert SJ.levenshtein("", "") == 0
+    assert SJ.levenshtein("abc", "abc") == 0
+    assert SJ.levenshtein("abc", "abd") == 1
+    assert SJ.levenshtein("abc", "ab") == 1
+    assert SJ.levenshtein("abc", "xabc") == 1
+    assert SJ.levenshtein("kitten", "sitting") == 3
+    assert SJ.levenshtein("", "abc") == 3
+
+
+def test_deletion_neighborhood_counts():
+    nb = SJ._deletion_neighborhood("abcd", 1)
+    assert nb == {"abcd", "bcd", "acd", "abd", "abc"}
+    nb2 = SJ._deletion_neighborhood("ab", 2)
+    assert nb2 == {"ab", "a", "b", ""}
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_fastss_matches_bruteforce(ray_session, k):
+    import ray.data as rd
+
+    rng = random.Random(42)
+    alpha = "abcde"
+    vocab = sorted({"".join(rng.choice(alpha)
+                            for _ in range(rng.randint(2, 7)))
+                    for _ in range(80)})
+    # corpus repeats vocab entries (join is over DISTINCT values)
+    corpus = [rng.choice(vocab) for _ in range(400)]
+    ds = rd.from_pandas(pd.DataFrame({"w": corpus})).repartition(4)
+    got = SJ.editdist_selfjoin(ds, col="w", k=k).to_pandas()
+    got_set = set(zip(got["name_a"], got["name_b"], got["dist"]))
+    assert got_set == _brute_pairs(vocab, k)
+
+
+def test_fastss_null_and_empty(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"w": pa.array([None, None],
+                                               pa.string())}))
+    out = SJ.editdist_selfjoin(ds, col="w", k=1).to_pandas()
+    assert len(out) == 0
+
+
+def _brute_sky(df, mn, mx):
+    keep = []
+    for i, r in df.iterrows():
+        dominated = any(
+            (o[mn] <= r[mn] and o[mx] >= r[mx]
+             and (o[mn] < r[mn] or o[mx] > r[mx]))
+            for _, o in df.iterrows())
+        if not dominated:
+            keep.append(i)
+    return df.loc[keep]
+
+
+def test_local_skyline_bruteforce():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "id": np.arange(60, dtype=np.int64),
+        "cost": rng.integers(0, 12, 60).astype(np.int64),
+        "gain": rng.integers(0, 12, 60).astype(np.int64),
+    })
+    got = SJ.local_skyline2d(df, "cost", "gain")
+    want = _brute_sky(df, "cost", "gain")
+    assert sorted(got["id"]) == sorted(want["id"])
+
+
+def test_local_skyline_ties_survive():
+    df = pd.DataFrame({"id": [1, 2, 3], "cost": [5, 5, 5],
+                       "gain": [9, 9, 3]})
+    got = SJ.local_skyline2d(df, "cost", "gain")
+    assert sorted(got["id"]) == [1, 2]
+
+
+def test_distributed_skyline_matches_local(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "id": np.arange(500, dtype=np.int64),
+        "cost": rng.integers(0, 40, 500).astype(np.int64),
+        "gain": rng.integers(0, 40, 500).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    got = SJ.skyline2d(ds, "cost", "gain")
+    want = SJ.local_skyline2d(df, "cost", "gain")
+    assert sorted(got["id"]) == sorted(want["id"])
