@@ -377,3 +377,147 @@ def kcore_reference(src: np.ndarray, dst: np.ndarray,
                  if a not in dead and b not in dead}
         if not edges:
             return {}
+
+
+# ------------------------------------------------------------------ BFS ----
+
+def bfs_hops(edges_ds, *, sources=(0,), max_hops: int = 6,
+             n_buckets: int = 8, src_col: str = "src",
+             dst_col: str = "dst") -> pd.DataFrame:
+    """Multi-source BFS hop distance over the UNDIRECTED graph.
+
+    Returns (node, dist) for every node reachable from ``sources``
+    within ``max_hops`` hops (sources themselves at dist 0, whether or
+    not they appear in the edge list — the SQL recursive-CTE seed
+    rule).  Frontier expansion is level-synchronous: each round is two
+    keyed bucket shuffles (frontier x adjacency gather, then
+    candidates-minus-settled dedup), the settled state re-coalesces to
+    ``n_buckets`` blocks every round (CLAUDE.md lesson #17 — without
+    it the union+groupby doubles state blocks per round), and the loop
+    stops early the first round that settles nothing.
+
+    Oracle-able: DuckDB's WITH RECURSIVE ... UNION enumerates
+    (node, dist<=max_hops) pairs; MIN(dist) per node equals the BFS
+    distance, so this iterative algorithm gets a real SQL oracle.
+    """
+    import ray.data as rd
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        return pa.table({
+            "node": pa.array(u), "nbr": pa.array(v),
+            "dist": pa.nulls(len(u), pa.int64()),
+            "_side": pa.array(np.zeros(len(u), np.int8)),
+            "_bucket": pa.array((u % n_buckets).astype(np.int64))})
+
+    def adj_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["node", "nbr"]].astype({"node": "int64", "nbr": "int64"}) \
+            .drop_duplicates()
+        g["dist"] = pd.array([pd.NA] * len(g), dtype="Int64")
+        g["_side"] = np.int8(0)
+        g["_bucket"] = (g["node"] % n_buckets).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    adj = (edges_ds.map_batches(sym, batch_format="pyarrow")
+           .groupby("_bucket").map_groups(adj_dedup,
+                                          batch_format="pandas")
+           .repartition(n_buckets).materialize())
+
+    src = np.unique(np.asarray(list(sources), np.int64))
+    settled_t = pa.table({
+        "node": pa.array(src),
+        "nbr": pa.nulls(len(src), pa.int64()),
+        "dist": pa.array(np.zeros(len(src), np.int64)),
+        "_side": pa.array(np.ones(len(src), np.int8)),
+        "_bucket": pa.array((src % n_buckets).astype(np.int64))})
+    settled = rd.from_arrow(settled_t).materialize()
+    n_settled = settled.count()
+
+    for r in range(max_hops):
+        def frontier_only(t: pa.Table, _r=r) -> pa.Table:
+            d = t.column("dist").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(d == _r))
+
+        frontier = settled.map_batches(frontier_only,
+                                       batch_format="pyarrow")
+
+        def expand(g: pd.DataFrame, _r=r) -> pd.DataFrame:
+            ed = g[g["_side"] == 0][["node", "nbr"]]
+            fr = g[g["_side"] == 1][["node"]]
+            if ed.empty or fr.empty:
+                cand = np.empty(0, np.int64)
+            else:
+                m = ed.merge(fr.drop_duplicates(), on="node")
+                cand = np.unique(m["nbr"].to_numpy(dtype=np.int64))
+            return pa.table({
+                "node": pa.array(cand),
+                "nbr": pa.nulls(len(cand), pa.int64()),
+                "dist": pa.array(np.full(len(cand), _r + 1, np.int64)),
+                "_side": pa.array(np.zeros(len(cand), np.int8)),
+                "_bucket": pa.array((cand % n_buckets).astype(np.int64))})
+
+        cands = (adj.union(frontier)
+                 .groupby("_bucket")
+                 .map_groups(expand, batch_format="pandas"))
+
+        def settle(g: pd.DataFrame) -> pd.DataFrame:
+            old = g[g["_side"] == 1]
+            new = g[g["_side"] == 0].drop_duplicates("node")
+            new = new[~new["node"].isin(set(old["node"]))]
+            out = pd.concat([old, new], ignore_index=True)
+            out["_side"] = np.int8(1)
+            out["node"] = out["node"].astype("int64")
+            out["dist"] = out["dist"].astype("int64")
+            out["_bucket"] = out["_bucket"].astype("int64")
+            # rebuild as Arrow (unions need uniform block types and
+            # nbr arrives as float64 after the null-int round trip)
+            return pa.table({
+                "node": pa.array(out["node"].to_numpy(np.int64)),
+                "nbr": pa.nulls(len(out), pa.int64()),
+                "dist": pa.array(out["dist"].to_numpy(np.int64)),
+                "_side": pa.array(np.ones(len(out), np.int8)),
+                "_bucket": pa.array(out["_bucket"].to_numpy(np.int64))})
+
+        settled = (settled.union(cands)
+                   .groupby("_bucket")
+                   .map_groups(settle, batch_format="pandas")
+                   .repartition(n_buckets).materialize())
+        n_now = settled.count()
+        if n_now == n_settled:
+            break
+        n_settled = n_now
+
+    out = settled.to_pandas()
+    out = out[["node", "dist"]].astype({"node": "int64",
+                                        "dist": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def bfs_reference(src: np.ndarray, dst: np.ndarray, sources=(0,),
+                  max_hops: int = 6) -> dict[int, int]:
+    """Single-process BFS for the distributed==reference test."""
+    from collections import deque
+
+    s = np.asarray(src, np.int64)
+    d = np.asarray(dst, np.int64)
+    m = s != d
+    adj: dict[int, set] = {}
+    for a, b in zip(s[m].tolist(), d[m].tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {int(x): 0 for x in sources}
+    q = deque(dist)
+    while q:
+        n = q.popleft()
+        if dist[n] >= max_hops:
+            continue
+        for v in adj.get(n, ()):
+            if v not in dist:
+                dist[v] = dist[n] + 1
+                q.append(v)
+    return dist

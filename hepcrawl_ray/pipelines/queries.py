@@ -11651,6 +11651,134 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# Session-7 batch 2: BFS hop distance (an ITERATIVE distributed
+# algorithm with a real SQL oracle via WITH RECURSIVE) and a windowed
+# interval-overlap join.
+# ---------------------------------------------------------------------------
+
+
+def q_graph_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance from node 0 over the shared doc
+    graph (ops/graph.py:bfs_hops): level-synchronous frontier
+    expansion, two keyed bucket shuffles per round, state re-coalesced
+    each round (CLAUDE.md lesson #17), early exit when a round settles
+    nothing.  The oracle enumerates all (node, dist<=6) walk endpoints
+    with WITH RECURSIVE ... UNION and takes MIN(dist) per node — a
+    rare case of an iterative algorithm with an exact SQL twin."""
+    from hepcrawl_ray.ops import graph as G
+
+    return G.bfs_hops(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(_doc_edges, batch_format="pyarrow"),
+        sources=(0,), max_hops=6)
+
+
+def q_interval_overlap_stats(sf_dir: str):
+    """Interval-overlap self-join: each event is an interval
+    [ts, ts + (floor(value)+1) s]; count overlapping SAME-TYPE event
+    pairs per type.  Distributed via fixed time windows: every
+    interval replicates to each 1024 s window it touches (<= 2 here —
+    durations are bounded by the window), candidate pairs form inside
+    the (window, type) pandas groups, and each pair is counted ONLY in
+    the window owning max(start_a, start_b) — the standard
+    interval-join dedup rule, so no second distinct pass is needed."""
+    W = 1_024_000_000           # 1024 s in us
+    n_buckets = 64
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        s = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dur = (np.floor(t.column("value").to_numpy(
+            zero_copy_only=False)).astype(np.int64) + 1) * 1_000_000
+        e = s + dur
+        w0, w1 = s // W, e // W
+        reps = (w1 - w0 + 1)
+        idx = np.repeat(np.arange(len(s)), reps)
+        off = (np.arange(int(reps.sum()))
+               - np.repeat(np.cumsum(reps) - reps, reps))
+        w = w0[idx] + off
+        return pa.table({
+            "event_id": pa.array(t.column("event_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)[idx]),
+            "event_type": t.column("event_type").take(
+                pa.array(idx, pa.int64())),
+            "s": pa.array(s[idx]), "e": pa.array(e[idx]),
+            "w": pa.array(w),
+            "_bucket": pa.array((w % n_buckets).astype(np.int64))})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["w", "event_type"], suffixes=("_a", "_b"))
+        m = m[(m["event_id_a"] < m["event_id_b"])
+              & (m["s_a"] <= m["e_b"]) & (m["s_b"] <= m["e_a"])
+              & (np.maximum(m["s_a"], m["s_b"]) // W == m["w"])]
+        return (m.groupby("event_type", as_index=False)
+                .agg(_pn=("event_id_a", "count")))
+
+    part = _pdf(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type",
+                                 "value"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(pairs, batch_format="pandas"),
+        ["event_type", "_pn"])
+    if len(part) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_overlaps": pd.Series([], dtype="int64")})
+    out = (part.groupby("event_type", as_index=False)
+           .agg(n_overlaps=("_pn", "sum")))
+    out["n_overlaps"] = out["n_overlaps"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES.update({
+    "graph_bfs_hops": q_graph_bfs_hops,
+    "interval_overlap_stats": q_interval_overlap_stats,
+})
+
+ORACLE_SQL.update({
+    "graph_bfs_hops": """
+        WITH RECURSIVE
+        s0 AS (SELECT doc_id AS s FROM documents),
+        e0 AS (
+            SELECT s, (s * 2654435761 + 17) % 1024 AS d FROM s0
+            UNION ALL
+            SELECT s, (s * 40503 + 101) % 1024 FROM s0
+            UNION ALL
+            SELECT s, (s * 2246822519 + 997) % 1024 FROM s0),
+        adj AS (SELECT DISTINCT s AS u, d AS v FROM e0 WHERE s <> d
+                UNION
+                SELECT DISTINCT d AS u, s AS v FROM e0 WHERE s <> d),
+        bfs AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+            UNION
+            SELECT adj.v, bfs.dist + 1
+            FROM bfs JOIN adj ON adj.u = bfs.node
+            WHERE bfs.dist < 6)
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY node ORDER BY node
+    """,
+    "interval_overlap_stats": """
+        WITH iv AS (
+            SELECT event_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS s,
+                   CAST(epoch_us(ts) AS BIGINT)
+                     + (CAST(floor(value) AS BIGINT) + 1) * 1000000
+                       AS e
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND event_id IS NOT NULL AND event_type IS NOT NULL)
+        SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.event_type = b.event_type
+         AND a.event_id < b.event_id
+         AND a.s <= b.e AND b.s <= a.e
+        GROUP BY 1 ORDER BY 1
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

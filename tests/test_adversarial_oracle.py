@@ -351,6 +351,11 @@ ADVERSARIAL_QUERIES = [
     # users where NO user covers all 5 types (legitimately empty)
     "simjoin_editdist_names", "skyline_parts", "basket_pair_counts",
     "division_users_all_types",
+    # session-7 batch 2: BFS over the handcrafted doc-id graph (the
+    # recursive-CTE oracle must agree on distances AND the hop cap);
+    # interval overlap with identical-timestamp event bursts (every
+    # tied pair overlaps; owner-window dedup must not double count)
+    "graph_bfs_hops", "interval_overlap_stats",
 ]
 
 

@@ -101,3 +101,33 @@ def test_degree_histogram_matches_bincount(ray_session):
     got = dict(zip(hist["degree"].astype(int),
                    hist["n_nodes"].astype(int)))
     assert got == dict(want)
+
+
+def test_bfs_distributed_equals_reference(ray_session):
+    import ray
+
+    from hepcrawl_ray.ops import graph as G
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 80, 200).astype(np.int64)
+    dst = rng.randint(0, 80, 200).astype(np.int64)
+    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    chunks = [tbl.slice(o, 32) for o in range(0, tbl.num_rows, 32)]
+    got = G.bfs_hops(ray.data.from_arrow(chunks), sources=(0, 7),
+                     max_hops=5)
+    want = G.bfs_reference(src, dst, sources=(0, 7), max_hops=5)
+    assert dict(zip(got["node"], got["dist"])) == want
+
+
+def test_bfs_isolated_source_and_hop_cap(ray_session):
+    import ray
+
+    from hepcrawl_ray.ops import graph as G
+
+    # path graph 1-2-3-4-5; source 999 is NOT in the edge list
+    tbl = pa.table({"src": pa.array([1, 2, 3, 4], pa.int64()),
+                    "dst": pa.array([2, 3, 4, 5], pa.int64())})
+    got = G.bfs_hops(ray.data.from_arrow(tbl), sources=(1, 999),
+                     max_hops=2)
+    assert dict(zip(got["node"], got["dist"])) == {
+        1: 0, 999: 0, 2: 1, 3: 2}
