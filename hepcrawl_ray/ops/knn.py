@@ -365,3 +365,85 @@ def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
 
     return partials.groupby("query_id").map_groups(
         global_topk, batch_format="pandas")
+
+
+# ------------------------------------------------------- Hamming kNN ----
+
+_HAM_EMPTY = pa.table({"probe_id": pa.array([], pa.int64()),
+                       "vec_id": pa.array([], pa.int64()),
+                       "hamming": pa.array([], pa.int64())})
+
+
+def sign_pack(mat: np.ndarray) -> np.ndarray:
+    """Pack the sign pattern of an (n, dim<=64) float matrix into
+    int64 signatures: bit i set iff mat[:, i] > 0.  Pure comparisons —
+    no float arithmetic — so SQL reproduces the identical bit pattern
+    with ``embedding[i] > 0``."""
+    if mat.shape[0] == 0:
+        return np.empty(0, dtype=np.int64)
+    dim = mat.shape[1]
+    if dim > 64:
+        raise ValueError(f"sign_pack supports dim <= 64, got {dim}")
+    bits = (mat > 0).astype(np.uint64)
+    shifts = np.arange(dim, dtype=np.uint64)
+    return np.bitwise_or.reduce(bits << shifts, axis=1).view(np.int64)
+
+
+def hamming_knn(ds, query_ids, *, k=10, id_col="vec_id",
+                vec_col="embedding"):
+    """Exact top-k nearest neighbors in SIGN-HAMMING space: distance =
+    number of dimensions where the sign bit (value > 0) differs — the
+    1-bit-quantized similarity search used to cheapen large-scale
+    retrieval (binary codes, Charikar SRP).  Same scale shape as
+    knn_bruteforce: probe signatures ride the task closure (tiny),
+    each batch packs its vectors once and emits a per-probe partial
+    top-k, and only nblocks x nprobe x k candidate rows reach the
+    final per-probe fold.  Ties break by ascending vec_id on both the
+    engine and SQL sides."""
+    from hepcrawl_ray.ops.text import hamming64
+
+    qset = pa.array(sorted(set(int(q) for q in query_ids)),
+                    type=pa.int64())
+    q_rows = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: drop_null_vectors(
+            t.filter(pa.compute.is_in(t.column(id_col),
+                                      value_set=qset)), vec_col),
+        batch_format="pyarrow").take_all()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_sigs = (sign_pack(np.array([r[vec_col] for r in q_rows],
+                                 dtype=np.float64))
+              if q_rows else np.empty(0, dtype=np.int64))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch, vec_col)
+        if batch.num_rows == 0 or len(q_ids) == 0:
+            return _HAM_EMPTY
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sigs = sign_pack(list_column_to_matrix(batch.column(vec_col)))
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            mask = ids != q_ids[qi]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            d = hamming64(sigs[cand],
+                          np.full(len(cand), q_sigs[qi], np.int64))
+            order = np.lexsort((ids[cand], d))[:min(k, len(cand))]
+            sel = cand[order]
+            out_q.extend([int(q_ids[qi])] * len(sel))
+            out_n.extend(int(x) for x in ids[sel])
+            out_d.extend(int(x) for x in d[order])
+        return pa.table({"probe_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_n, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        local_topk, batch_format="pyarrow")
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hamming", "vec_id"]).head(k)
+        return g[["probe_id", "vec_id", "hamming"]].astype("int64")
+
+    return partials.groupby("probe_id").map_groups(
+        global_topk, batch_format="pandas")

@@ -11779,6 +11779,52 @@ ORACLE_SQL.update({
 })
 
 
+def q_knn_hamming(sf_dir: str):
+    """Exact top-10 neighbors in SIGN-HAMMING space for probes
+    vec_id 0-4 (ops/knn.py:hamming_knn): distance = count of
+    dimensions whose sign bit (value > 0) differs — the 1-bit
+    quantized retrieval path (binary codes / SRP).  Sign extraction
+    is pure comparison, no float arithmetic, so the DuckDB oracle
+    reproduces the identical distances with a per-dimension
+    list_transform; ties break by ascending vec_id on both sides."""
+    from hepcrawl_ray.ops import knn as K2
+
+    out = _pdf(K2.hamming_knn(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        query_ids=(0, 1, 2, 3, 4), k=10),
+        ["probe_id", "vec_id", "hamming"])
+    out = out[["probe_id", "vec_id", "hamming"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["probe_id", "hamming", "vec_id"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"knn_hamming": q_knn_hamming})
+
+ORACLE_SQL.update({
+    "knn_hamming": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE embedding IS NOT NULL),
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM e
+              WHERE vec_id IN (0, 1, 2, 3, 4)),
+        d AS (
+            SELECT p.probe_id, e.vec_id,
+                   CAST(list_sum(list_transform(
+                        range(1, CAST(len(e.embedding) AS BIGINT) + 1),
+                        i -> CASE WHEN (p.pe[i] > 0)
+                                       <> (e.embedding[i] > 0)
+                                  THEN 1 ELSE 0 END)) AS BIGINT)
+                       AS hamming
+            FROM p, e WHERE e.vec_id <> p.probe_id)
+        SELECT probe_id, vec_id, hamming FROM d
+        QUALIFY row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY hamming, vec_id) <= 10
+        ORDER BY probe_id, hamming, vec_id
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

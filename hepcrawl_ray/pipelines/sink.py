@@ -175,16 +175,118 @@ def run_resumable_crawl(images, seeds, politeness, *, output_dir: str,
     return manifest
 
 
+def _partition_files(output_dir: str, pid: str, meta: dict) -> list:
+    """Authoritative file list for one finished partition: the
+    manifest's explicit ``files`` entry when compaction has committed
+    one, else every top-level parquet in the partition dir."""
+    import glob
+
+    d = os.path.join(output_dir, f"part={pid}")
+    if "files" in meta:
+        return [os.path.join(d, f) for f in meta["files"]]
+    return sorted(glob.glob(os.path.join(d, "*.parquet")))
+
+
 def read_output(output_dir: str):
     """Dataset over all finished partitions (manifest-listed only)."""
     import ray
-
-    import glob
 
     manifest = read_manifest(output_dir)
     files = []
     for pid, meta in sorted(manifest["partitions"].items()):
         if meta["rows"] > 0:
-            files.extend(sorted(glob.glob(
-                os.path.join(output_dir, f"part={pid}", "*.parquet"))))
+            files.extend(_partition_files(output_dir, pid, meta))
     return ray.data.read_parquet(files) if files else None
+
+
+def compact_output(output_dir: str,
+                   target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Merge each finished partition's small parquet files into
+    ~``target_bytes`` outputs (the standard post-job small-file
+    compaction every long-running partitioned writer needs: at 100 TB
+    a 4096-partition output whose stages emitted one file per Ray
+    block is millions of KB-sized files, and every later read pays
+    per-file open cost).
+
+    Crash-safe by construction — the MANIFEST is the commit point:
+
+    1. compacted files are written under ``part=N/_compact/`` where
+       the top-level ``*.parquet`` glob can't see them;
+    2. the partition's manifest entry atomically gains
+       ``files: [_compact/...]`` (tmp + rename, like every other
+       manifest update) — readers switch to the compacted set in one
+       step;
+    3. the superseded top-level files are deleted last (a crash
+       between 2 and 3 leaves harmless orphans that the next
+       compaction sweeps).
+
+    Partitions already at or below one target-sized file per group
+    are left untouched.  Idempotent: a second run finds nothing to do.
+    Returns {"partitions_compacted": n, "files_before": b,
+    "files_after": a}.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    manifest = read_manifest(output_dir)
+    n_parts = files_before = files_after = 0
+    for pid, meta in sorted(manifest["partitions"].items()):
+        part_dir = os.path.join(output_dir, f"part={pid}")
+        comp_dir = os.path.join(part_dir, "_compact")
+        files = _partition_files(output_dir, pid, meta)
+        if "files" in meta:
+            # already compacted (one-shot per partition): only sweep
+            # top-level files a crash-between-commit-and-cleanup left
+            for f in glob.glob(os.path.join(part_dir, "*.parquet")):
+                os.remove(f)
+            files_before += len(files)
+            files_after += len(files)
+            continue
+        # sweep pre-commit orphans from a previous crashed run
+        if os.path.isdir(comp_dir):
+            shutil.rmtree(comp_dir)
+        if meta["rows"] == 0 or len(files) <= 1:
+            files_before += len(files)
+            files_after += len(files)
+            continue
+        # greedy size-bounded grouping in name order (row order within
+        # the partition is preserved group-by-group)
+        sizes = [os.path.getsize(f) for f in files]
+        groups, cur, cur_sz = [], [], 0
+        for f, s in zip(files, sizes):
+            if cur and cur_sz + s > target_bytes:
+                groups.append(cur)
+                cur, cur_sz = [], 0
+            cur.append(f)
+            cur_sz += s
+        if cur:
+            groups.append(cur)
+        files_before += len(files)
+        if all(len(g) == 1 for g in groups):
+            files_after += len(files)
+            continue
+        os.makedirs(comp_dir, exist_ok=True)
+        new_names = []
+        for gi, group in enumerate(groups):
+            name = os.path.join("_compact", f"c{gi:05d}.parquet")
+            out_path = os.path.join(part_dir, name)
+            if len(group) == 1:
+                shutil.copyfile(group[0], out_path)
+            else:
+                tables = [pq.read_table(f) for f in group]
+                pq.write_table(pa.concat_tables(tables), out_path)
+            new_names.append(name)
+        # commit: readers atomically switch to the compacted set
+        meta = dict(meta)
+        meta["files"] = new_names
+        manifest["partitions"][pid] = meta
+        _write_manifest(output_dir, manifest)
+        # post-commit cleanup of superseded files
+        for f in files:
+            if os.path.dirname(f) == part_dir:
+                os.remove(f)
+        n_parts += 1
+        files_after += len(new_names)
+    return {"partitions_compacted": n_parts,
+            "files_before": files_before, "files_after": files_after}

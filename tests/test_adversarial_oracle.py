@@ -356,6 +356,10 @@ ADVERSARIAL_QUERIES = [
     # interval overlap with identical-timestamp event bursts (every
     # tied pair overlaps; owner-window dedup must not double count)
     "graph_bfs_hops", "interval_overlap_stats",
+    # session-7 batch 3: sign-Hamming kNN on the fixture's exact-zero
+    # dims (zero is NOT positive on both sides), all-negative vector,
+    # and the excluded NULL embedding
+    "knn_hamming",
 ]
 
 

@@ -95,3 +95,64 @@ def test_orphan_partition_dir_rewritten(ray_session, corpus, tmp_path):
     assert not os.path.exists(junk), "stale crash leftover survived"
     t = _collect(out)
     assert t.num_rows > 0
+
+
+def test_compact_output_preserves_rows(ray_session, corpus, tmp_path):
+    images, seeds, politeness = corpus
+    out = str(tmp_path / "compact")
+    sink.run_resumable_crawl(
+        images, seeds, politeness, output_dir=out,
+        checkpoint_dir=str(tmp_path / "compact_ckpt"),
+        num_partitions=4, fetch_concurrency=2, parse_concurrency=2)
+    before = _collect(out)
+    n_before = sum(
+        len(sink._partition_files(out, pid, meta))
+        for pid, meta in sink.read_manifest(out)["partitions"].items())
+
+    # tiny target forces real merging
+    stats = sink.compact_output(out, target_bytes=1 << 30)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] <= stats["files_before"]
+    after = _collect(out)
+    assert after.equals(before)          # byte-identical row content
+
+    # manifest now pins explicit compacted file lists
+    m = sink.read_manifest(out)
+    compacted = [meta for meta in m["partitions"].values()
+                 if "files" in meta]
+    assert len(compacted) == stats["partitions_compacted"]
+    for meta in compacted:
+        assert all(f.startswith("_compact/") for f in meta["files"])
+
+    # idempotent: second run compacts nothing, rows unchanged
+    stats2 = sink.compact_output(out, target_bytes=1 << 30)
+    assert stats2["partitions_compacted"] == 0
+    assert stats2["files_before"] == stats2["files_after"] \
+        == stats["files_after"]
+    assert _collect(out).equals(before)
+
+
+def test_compact_output_crash_orphans_ignored(ray_session, corpus,
+                                              tmp_path):
+    import os
+
+    images, seeds, politeness = corpus
+    out = str(tmp_path / "orphan")
+    sink.run_resumable_crawl(
+        images, seeds, politeness, output_dir=out,
+        checkpoint_dir=str(tmp_path / "orphan_ckpt"),
+        num_partitions=2, fetch_concurrency=2, parse_concurrency=2)
+    before = _collect(out)
+
+    # simulate a crash BEFORE the manifest commit: half-written
+    # compacted files exist but the manifest never switched
+    pid = sorted(sink.read_manifest(out)["partitions"])[0]
+    comp = os.path.join(out, f"part={pid}", "_compact")
+    os.makedirs(comp)
+    with open(os.path.join(comp, "c00000.parquet"), "wb") as f:
+        f.write(b"garbage half-written parquet")
+    assert _collect(out).equals(before)   # readers never see orphans
+
+    # the next compaction sweeps the orphan and completes
+    sink.compact_output(out, target_bytes=1 << 30)
+    assert _collect(out).equals(before)

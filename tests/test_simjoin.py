@@ -112,3 +112,38 @@ def test_distributed_skyline_matches_local(ray_session):
     got = SJ.skyline2d(ds, "cost", "gain")
     want = SJ.local_skyline2d(df, "cost", "gain")
     assert sorted(got["id"]) == sorted(want["id"])
+
+
+def test_hamming_knn_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from hepcrawl_ray.ops import knn as K
+
+    rng = np.random.default_rng(9)
+    dim, n = 16, 120
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[rng.random((n, dim)) < 0.1] = 0.0     # exact zeros (bit = 0)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(n)]
+    rows.append({"vec_id": n, "embedding": None})     # unindexed
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(6)
+    got = K.hamming_knn(ds, query_ids=(0, 3, n), k=7).to_pandas()
+    # null-embedding probe contributes nothing
+    assert set(got["probe_id"]) == {0, 3}
+    bits = vecs > 0
+    for q in (0, 3):
+        hd = (bits ^ bits[q]).sum(axis=1)
+        order = sorted((int(hd[i]), i) for i in range(n) if i != q)[:7]
+        sub = got[got["probe_id"] == q].sort_values(
+            ["hamming", "vec_id"])
+        assert list(zip(sub["hamming"], sub["vec_id"])) == order
+
+
+def test_sign_pack_contract():
+    from hepcrawl_ray.ops import knn as K
+
+    m = np.array([[1.0, 0.0, -2.0, 3.0]])
+    assert K.sign_pack(m)[0] == 0b1001
+    assert K.sign_pack(np.zeros((0, 4))).shape == (0,)
+    with pytest.raises(ValueError):
+        K.sign_pack(np.zeros((1, 65)))
