@@ -174,3 +174,202 @@ def skyline2d(ds, min_col: str, max_col: str) -> pd.DataFrame:
     if part.shape[1] == 0:
         return part
     return local_skyline2d(part, min_col, max_col)
+
+
+def setsim_join(ds, *, id_col, item_col, t_num: int = 1,
+                t_den: int = 2, num_buckets: int = 64):
+    """PPJoin-style set-similarity self-join over an EXPLODED
+    (id, item) relation: pairs of sets with Jaccard >= t_num/t_den.
+    Returns a Dataset of (id_a, id_b, n_common, n_union).
+
+    The candidate generator is the PREFIX FILTER [Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", 2008]:
+    order every set's items by global rarity (df asc), keep only the
+    first L - ceil(t*L) + 1 items per set — two sets with
+    Jaccard >= t MUST share a prefix token, so candidates form in the
+    prefix-token equi-join instead of the full inverted index.  With
+    rarity ordering the hottest tokens never key a shuffle group.
+
+    Shape: all integer keys, five bucketed pandas exchanges —
+    (1) item-keyed global df (vocab-sized output, broadcast as a
+    closure map — vocabulary-scale by assumption, like every df
+    broadcast in this repo); (2) id-keyed prefix emission; (3)
+    prefix-token candidate pairs (length-filtered: min(L)*t_den >=
+    max(L)*t_num); (4) id-keyed item gather for candidate members —
+    duplicate pairs collapse here for free (identical member rows land
+    in the same id bucket); (5) pair-keyed intersection count +
+    threshold verify (merge on item — never an items_a x items_b
+    cross product).
+    """
+
+    def pdist(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col, item_col]).aggregate([])
+        oid = g.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        item = g.column(item_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"oid": pa.array(oid), "item": pa.array(item)})
+
+    dist = ds.map_batches(pdist, batch_format="pyarrow")
+
+    # -- (1) global df per item: vocab-sized, collected + broadcast --
+    def by_item(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(
+            t.column("item").to_numpy(zero_copy_only=False)
+            .astype(np.int64) % num_buckets))
+
+    def dfs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["oid", "item"]].drop_duplicates()
+        out = g.groupby("item", as_index=False).agg(df=("oid", "count"))
+        return out.astype({"item": "int64", "df": "int64"})
+
+    df_pd = (dist.map_batches(by_item, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(dfs, batch_format="pandas")
+             .to_pandas())
+    df_map = (dict(zip(df_pd["item"], df_pd["df"]))
+              if "item" in df_pd.columns else {})
+
+    # -- (2) id-keyed prefix emission -------------------------------
+    def by_oid(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(
+            t.column("oid").to_numpy(zero_copy_only=False)
+            .astype(np.int64) % num_buckets))
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["oid", "item"]].drop_duplicates()
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("item", "oid", "L",
+                                           "_bucket")})
+        g = g.assign(df=g["item"].map(df_map).fillna(1).astype("int64"))
+        g = g.sort_values(["oid", "df", "item"])
+        L = g.groupby("oid")["item"].transform("size") \
+            .to_numpy(dtype=np.int64)
+        rank = g.groupby("oid").cumcount().to_numpy(dtype=np.int64)
+        p = L - ((t_num * L + t_den - 1) // t_den) + 1
+        keep = rank < p
+        out = g.loc[keep, ["item", "oid"]].astype("int64")
+        out["L"] = L[keep]
+        out["_bucket"] = (out["item"] % num_buckets).astype("int64")
+        return out
+
+    prefixes = (dist.map_batches(by_oid, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(prefix,
+                                               batch_format="pandas"))
+
+    # -- (3) prefix-token candidate pairs + length filter ------------
+    def cands(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("oid_a", "oid_b", "L_a", "L_b", "_bucket")
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in cols})
+        if not len(g):
+            return empty
+        m = g.merge(g, on="item", suffixes=("_a", "_b"))
+        m = m[m["oid_a"] < m["oid_b"]]
+        if not len(m):
+            return empty
+        la = m["L_a"].to_numpy(dtype=np.int64)
+        lb = m["L_b"].to_numpy(dtype=np.int64)
+        m = m[np.minimum(la, lb) * t_den >= np.maximum(la, lb) * t_num]
+        m = m[["oid_a", "oid_b", "L_a", "L_b"]] \
+            .drop_duplicates(["oid_a", "oid_b"]).astype("int64")
+        m["_bucket"] = ((m["oid_a"] * 1_000_003 + m["oid_b"])
+                        % num_buckets).astype("int64")
+        return m
+
+    pair_cands = prefixes.groupby("_bucket").map_groups(
+        cands, batch_format="pandas")
+
+    # -- (4) id-keyed member-item gather (pair dedup rides along) ----
+    def explode_members(t: pa.Table) -> pa.Table:
+        a = t.column("oid_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("oid_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        la = t.column("L_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lb = t.column("L_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = np.concatenate([a, b])
+        return pa.table({
+            "doc": pa.array(doc),
+            "pa_": pa.array(np.concatenate([a, a])),
+            "pb_": pa.array(np.concatenate([b, b])),
+            "la_": pa.array(np.concatenate([la, la])),
+            "lb_": pa.array(np.concatenate([lb, lb])),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])),
+            "item": pa.nulls(len(doc), pa.int64()),
+            "_bucket": pa.array(doc % num_buckets)})
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        oid = t.column("oid").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(oid)
+        return pa.table({
+            "doc": pa.array(oid),
+            "pa_": pa.nulls(n, pa.int64()),
+            "pb_": pa.nulls(n, pa.int64()),
+            "la_": pa.nulls(n, pa.int64()),
+            "lb_": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.full(n, -1, np.int8)),
+            "item": t.column("item").cast(pa.int64()),
+            "_bucket": pa.array(oid % num_buckets)})
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pa_": "int64", "pb_": "int64", "la_": "int64",
+                "lb_": "int64", "side": "int8", "item": "int64",
+                "_pb": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d)
+                              for c, d in cols.items()})
+        srcs = g.loc[g["side"] == -1, ["doc", "item"]]
+        mem = g.loc[g["side"] >= 0,
+                    ["doc", "pa_", "pb_", "la_", "lb_", "side"]] \
+            .drop_duplicates()
+        if not len(mem) or not len(srcs):
+            return empty
+        srcs = srcs.copy()
+        srcs["doc"] = srcs["doc"].astype("int64")
+        srcs["item"] = srcs["item"].astype("int64")
+        srcs = srcs.drop_duplicates()
+        mem = mem.astype({"doc": "int64", "pa_": "int64",
+                          "pb_": "int64", "la_": "int64",
+                          "lb_": "int64"})
+        m = mem.merge(srcs, on="doc")
+        if not len(m):
+            return empty
+        m["_pb"] = ((m["pa_"] * 1_000_003 + m["pb_"])
+                    % num_buckets).astype("int64")
+        return m[["pa_", "pb_", "la_", "lb_", "side", "item", "_pb"]]
+
+    gathered = (pair_cands.map_batches(explode_members,
+                                       batch_format="pyarrow")
+                .union(dist.map_batches(src_rows,
+                                        batch_format="pyarrow"))
+                .groupby("_bucket")
+                .map_groups(gather, batch_format="pandas"))
+
+    # -- (5) intersection count + threshold verify -------------------
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("id_a", "id_b", "n_common", "n_union")
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in cols})
+        if not len(g):
+            return empty
+        a = g.loc[g["side"] == 0, ["pa_", "pb_", "la_", "lb_", "item"]]
+        b = g.loc[g["side"] == 1, ["pa_", "pb_", "item"]]
+        if not len(a) or not len(b):
+            return empty
+        inter = (a.merge(b, on=["pa_", "pb_", "item"])
+                 .groupby(["pa_", "pb_"], as_index=False)
+                 .agg(n_common=("item", "count")))
+        sizes = a[["pa_", "pb_", "la_", "lb_"]].drop_duplicates()
+        m = inter.merge(sizes, on=["pa_", "pb_"])
+        u = (m["la_"] + m["lb_"] - m["n_common"]).astype("int64")
+        m = m.assign(n_union=u)
+        m = m[m["n_common"] * t_den >= t_num * m["n_union"]]
+        out = m.rename(columns={"pa_": "id_a", "pb_": "id_b"})
+        return out[list(cols)].astype("int64")
+
+    return gathered.groupby("_pb").map_groups(verify,
+                                              batch_format="pandas")

@@ -11825,6 +11825,53 @@ ORACLE_SQL.update({
 })
 
 
+def q_setsim_orders(sf_dir: str):
+    """Set-similarity self-join over order part-baskets: order pairs
+    whose DISTINCT part sets have Jaccard >= 1/2
+    (ops/simjoin.py:setsim_join).  Candidates come from the PPJoin
+    prefix filter — items ordered by global rarity, only the
+    L - ceil(L/2) + 1 rarest items of each basket key the candidate
+    shuffle — and the verify merges members ON item (never an
+    items x items cross product).  All-integer: the threshold test is
+    the rational 2*|inter| >= |union|."""
+    from hepcrawl_ray.ops import simjoin as SJ
+
+    out = _pdf(SJ.setsim_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        id_col="l_orderkey", item_col="l_partkey", t_num=1, t_den=2),
+        ["id_a", "id_b", "n_common", "n_union"])
+    out = out[["id_a", "id_b", "n_common", "n_union"]]
+    out = out.rename(columns={"id_a": "order_a", "id_b": "order_b"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["order_a", "order_b"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"setsim_orders": q_setsim_orders})
+
+ORACLE_SQL.update({
+    "setsim_orders": """
+        WITH op AS (SELECT DISTINCT l_orderkey AS oid,
+                                    l_partkey AS item FROM lineitem),
+        sz AS (SELECT oid, count(*) AS L FROM op GROUP BY oid),
+        inter AS (
+            SELECT a.oid AS oa, b.oid AS ob, count(*) AS i
+            FROM op a JOIN op b
+              ON a.item = b.item AND a.oid < b.oid
+            GROUP BY 1, 2)
+        SELECT oa AS order_a, ob AS order_b,
+               CAST(i AS BIGINT) AS n_common,
+               CAST(sa.L + sb.L - i AS BIGINT) AS n_union
+        FROM inter
+        JOIN sz sa ON sa.oid = oa
+        JOIN sz sb ON sb.oid = ob
+        WHERE i * 2 >= (sa.L + sb.L - i)
+        ORDER BY order_a, order_b
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

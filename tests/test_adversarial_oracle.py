@@ -360,6 +360,10 @@ ADVERSARIAL_QUERIES = [
     # dims (zero is NOT positive on both sides), all-negative vector,
     # and the excluded NULL embedding
     "knn_hamming",
+    # session-7 batch 4: every fixture basket is the SAME single part
+    # (all pairs are identical sets — the full clique must survive the
+    # prefix filter at L=1, where p = 1)
+    "setsim_orders",
 ]
 
 

@@ -147,3 +147,50 @@ def test_sign_pack_contract():
     assert K.sign_pack(np.zeros((0, 4))).shape == (0,)
     with pytest.raises(ValueError):
         K.sign_pack(np.zeros((1, 65)))
+
+
+def test_setsim_join_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from hepcrawl_ray.ops import simjoin as SJ
+
+    rng = np.random.default_rng(21)
+    rows = []
+    sets = {}
+    for oid in range(60):
+        items = sorted(rng.choice(30, size=rng.integers(1, 8),
+                                  replace=False).tolist())
+        sets[oid] = set(items)
+        rows.extend({"oid": oid, "item": it} for it in items)
+        # duplicates in the exploded input must not change anything
+        rows.append({"oid": oid, "item": items[0]})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+    got = SJ.setsim_join(ds, id_col="oid", item_col="item",
+                         t_num=2, t_den=5).to_pandas()
+    got_set = {(a, b, c, u) for a, b, c, u in
+               zip(got["id_a"], got["id_b"], got["n_common"],
+                   got["n_union"])}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 5 >= 2 * union:
+            want.add((a, b, inter, union))
+    assert got_set == want
+
+
+def test_setsim_join_identical_and_disjoint(ray_session):
+    import ray.data as rd
+
+    from hepcrawl_ray.ops import simjoin as SJ
+
+    rows = ([{"oid": 1, "item": i} for i in (5, 6, 7)]
+            + [{"oid": 2, "item": i} for i in (5, 6, 7)]
+            + [{"oid": 3, "item": i} for i in (20, 21)])
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = SJ.setsim_join(ds, id_col="oid", item_col="item",
+                         t_num=1, t_den=2).to_pandas()
+    assert [(r.id_a, r.id_b, r.n_common, r.n_union)
+            for r in got.itertuples()] == [(1, 2, 3, 3)]
