@@ -11872,6 +11872,63 @@ ORACLE_SQL.update({
 })
 
 
+def q_zorder_range_orders(sf_dir: str):
+    """Z-order layout + pruned 2-D range query: orders written to a
+    Morton quad-block-partitioned layout over (o_custkey, price
+    cents) — ops/zorder.py, the 2-D twin of the IVF index layout —
+    then the rectangle custkey in [10, 120] x cents in [5e6, 2e7] is
+    answered reading ONLY the intersecting z-prefix partitions (exact
+    BETWEEN filter on the survivors).  Integer cell edges make the
+    result equal the plain full-scan BETWEEN bit-for-bit, which is
+    the DuckDB twin; the pruning itself is pinned in
+    tests/test_zorder.py."""
+    import tempfile
+
+    from hepcrawl_ray.ops import zorder as Z
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "cents": pa.array(_cents(t.column("o_totalprice")
+                                     .to_numpy(zero_copy_only=False))),
+        })
+
+    ds = (_read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice"])
+          .map_batches(prep, batch_format="pyarrow"))
+    cols = ("o_orderkey", "o_custkey", "cents")
+    with tempfile.TemporaryDirectory() as d:
+        Z.zorder_layout(ds, d, x_col="o_custkey", y_col="cents")
+        res, _, _ = Z.zorder_range_query(d, 10, 120,
+                                         5_000_000, 20_000_000)
+        out = (res.to_pandas() if res is not None
+               else pd.DataFrame())
+    if out.shape[1] == 0:
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in cols})
+    out = out[list(cols)]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES.update({"zorder_range_orders": q_zorder_range_orders})
+
+ORACLE_SQL.update({
+    "zorder_range_orders": """
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_custkey BETWEEN 10 AND 120
+          AND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+              BETWEEN 5000000 AND 20000000
+        ORDER BY o_orderkey
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

@@ -364,6 +364,10 @@ ADVERSARIAL_QUERIES = [
     # (all pairs are identical sets — the full clique must survive the
     # prefix filter at L=1, where p = 1)
     "setsim_orders",
+    # session-7 batch 5: z-order range over the fixture's degenerate
+    # value ranges (custkey 1-7, cents 1000-3000 — the rectangle
+    # misses entirely; typed-empty schema must agree)
+    "zorder_range_orders",
 ]
 
 
