@@ -64,6 +64,10 @@ QUERY_NAMES = [
     "q5_local_supplier_volume", "q10_returned_revenue_customers",
     "bm25_topk", "lm_unigram_score", "hapax_ratio_by_source",
     "anomaly_events_3sigma",
+    # session-7 additions (similarity joins, iterative BFS, layouts)
+    "setsim_orders", "basket_pair_counts", "interval_overlap_stats",
+    "graph_bfs_hops", "knn_hamming", "zorder_range_orders",
+    "simjoin_editdist_names", "skyline_parts",
 ]
 
 

@@ -57,6 +57,16 @@ def attach_pair_values(pairs, src, *, key_a, key_b, src_key, val_col,
     can drop that whole stage."""
     ss = src.schema(fetch_if_missing=True)
     val_type = dict(zip(ss.names, ss.types))[val_col]
+    if not isinstance(val_type, pa.DataType):
+        # pandas-block sources report numpy dtypes / python classes
+        _py = {str: pa.string(), bytes: pa.binary(),
+               int: pa.int64(), float: pa.float64(), bool: pa.bool_()}
+        if val_type in _py:
+            val_type = _py[val_type]
+        else:
+            dt = np.dtype(val_type)
+            val_type = (pa.string() if dt == np.dtype(object)
+                        else pa.from_numpy_dtype(dt))
 
     def explode_pairs(t: pa.Table) -> pa.Table:
         a = t.column(key_a).to_numpy().astype(np.int64)
@@ -1004,3 +1014,171 @@ def neardup_components_distributed(ds, pairs_ds, *, id_col="doc_id",
                                       batch_format="pyarrow"))
             .groupby("_bucket")
             .map_groups(resolve, batch_format="pandas"))
+
+
+# ----------------------------------------------- incremental LSH index ----
+
+def build_minhash_band_index(ds, index_dir: str, *, num_perm=64,
+                             bands=16, k_shingle=3, id_col="doc_id",
+                             text_col="text",
+                             num_buckets: int = 256) -> dict:
+    """Materialize the corpus's banded-MinHash keys to parquet
+    PARTITIONED BY band-val bucket — the incremental-dedup scale path.
+
+    A production corpus dedups ONCE, then absorbs daily deltas; this
+    index makes the delta run read only the band buckets the NEW
+    batch's own signatures hash to (partition pruning, same shape as
+    ops/knn.py:build_ivf_index) instead of recomputing LSH over the
+    full corpus.  ``num_buckets`` here is the INDEX partition count
+    (default 256): a small delta touches a small subset.
+    """
+    import json
+    import os
+
+    stage = make_minhash_stage(num_perm=num_perm, bands=bands,
+                               k_shingle=k_shingle, id_col=id_col,
+                               text_col=text_col)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("band_val").to_numpy() % num_buckets)
+        return t.append_column("bucket",
+                               pa.array(b.astype(np.int64)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    (ds.select_columns([id_col, text_col])
+     .map_batches(stage, batch_format="pyarrow")
+     .map_batches(add_bucket, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+    meta = {"num_perm": num_perm, "bands": bands,
+            "k_shingle": k_shingle, "num_buckets": num_buckets}
+    with open(os.path.join(index_dir, "band_index_meta.json"),
+              "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def incremental_neardup_pairs(index_dir: str, new_ds, corpus_ds, *,
+                              threshold=0.5, id_col="doc_id",
+                              text_col="text", max_bucket=64):
+    """Near-dup pairs INVOLVING the new batch — new-vs-corpus and
+    new-vs-new — against a ``build_minhash_band_index`` layout,
+    reading only the probed index partitions.
+
+    Same hash family and params as the index (from its meta file), so
+    the candidate set is EXACTLY the full-LSH run's candidates
+    restricted to pairs touching the new batch (pinned in
+    tests/test_incremental_dedup.py).  Verification gathers texts only
+    for candidate pairs from corpus+new (attach_pair_values — never a
+    corpus broadcast).  Returns (doc_a, doc_b, jaccard, n_buckets_read,
+    n_buckets_total) as (Dataset, int, int).
+    """
+    import glob
+    import json
+    import os
+
+    import ray
+
+    with open(os.path.join(index_dir, "band_index_meta.json")) as f:
+        meta = json.load(f)
+    nb = meta["num_buckets"]
+    stage = make_minhash_stage(num_perm=meta["num_perm"],
+                               bands=meta["bands"],
+                               k_shingle=meta["k_shingle"],
+                               id_col=id_col, text_col=text_col)
+
+    def add_bucket_side(side):
+        def f(t: pa.Table) -> pa.Table:
+            b = (t.column("band_val").to_numpy() % nb)
+            return pa.table({
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "band": t.column("band").cast(pa.int64()),
+                "band_val": t.column("band_val").cast(pa.int64()),
+                "bucket": pa.array(b.astype(np.int64)),
+                "side": pa.array(
+                    np.full(t.num_rows, side, np.int8))})
+        return f
+
+    new_bands = (new_ds.select_columns([id_col, text_col])
+                 .map_batches(stage, batch_format="pyarrow")
+                 .map_batches(add_bucket_side(1),
+                              batch_format="pyarrow")
+                 .materialize())
+
+    # probe set: buckets the new batch's signatures actually hash to
+    def buckets_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"bucket": pc.unique(t.column("bucket"))})
+
+    touched = set()
+    for bt in new_bands.map_batches(
+            buckets_only, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        touched.update(bt.column("bucket").to_pylist())
+    part_dirs = sorted(glob.glob(os.path.join(index_dir, "bucket=*")))
+    picked = [d for d in part_dirs
+              if int(os.path.basename(d).split("=")[1]) in touched]
+    files = []
+    for d in picked:
+        files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        b = (t.column("band_val").to_numpy() % nb)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "band": t.column("band").cast(pa.int64()),
+            "band_val": t.column("band_val").cast(pa.int64()),
+            "bucket": pa.array(b.astype(np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    sides = new_bands
+    if files:
+        sides = sides.union(ray.data.read_parquet(files).map_batches(
+            tag_old, batch_format="pyarrow"))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        sizes = g.groupby(["band", "band_val"])["doc_id"] \
+            .transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_bucket)]
+        if not len(g):
+            return empty
+        m = g.merge(g, on=["band", "band_val"])
+        m = m[(m["doc_id_x"] < m["doc_id_y"])
+              & ((m["side_x"] == 1) | (m["side_y"] == 1))]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        out.columns = ["doc_a", "doc_b"]
+        return out.astype("int64")
+
+    candidates = sides.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    def as_arrow(t: pa.Table) -> pa.Table:
+        # attach_pair_values reads the src schema for null-typing;
+        # pandas-block inputs would hand it a numpy dtype
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         text_col: t.column(text_col)
+                         .cast(pa.string())})
+
+    texts = (corpus_ds.select_columns([id_col, text_col])
+             .union(new_ds.select_columns([id_col, text_col]))
+             .map_batches(as_arrow, batch_format="pyarrow"))
+    withtexts = attach_pair_values(
+        candidates, texts, key_a="doc_a", key_b="doc_b",
+        src_key=id_col, val_col=text_col, distinct=True)
+    ta, tb = f"{text_col}_a", f"{text_col}_b"
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")})
+        jac = [T.jaccard_tokens(a, b, meta["k_shingle"])
+               for a, b in zip(batch[ta], batch[tb])]
+        batch = batch.assign(jaccard=jac)
+        return batch.loc[batch["jaccard"] >= threshold,
+                         ["doc_a", "doc_b", "jaccard"]]
+
+    return (withtexts.map_batches(verify, batch_format="pandas"),
+            len(picked), len(part_dirs))

@@ -11929,6 +11929,47 @@ ORACLE_SQL.update({
 })
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental near-dedup against a materialized band index
+    (ops/dedup.py:build_minhash_band_index): the corpus (doc_id % 10
+    != 0) is indexed ONCE — banded MinHash keys written to parquet
+    partitioned by band bucket — then the 'daily delta' (doc_id % 10
+    == 0) probes ONLY the partitions its own signatures hash to and
+    verifies candidates by exact Jaccard via the pair-keyed text
+    gather.  Rows-only (LSH is probabilistic by design); the
+    delta == full-run-restricted equivalence and the partition
+    pruning are pinned in tests/test_incremental_dedup.py."""
+    import tempfile
+
+    from hepcrawl_ray.ops import dedup as D2
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(keep_new):
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = (d % 10 == 0) if keep_new else (d % 10 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    corpus = docs.map_batches(part(False), batch_format="pyarrow")
+    new = docs.map_batches(part(True), batch_format="pyarrow")
+    with tempfile.TemporaryDirectory() as d:
+        D2.build_minhash_band_index(corpus, d, num_perm=64, bands=16,
+                                    k_shingle=3, num_buckets=64)
+        pairs_ds, _, _ = D2.incremental_neardup_pairs(
+            d, new, corpus, threshold=0.5)
+        out = _pdf(pairs_ds, ["doc_a", "doc_b", "jaccard"])
+    out = out[["doc_a", "doc_b"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+QUERIES.update({"dedup_incremental": q_dedup_incremental})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 
