@@ -190,16 +190,22 @@ def setsim_join(ds, *, id_col, item_col, t_num: int = 1,
     prefix-token equi-join instead of the full inverted index.  With
     rarity ordering the hottest tokens never key a shuffle group.
 
-    Shape: all integer keys, five bucketed pandas exchanges —
+    Shape: all integer keys, four bucketed pandas exchanges —
     (1) item-keyed global df (vocab-sized output, broadcast as a
     closure map — vocabulary-scale by assumption, like every df
-    broadcast in this repo); (2) id-keyed prefix emission; (3)
-    prefix-token candidate pairs (length-filtered: min(L)*t_den >=
-    max(L)*t_num); (4) id-keyed item gather for candidate members —
-    duplicate pairs collapse here for free (identical member rows land
-    in the same id bucket); (5) pair-keyed intersection count +
-    threshold verify (merge on item — never an items_a x items_b
-    cross product).
+    broadcast in this repo); (2) id-keyed prefix emission, where each
+    prefix row CARRIES its set packed to int64-LE bytes (sets are
+    small by the problem's nature — baskets, shingle samples — so the
+    payload rides the one candidate shuffle instead of paying a
+    second corpus gather, CLAUDE.md lesson #9); (3) candidates +
+    INLINE verify in one prefix-token group: length filter
+    (min(L)*t_den >= max(L)*t_num), PPJoin positional filter
+    (overlap upper bound from the matched prefix positions — per-row
+    pruning is lossless because a qualifying pair passes at every
+    matched row), then blob unpack + pandas merge ON item for the
+    exact intersection count — never an items_a x items_b cross
+    product; (4) a pair-keyed dedup over the tiny verified table (the
+    same pair can surface in several prefix-token buckets).
     """
 
     def pdist(t: pa.Table) -> pa.Table:
@@ -236,11 +242,31 @@ def setsim_join(ds, *, id_col, item_col, t_num: int = 1,
             .astype(np.int64) % num_buckets))
 
     def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        """Prefix rows for one id bucket: (item, oid, L, pos, blob)
+        where blob is the oid's FULL item set, item-sorted, packed to
+        little-endian int64 bytes — it rides the candidate shuffle so
+        verification never needs a second corpus gather."""
+        empty = pa.table({"item": pa.array([], pa.int64()),
+                          "oid": pa.array([], pa.int64()),
+                          "L": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "blob": pa.array([], pa.binary()),
+                          "_bucket": pa.array([], pa.int64())})
         g = g[["oid", "item"]].drop_duplicates()
         if not len(g):
-            return pd.DataFrame({c: pd.Series([], dtype="int64")
-                                 for c in ("item", "oid", "L",
-                                           "_bucket")})
+            return empty
+        # canonical item-sorted layout -> one contiguous buffer, one
+        # C-level bytes slice per id (no per-item Python)
+        g = g.sort_values(["oid", "item"])
+        flat = np.ascontiguousarray(
+            g["item"].to_numpy(dtype=np.int64))
+        oid_sorted = g["oid"].to_numpy(dtype=np.int64)
+        uniq, starts, counts = np.unique(
+            oid_sorted, return_index=True, return_counts=True)
+        buf = flat.tobytes()
+        blobs = {int(o): buf[8 * s: 8 * (s + c)]
+                 for o, s, c in zip(uniq, starts, counts)}
+        # rarity order for the prefix
         g = g.assign(df=g["item"].map(df_map).fillna(1).astype("int64"))
         g = g.sort_values(["oid", "df", "item"])
         L = g.groupby("oid")["item"].transform("size") \
@@ -250,16 +276,24 @@ def setsim_join(ds, *, id_col, item_col, t_num: int = 1,
         keep = rank < p
         out = g.loc[keep, ["item", "oid"]].astype("int64")
         out["L"] = L[keep]
-        out["_bucket"] = (out["item"] % num_buckets).astype("int64")
-        return out
+        out["pos"] = rank[keep]
+        return pa.table({
+            "item": pa.array(out["item"].to_numpy(np.int64)),
+            "oid": pa.array(out["oid"].to_numpy(np.int64)),
+            "L": pa.array(out["L"].to_numpy(np.int64)),
+            "pos": pa.array(out["pos"].to_numpy(np.int64)),
+            "blob": pa.array([blobs[int(o)] for o in out["oid"]],
+                             pa.binary()),
+            "_bucket": pa.array(out["item"].to_numpy(np.int64)
+                                % num_buckets)})
 
     prefixes = (dist.map_batches(by_oid, batch_format="pyarrow")
                 .groupby("_bucket").map_groups(prefix,
                                                batch_format="pandas"))
 
-    # -- (3) prefix-token candidate pairs + length filter ------------
-    def cands(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ("oid_a", "oid_b", "L_a", "L_b", "_bucket")
+    # -- (3) candidates + inline verify in ONE prefix-token group ----
+    def cands_verify(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("id_a", "id_b", "n_common", "n_union", "_pb")
         empty = pd.DataFrame({c: pd.Series([], dtype="int64")
                               for c in cols})
         if not len(g):
@@ -270,106 +304,59 @@ def setsim_join(ds, *, id_col, item_col, t_num: int = 1,
             return empty
         la = m["L_a"].to_numpy(dtype=np.int64)
         lb = m["L_b"].to_numpy(dtype=np.int64)
-        m = m[np.minimum(la, lb) * t_den >= np.maximum(la, lb) * t_num]
-        m = m[["oid_a", "oid_b", "L_a", "L_b"]] \
-            .drop_duplicates(["oid_a", "oid_b"]).astype("int64")
-        m["_bucket"] = ((m["oid_a"] * 1_000_003 + m["oid_b"])
-                        % num_buckets).astype("int64")
-        return m
-
-    pair_cands = prefixes.groupby("_bucket").map_groups(
-        cands, batch_format="pandas")
-
-    # -- (4) id-keyed member-item gather (pair dedup rides along) ----
-    def explode_members(t: pa.Table) -> pa.Table:
-        a = t.column("oid_a").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        b = t.column("oid_b").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        la = t.column("L_a").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        lb = t.column("L_b").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        doc = np.concatenate([a, b])
-        return pa.table({
-            "doc": pa.array(doc),
-            "pa_": pa.array(np.concatenate([a, a])),
-            "pb_": pa.array(np.concatenate([b, b])),
-            "la_": pa.array(np.concatenate([la, la])),
-            "lb_": pa.array(np.concatenate([lb, lb])),
-            "side": pa.array(np.concatenate(
-                [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])),
-            "item": pa.nulls(len(doc), pa.int64()),
-            "_bucket": pa.array(doc % num_buckets)})
-
-    def src_rows(t: pa.Table) -> pa.Table:
-        oid = t.column("oid").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        n = len(oid)
-        return pa.table({
-            "doc": pa.array(oid),
-            "pa_": pa.nulls(n, pa.int64()),
-            "pb_": pa.nulls(n, pa.int64()),
-            "la_": pa.nulls(n, pa.int64()),
-            "lb_": pa.nulls(n, pa.int64()),
-            "side": pa.array(np.full(n, -1, np.int8)),
-            "item": t.column("item").cast(pa.int64()),
-            "_bucket": pa.array(oid % num_buckets)})
-
-    def gather(g: pd.DataFrame) -> pd.DataFrame:
-        cols = {"pa_": "int64", "pb_": "int64", "la_": "int64",
-                "lb_": "int64", "side": "int8", "item": "int64",
-                "_pb": "int64"}
-        empty = pd.DataFrame({c: pd.Series([], dtype=d)
-                              for c, d in cols.items()})
-        srcs = g.loc[g["side"] == -1, ["doc", "item"]]
-        mem = g.loc[g["side"] >= 0,
-                    ["doc", "pa_", "pb_", "la_", "lb_", "side"]] \
-            .drop_duplicates()
-        if not len(mem) or not len(srcs):
-            return empty
-        srcs = srcs.copy()
-        srcs["doc"] = srcs["doc"].astype("int64")
-        srcs["item"] = srcs["item"].astype("int64")
-        srcs = srcs.drop_duplicates()
-        mem = mem.astype({"doc": "int64", "pa_": "int64",
-                          "pb_": "int64", "la_": "int64",
-                          "lb_": "int64"})
-        m = mem.merge(srcs, on="doc")
+        pa_pos = m["pos_a"].to_numpy(dtype=np.int64)
+        pb_pos = m["pos_b"].to_numpy(dtype=np.int64)
+        # length filter: J <= min/max
+        ok = np.minimum(la, lb) * t_den >= np.maximum(la, lb) * t_num
+        # positional filter (PPJoin): for ANY shared prefix token at
+        # positions (pa, pb), overlap <= min(pa, pb) (shared among the
+        # tokens before it) + min(La-pa, Lb-pb) (it + the tails); a
+        # true pair has overlap >= alpha, so EVERY one of its matched
+        # rows passes — per-row pruning loses no pair
+        alpha = (t_num * (la + lb) + (t_num + t_den) - 1) \
+            // (t_num + t_den)
+        ubound = (np.minimum(pa_pos, pb_pos)
+                  + np.minimum(la - pa_pos, lb - pb_pos))
+        m = m[ok & (ubound >= alpha)]
         if not len(m):
             return empty
-        m["_pb"] = ((m["pa_"] * 1_000_003 + m["pb_"])
-                    % num_buckets).astype("int64")
-        return m[["pa_", "pb_", "la_", "lb_", "side", "item", "_pb"]]
+        m = m.drop_duplicates(["oid_a", "oid_b"])
+        # inline verify: unpack both blobs (one C-level join each),
+        # count shared items with a pandas merge ON item — never an
+        # items_a x items_b cross product
+        na = (m["L_a"].to_numpy(dtype=np.int64))
+        nb_ = (m["L_b"].to_numpy(dtype=np.int64))
+        ia = np.frombuffer(b"".join(m["blob_a"]), dtype=np.int64)
+        ib = np.frombuffer(b"".join(m["blob_b"]), dtype=np.int64)
+        ridx = np.arange(len(m), dtype=np.int64)
+        da = pd.DataFrame({"r": np.repeat(ridx, na), "item": ia})
+        db = pd.DataFrame({"r": np.repeat(ridx, nb_), "item": ib})
+        inter = (da.merge(db, on=["r", "item"])
+                 .groupby("r").size())
+        cnt = np.zeros(len(m), dtype=np.int64)
+        cnt[inter.index.to_numpy()] = inter.to_numpy()
+        union = na + nb_ - cnt
+        keep = cnt * t_den >= t_num * union
+        out = pd.DataFrame({
+            "id_a": m["oid_a"].to_numpy(dtype=np.int64)[keep],
+            "id_b": m["oid_b"].to_numpy(dtype=np.int64)[keep],
+            "n_common": cnt[keep], "n_union": union[keep]})
+        out["_pb"] = ((out["id_a"] * 1_000_003 + out["id_b"])
+                      % num_buckets).astype("int64")
+        return out
 
-    gathered = (pair_cands.map_batches(explode_members,
-                                       batch_format="pyarrow")
-                .union(dist.map_batches(src_rows,
-                                        batch_format="pyarrow"))
-                .groupby("_bucket")
-                .map_groups(gather, batch_format="pandas"))
+    verified = prefixes.groupby("_bucket").map_groups(
+        cands_verify, batch_format="pandas")
 
-    # -- (5) intersection count + threshold verify -------------------
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ("id_a", "id_b", "n_common", "n_union")
-        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
-                              for c in cols})
+    # -- (4) tiny global pair dedup (a pair can be found via prefix
+    # tokens living in different hash buckets) ------------------------
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "n_common", "n_union"]
         if not len(g):
-            return empty
-        a = g.loc[g["side"] == 0, ["pa_", "pb_", "la_", "lb_", "item"]]
-        b = g.loc[g["side"] == 1, ["pa_", "pb_", "item"]]
-        if not len(a) or not len(b):
-            return empty
-        inter = (a.merge(b, on=["pa_", "pb_", "item"])
-                 .groupby(["pa_", "pb_"], as_index=False)
-                 .agg(n_common=("item", "count")))
-        sizes = a[["pa_", "pb_", "la_", "lb_"]].drop_duplicates()
-        m = inter.merge(sizes, on=["pa_", "pb_"])
-        u = (m["la_"] + m["lb_"] - m["n_common"]).astype("int64")
-        m = m.assign(n_union=u)
-        m = m[m["n_common"] * t_den >= t_num * m["n_union"]]
-        out = m.rename(columns={"pa_": "id_a", "pb_": "id_b"})
-        return out[list(cols)].astype("int64")
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        return g[cols].drop_duplicates(["id_a", "id_b"]) \
+            .astype("int64")
 
-    return gathered.groupby("_pb").map_groups(verify,
+    return verified.groupby("_pb").map_groups(dedup_pairs,
                                               batch_format="pandas")

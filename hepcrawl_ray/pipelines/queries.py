@@ -11970,6 +11970,137 @@ def q_dedup_incremental(sf_dir: str):
 QUERIES.update({"dedup_incremental": q_dedup_incremental})
 
 
+def q_regression_by_brand(sf_dir: str):
+    """GROUPED least-squares: per-brand slope of part price (cents)
+    against size, integer micro fixed point — the per-segment trend a
+    feature pipeline computes without collecting rows.  Per-batch
+    Arrow partials of the 5 sufficient statistics keyed by brand;
+    the combine is vocabulary-sized (|brands| rows) on the driver;
+    the slope uses the same truncating division as DuckDB's ``//``.
+    Degenerate groups (n < 2 or zero size variance) are excluded on
+    both sides (the SQL twin would divide by zero)."""
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("p_size").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = _cents(t.column("p_retailprice").to_numpy(
+            zero_copy_only=False))
+        d = pd.DataFrame({"p_brand": t.column("p_brand").to_pylist(),
+                          "n": 1, "sx": x, "sy": y,
+                          "sxx": x * x, "sxy": x * y})
+        out = d.groupby("p_brand", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    p = _pdf(_read(sf_dir, "part",
+                   ["p_brand", "p_size", "p_retailprice"])
+             .map_batches(partial, batch_format="pyarrow"),
+             ["p_brand", "n", "sx", "sy", "sxx", "sxy"])
+    if len(p) == 0:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype="object"),
+            "n_parts": pd.Series([], dtype="int64"),
+            "slope_micro": pd.Series([], dtype="int64")})
+    agg = p.groupby("p_brand", as_index=False).sum()
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    rows = []
+    for r in agg.itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxx, sxy = int(r.sxx), int(r.sxy)
+        varx = n * sxx - sx * sx
+        if n < 2 or varx == 0:
+            continue
+        rows.append((r.p_brand, n,
+                     tdiv(1_000_000 * (n * sxy - sx * sy), varx)))
+    out = pd.DataFrame(rows, columns=["p_brand", "n_parts",
+                                      "slope_micro"])
+    if len(out) == 0:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype="object"),
+            "n_parts": pd.Series([], dtype="int64"),
+            "slope_micro": pd.Series([], dtype="int64")})
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["slope_micro"] = out["slope_micro"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+_CKSUM_MOD = (1 << 61) - 1
+
+
+def q_table_checksum_orders(sf_dir: str):
+    """Order-independent integer table checksum — the cheap
+    cross-engine data-integrity handshake (validate a migration /
+    resumed output without moving rows): per-row closed-form
+    multiplicative hash over (orderkey, custkey, price cents), summed
+    mod 2^61-1.  Modular addition commutes, so ANY partitioning gives
+    the same value; one streaming pass, a 2-integer combine.  The SQL
+    twin computes the identical hash in BIGINT/HUGEINT."""
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        h = (ok * 2654435761 + ck * 40503 + cents * 69069 + 12345)
+        s = int(np.sum(h % _CKSUM_MOD, dtype=object)) % _CKSUM_MOD
+        return pa.table({"n": pa.array([len(ok)]),
+                         "s": pa.array([s])})
+
+    p = _pdf(_read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow"),
+             ["n", "s"])
+    n = int(p["n"].sum()) if len(p) else 0
+    s = int(p["s"].sum()) % _CKSUM_MOD if len(p) else 0
+    return pd.DataFrame({"n_rows": pd.array([n], dtype="int64"),
+                         "checksum": pd.array([s], dtype="int64")})
+
+
+QUERIES.update({
+    "regression_by_brand": q_regression_by_brand,
+    "table_checksum_orders": q_table_checksum_orders,
+})
+
+ORACLE_SQL.update({
+    "regression_by_brand": """
+        WITH s AS (
+            SELECT p_brand,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(CAST(p_size AS BIGINT)) AS HUGEINT) AS sx,
+                   CAST(sum(CAST(floor(p_retailprice * 100 + 0.5)
+                                 AS BIGINT)) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(p_size AS HUGEINT)
+                            * CAST(p_size AS BIGINT)) AS HUGEINT)
+                       AS sxx,
+                   CAST(sum(CAST(p_size AS HUGEINT)
+                            * CAST(floor(p_retailprice * 100 + 0.5)
+                                   AS BIGINT)) AS HUGEINT) AS sxy
+            FROM part GROUP BY p_brand)
+        SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+               CAST(1000000 * (n * sxy - sx * sy)
+                    // (n * sxx - sx * sx) AS BIGINT) AS slope_micro
+        FROM s
+        WHERE n >= 2 AND n * sxx <> sx * sx
+        ORDER BY p_brand
+    """,
+    "table_checksum_orders": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(CAST(
+                        (o_orderkey * 2654435761
+                         + o_custkey * 40503
+                         + CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT) * 69069
+                         + 12345) % 2305843009213693951
+                    AS HUGEINT)), 0) % 2305843009213693951 AS BIGINT)
+                   AS checksum
+        FROM orders
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

@@ -368,6 +368,11 @@ ADVERSARIAL_QUERIES = [
     # value ranges (custkey 1-7, cents 1000-3000 — the rectangle
     # misses entirely; typed-empty schema must agree)
     "zorder_range_orders",
+    # session-7 batch 6: B2's two parts have distinct sizes (slope
+    # defined); B1 has a REPEATED size pair (variance from ties);
+    # checksum over the fixture's duplicate prices must still be
+    # order-independent
+    "regression_by_brand", "table_checksum_orders",
 ]
 
 
