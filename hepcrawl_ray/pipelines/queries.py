@@ -12101,6 +12101,24 @@ ORACLE_SQL.update({
 })
 
 
+def q_cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking dedup measurement over document text
+    (ops/cdc.py): gear-hash boundaries (vectorized 64-tap
+    correlation, no per-byte Python), blake2b chunk hashes,
+    per-batch pre-aggregation, ONE chunk-hash-keyed shuffle, 4-integer
+    combine — the byte-level redundancy signal document-level dedup
+    can't see.  Rows-only: boundaries are engine-defined
+    (vectorized == sequential reference and shift-invariance pinned
+    in tests/test_cdc.py)."""
+    from hepcrawl_ray.ops import cdc as C
+
+    return C.cdc_dedup_stats(
+        _read(sf_dir, "documents", ["text"]), bytes_col="text")
+
+
+QUERIES.update({"cdc_chunk_dedup": q_cdc_chunk_dedup})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 
