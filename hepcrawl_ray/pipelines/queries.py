@@ -12119,6 +12119,122 @@ def q_cdc_chunk_dedup(sf_dir: str):
 QUERIES.update({"cdc_chunk_dedup": q_cdc_chunk_dedup})
 
 
+def q_watermark_late_events(sf_dir: str):
+    """Streaming watermark semantics, made deterministic: arrival
+    order is event_id, the watermark at each arrival is the running
+    MAX event-time seen so far minus a 2 h allowed lateness, and an
+    event is LATE (dropped from its window) when it arrives after the
+    watermark passed its timestamp.  Output: events per 1 h tumbling
+    window for on-time events, plus one window = -1 row counting the
+    late drops (absent when nothing is late).
+
+    Distributed shape: the running max over arrival order is a
+    PREFIX-MAX SCAN — per-arrival-range bucket maxima combine on the
+    driver into per-bucket offsets (|buckets| ints), broadcast back,
+    then each bucket finishes its local shifted cummax in pandas C.
+    Two streaming passes, no global sort."""
+    from ray.data.aggregate import Max, Min
+
+    LATENESS = 7_200_000_000           # 2 h in us
+    WIN = 3_600_000_000                # 1 h windows
+    n_buckets = 64
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "ts_us": t.column("ts").cast(pa.int64())})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+    agg = ds.aggregate(Min("event_id"), Max("event_id"))
+    lo = agg.get("min(event_id)") if agg else None
+    if lo is None:
+        return pd.DataFrame({"win": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    lo, hi = int(lo), int(agg["max(event_id)"])
+    span = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket", pa.array(
+            (e - lo) // span))
+
+    bds = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    # pass 1: per-arrival-range bucket maxima -> driver prefix combine
+    def bmax(t: pa.Table) -> pa.Table:
+        b = t.column("_bucket").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        d = (pd.DataFrame({"b": b, "m": ts})
+             .groupby("b", as_index=False).max())
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    bm = _pdf(bds.map_batches(bmax, batch_format="pyarrow"),
+              ["b", "m"])
+    bm = bm.groupby("b", as_index=False).max().sort_values("b")
+    offsets = {}                      # bucket -> max ts of EARLIER buckets
+    run = np.iinfo(np.int64).min
+    for r in bm.itertuples():
+        offsets[int(r.b)] = run
+        run = max(run, int(r.m))
+
+    # pass 2: local shifted cummax + bucket offset -> late flag
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"win": pd.Series([], dtype="int64"),
+                                 "_pn": pd.Series([], dtype="int64")})
+        g = g.sort_values("event_id")
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        prev = np.maximum.accumulate(
+            np.concatenate(([np.iinfo(np.int64).min], ts[:-1])))
+        pmax = np.maximum(prev, offsets.get(int(g["_bucket"].iloc[0]),
+                                            np.iinfo(np.int64).min))
+        late = (pmax != np.iinfo(np.int64).min) \
+            & (pmax - ts > LATENESS)
+        win = np.where(late, -1, ts // WIN)
+        out = (pd.DataFrame({"win": win.astype(np.int64)})
+               .groupby("win", as_index=False)
+               .agg(_pn=("win", "count")))
+        out["_pn"] = out["_pn"].astype("int64")
+        return out
+
+    part = _pdf(bds.groupby("_bucket")
+                .map_groups(finish, batch_format="pandas"),
+                ["win", "_pn"])
+    if len(part) == 0:
+        return pd.DataFrame({"win": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    out = (part.groupby("win", as_index=False).agg(n=("_pn", "sum")))
+    out = out.astype("int64")
+    return out.sort_values("win").reset_index(drop=True)
+
+
+QUERIES.update({"watermark_late_events": q_watermark_late_events})
+
+ORACLE_SQL.update({
+    "watermark_late_events": """
+        WITH a AS (
+            SELECT event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   MAX(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM events
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        b AS (SELECT CASE WHEN pmax IS NOT NULL
+                           AND pmax - ts_us > 7200000000
+                          THEN CAST(-1 AS BIGINT)
+                          ELSE ts_us // 3600000000 END AS win
+              FROM a)
+        SELECT win, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY win ORDER BY win
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

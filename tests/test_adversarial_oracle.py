@@ -373,6 +373,10 @@ ADVERSARIAL_QUERIES = [
     # checksum over the fixture's duplicate prices must still be
     # order-independent
     "regression_by_brand", "table_checksum_orders",
+    # session-7 batch 8: the fixture's out-of-arrival-order events
+    # (user 4's pre-signup purchase, day-gap bursts) exercise the
+    # late path the monotone testdata never does
+    "watermark_late_events",
 ]
 
 
