@@ -118,6 +118,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Run a registered pipeline and print Ray Data's execution stats
+    (per-operator wall/cpu/rows) — the per-stage profiling surface
+    `ds.stats()` gives a Dataset result; driver-side pandas results
+    only report wall time."""
+    from hepcrawl_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES.get(args.name)
+    if fn is None:
+        print(f"unknown query {args.name!r} — see `list`",
+              file=sys.stderr)
+        return 2
+    owned = _ensure_ray(args.num_cpus)
+    try:
+        import ray.data as rd
+
+        t0 = time.monotonic()
+        out = fn(args.sf_dir)
+        if isinstance(out, rd.Dataset):
+            out = out.materialize()
+            n = out.count()
+            dt = time.monotonic() - t0
+            print(out.stats())
+        else:
+            n = len(out)
+            dt = time.monotonic() - t0
+            print("# driver-side result (no Dataset stats); inner "
+                  "stages already executed eagerly", file=sys.stderr)
+        print(f"# {n} rows ({dt:.2f}s)", file=sys.stderr)
+    finally:
+        if owned:
+            import ray
+
+            ray.shutdown()
+    return 0
+
+
 def cmd_crawl(args) -> int:
     owned = _ensure_ray(args.num_cpus)
     try:
@@ -173,6 +210,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--limit", type=int, default=20,
                    help="rows to print without --out")
     s.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("stats",
+                       help="run a pipeline, print ds.stats()")
+    s.add_argument("name")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_stats)
 
     s = sub.add_parser("crawl",
                        help="resumable flagship crawl (seeds -> "
