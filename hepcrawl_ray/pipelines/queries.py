@@ -12235,6 +12235,79 @@ ORACLE_SQL.update({
 })
 
 
+def q_gini_order_prices(sf_dir: str):
+    """Exact integer Gini coefficient of order prices (inequality /
+    concentration audit — the corpus-balance measure for source or
+    spend skew).  Identity: with values grouped as (v, count c,
+    smaller-count s), 2*sum(rank*x) = sum(v*c*(2s+c+1)) exactly, so
+    G_milli = 1000*(NUM - (n+1)*S) // (n*S) is all-integer.  Per-batch
+    VALUE-histogram partials (cents domain is bounded — ~5e7 distinct
+    possible values regardless of corpus size, so the combine is
+    domain-sized, never row-sized), one driver cumsum."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        d = (pd.DataFrame({"v": v})
+             .groupby("v", as_index=False).agg(c=("v", "count")))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    p = _pdf(_read(sf_dir, "orders", ["o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow"),
+             ["v", "c"])
+    if len(p) == 0:
+        return pd.DataFrame({
+            "n_rows": pd.array([0], dtype="int64"),
+            "gini_milli": pd.array([np.nan], dtype="float64")})
+    h = p.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    c = h["c"].to_numpy(dtype=np.int64)
+    v = h["v"].to_numpy(dtype=np.int64)
+    s = np.concatenate(([0], np.cumsum(c)[:-1]))
+    n = int(c.sum())
+    S = int((v * c).sum())
+    NUM = int(sum(int(vv) * int(cc) * (2 * int(ss) + int(cc) + 1)
+                  for vv, cc, ss in zip(v, c, s)))
+    if S == 0:
+        return pd.DataFrame({
+            "n_rows": pd.array([n], dtype="int64"),
+            "gini_milli": pd.array([np.nan], dtype="float64")})
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    g = tdiv(1000 * (NUM - (n + 1) * S), n * S)
+    return pd.DataFrame({"n_rows": pd.array([n], dtype="int64"),
+                         "gini_milli": pd.array([g], dtype="int64")})
+
+
+QUERIES.update({"gini_order_prices": q_gini_order_prices})
+
+ORACLE_SQL.update({
+    "gini_order_prices": """
+        WITH h AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS v, count(*) AS c
+            FROM orders GROUP BY 1),
+        w AS (
+            SELECT v, c,
+                   coalesce(sum(c) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS s
+            FROM h),
+        t AS (
+            SELECT CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS S,
+                   CAST(sum(c) AS HUGEINT) AS n,
+                   CAST(sum(CAST(v AS HUGEINT) * c * (2 * s + c + 1))
+                        AS HUGEINT) AS num
+            FROM w)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               CAST(1000 * (num - (n + 1) * S) // (n * S) AS BIGINT)
+                   AS gini_milli
+        FROM t
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

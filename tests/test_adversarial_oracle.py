@@ -377,6 +377,9 @@ ADVERSARIAL_QUERIES = [
     # (user 4's pre-signup purchase, day-gap bursts) exercise the
     # late path the monotone testdata never does
     "watermark_late_events",
+    # the fixture's heavy price ties (10/10/20/30 repeated) hit the
+    # grouped-rank Gini identity's tie handling directly
+    "gini_order_prices",
 ]
 
 
