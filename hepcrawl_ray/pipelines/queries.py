@@ -12308,6 +12308,87 @@ ORACLE_SQL.update({
 })
 
 
+def q_skipgram_cooccurrence(sf_dir: str):
+    """Skip-gram co-occurrence: top-20 ORDERED word pairs within a
+    +-3 token window (the word2vec / embedding-training context-pair
+    extraction, vs bigram_collocations' adjacency-only pairs).
+    Per-batch pairs come from three shifted array views (k = 1..3, no
+    per-token Python), pre-aggregated per batch; ONE pair-keyed
+    shuffle sums counts and applies the per-bucket top-20 prune
+    (safe: the global top-20 is a union of per-bucket top-20s), and
+    the driver folds <= 64 x 20 candidate rows."""
+    n_buckets = 64
+
+    def parts(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        terms = flat.to_numpy(zero_copy_only=False)
+        aa, bb = [], []
+        for k in (1, 2, 3):
+            if len(parent) <= k:
+                break
+            m = parent[:-k] == parent[k:]
+            aa.append(terms[:-k][m])
+            bb.append(terms[k:][m])
+        a = np.concatenate(aa) if aa else np.empty(0, object)
+        b = np.concatenate(bb) if bb else np.empty(0, object)
+        g = (pa.table({"a": pa.array(a, pa.string()),
+                       "b": pa.array(b, pa.string()),
+                       "one": pa.array(np.ones(len(a), np.int64))})
+             .group_by(["a", "b"]).aggregate([("one", "sum")])
+             .rename_columns(["a", "b", "n_pair"]))
+        h = (T.content_hash64(g.column("a").to_pylist()) * 31
+             + T.content_hash64(g.column("b").to_pylist()))
+        return g.append_column("_bucket", pa.array(
+            (h % n_buckets).astype(np.int64)))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], as_index=False)["n_pair"].sum())
+        out["n_pair"] = out["n_pair"].astype("int64")
+        return (out.sort_values(["n_pair", "a", "b"],
+                                ascending=[False, True, True])
+                .head(20))
+
+    part = _pdf(_read(sf_dir, "documents", ["text"])
+                .map_batches(parts, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(topk,
+                                               batch_format="pandas"),
+                ["a", "b", "n_pair"])
+    part = part[["a", "b", "n_pair"]]
+    if len(part) == 0:
+        return pd.DataFrame({"w_a": pd.Series([], dtype="object"),
+                             "w_b": pd.Series([], dtype="object"),
+                             "n_pair": pd.Series([], dtype="int64")})
+    out = (part.sort_values(["n_pair", "a", "b"],
+                            ascending=[False, True, True]).head(20)
+           .rename(columns={"a": "w_a", "b": "w_b"}))
+    out["n_pair"] = out["n_pair"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES.update({"skipgram_cooccurrence": q_skipgram_cooccurrence})
+
+ORACLE_SQL.update({
+    "skipgram_cooccurrence": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''),
+        pr AS (
+            SELECT t[i] AS w_a, t[i + k] AS w_b, count(*) AS n_pair
+            FROM toks,
+                 UNNEST(range(1, len(t))) AS r(i),
+                 (VALUES (1), (2), (3)) ks(k)
+            WHERE i + k <= len(t)
+            GROUP BY 1, 2)
+        SELECT w_a, w_b, CAST(n_pair AS BIGINT) AS n_pair
+        FROM pr
+        QUALIFY row_number() OVER (
+            ORDER BY n_pair DESC, w_a, w_b) <= 20
+        ORDER BY n_pair DESC, w_a, w_b
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

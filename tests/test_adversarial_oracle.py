@@ -380,6 +380,9 @@ ADVERSARIAL_QUERIES = [
     # the fixture's heavy price ties (10/10/20/30 repeated) hit the
     # grouped-rank Gini identity's tie handling directly
     "gini_order_prices",
+    # skip-gram windows over the fixture's tiny docs (len < window,
+    # empty-text doc, planted dup): boundary pairs + count ties
+    "skipgram_cooccurrence",
 ]
 
 
