@@ -697,6 +697,16 @@ def q_knn_ivf_index(sf_dir: str):
     return got
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization top-10: ADC scan over 8-byte codes (32x
+    compression of the 64-d float corpus) + inline exact re-rank of a
+    4k shortlist per batch (rows-only: approximate by design, recall
+    vs the brute-force twin pinned in tests)."""
+    return K.knn_pq(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _KNN_QUERIES, k=10, m=8, ks=16, refine=4)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -981,6 +991,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
+    "knn_pq": q_knn_pq,
     "text_token_stats": q_text_token_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
