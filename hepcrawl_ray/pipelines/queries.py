@@ -12311,7 +12311,7 @@ ORACLE_SQL.update({
                    CAST(sum(CAST(v AS HUGEINT) * c * (2 * s + c + 1))
                         AS HUGEINT) AS num
             FROM w)
-        SELECT CAST(n AS BIGINT) AS n_rows,
+        SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_rows,
                CAST(1000 * (num - (n + 1) * S) // (n * S) AS BIGINT)
                    AS gini_milli
         FROM t
@@ -12396,6 +12396,99 @@ ORACLE_SQL.update({
         QUALIFY row_number() OVER (
             ORDER BY n_pair DESC, w_a, w_b) <= 20
         ORDER BY n_pair DESC, w_a, w_b
+    """,
+})
+
+
+def q_scd2_user_status(sf_dir: str):
+    """SCD-type-2 history build: per user, the event_type stream
+    collapsed into validity intervals [valid_from_us, valid_to_us)
+    over consecutive runs of the same value — the slowly-changing-
+    dimension versioning every warehouse ETL needs, done without a
+    global window.
+
+    Scale shape: the read projects to 4 columns; ONE user-bucket
+    shuffle (users never span buckets); each bucket's runs are found
+    vectorized — sort by (user, ts, event_id), np.flatnonzero run
+    breaks, segment firsts — no per-user Python.  Open (current)
+    intervals carry valid_to_us = -1: a SENTINEL, not NULL, because
+    the mirror compare unifies integer dtypes with astype("int64")
+    which a nullable Int64 NA cannot survive; the ts domain is
+    non-negative so -1 is unambiguous."""
+    n_buckets = 64
+
+    def project(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "_bucket": pa.array(u % n_buckets),
+        })
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy(dtype=object)
+        change = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            change[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        first = np.flatnonzero(change)           # segment start rows
+        seg_user = u[first]
+        valid_to = np.empty(len(first), dtype=np.int64)
+        if len(first) > 1:
+            valid_to[:-1] = ts[first[1:]]
+        # the LAST segment of each user is the open/current one
+        last_of_user = np.ones(len(first), dtype=bool)
+        if len(first) > 1:
+            last_of_user[:-1] = seg_user[:-1] != seg_user[1:]
+        valid_to[last_of_user] = -1
+        return pd.DataFrame({
+            "user_id": seg_user,
+            "event_type": et[first],
+            "valid_from_us": ts[first],
+            "valid_to_us": valid_to,
+        })
+
+    return (_read(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"])
+            .map_batches(project, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(intervals, batch_format="pandas"))
+
+
+QUERIES.update({"scd2_user_status": q_scd2_user_status})
+
+ORACLE_SQL.update({
+    "scd2_user_status": """
+        WITH e AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   event_id, event_type
+            FROM events),
+        m AS (
+            SELECT *,
+                   CASE WHEN lag(event_type) OVER w
+                             IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts_us, event_id)),
+        s AS (
+            SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS seg
+            FROM m),
+        r AS (
+            SELECT user_id, event_type, seg,
+                   CAST(min(ts_us) AS BIGINT) AS valid_from_us
+            FROM s GROUP BY user_id, event_type, seg)
+        SELECT user_id, event_type, valid_from_us,
+               coalesce(lead(valid_from_us) OVER (
+                   PARTITION BY user_id ORDER BY seg),
+                   CAST(-1 AS BIGINT)) AS valid_to_us
+        FROM r
     """,
 })
 

@@ -383,6 +383,11 @@ ADVERSARIAL_QUERIES = [
     # skip-gram windows over the fixture's tiny docs (len < window,
     # empty-text doc, planted dup): boundary pairs + count ties
     "skipgram_cooccurrence",
+    # session-8 batch 1: SCD2 runs over the fixture's identical-ts
+    # event bursts (event_id tiebreak decides run boundaries; a
+    # zero-length interval where a change lands on a tied ts must
+    # agree) and single-event users (open interval only)
+    "scd2_user_status",
 ]
 
 
