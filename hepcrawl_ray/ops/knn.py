@@ -367,6 +367,74 @@ def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
         global_topk, batch_format="pandas")
 
 
+# ------------------------------------------------- contrastive mining ----
+
+def hard_negatives(ds, query_ids, *, k=10, lo=0.15, hi=0.4,
+                   id_col="vec_id", vec_col="embedding"):
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar vectors whose cosine falls in [lo, hi) —
+    similar enough to be informative negatives, below the near-dup
+    threshold so they are not false negatives (the in-batch-negatives
+    upgrade every embedding-training pipeline runs at corpus scale).
+
+    Scale shape identical to knn_bruteforce: the query matrix rides
+    the task closure, each batch does ONE matmul and emits a per-batch
+    band-filtered partial top-k, and a tiny per-query fold keeps the
+    global top-k — the corpus never shuffles.  Deterministic: rank by
+    (sim DESC, id ASC), exactly reproducible in SQL.
+    """
+    qset = pa.array(sorted(set(int(q) for q in query_ids)), type=pa.int64())
+    q_rows = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: drop_null_vectors(
+            t.filter(pa.compute.is_in(t.column(id_col), value_set=qset)),
+            vec_col),
+        batch_format="pyarrow").take_all()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[vec_col] for r in q_rows],
+                                dtype=np.float64)) \
+        if q_rows else np.zeros((0, 1), dtype=np.float64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        batch = drop_null_vectors(batch, vec_col)
+        if batch.num_rows == 0 or len(q_ids) == 0:
+            return _TOPK_EMPTY
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _normalize(list_column_to_matrix(batch.column(vec_col)))
+        sims = q_mat @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            s = sims[qi]
+            mask = (s >= lo) & (s < hi) & (ids != q_ids[qi])
+            cand = np.nonzero(mask)[0]
+            if not len(cand):
+                continue
+            top = min(k, len(cand))
+            order = np.lexsort((ids[cand], -s[cand]))[:top]
+            sel = cand[order]
+            out_q.extend([int(q_ids[qi])] * len(sel))
+            out_n.extend(int(x) for x in ids[sel])
+            out_s.extend(float(x) for x in s[sel])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        local_topk, batch_format="pyarrow")
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g.rename(columns={"neighbor_id": "negative_id"})[
+            ["query_id", "negative_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas")
+
+
 # ------------------------------------------------ product quantization ----
 
 def train_pq(ds, *, m=8, ks=16, id_col="vec_id", vec_col="embedding",

@@ -12460,7 +12460,55 @@ def q_scd2_user_status(sf_dir: str):
             .map_groups(intervals, batch_format="pandas"))
 
 
-QUERIES.update({"scd2_user_status": q_scd2_user_status})
+def q_contrastive_negatives(sf_dir: str):
+    """Hard-negative mining for the 5 standard query vectors: top-10
+    by cosine within [0.15, 0.4) — informative negatives below the
+    near-dup threshold (contrastive-training data prep)."""
+    return K.hard_negatives(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _KNN_QUERIES, k=10, lo=0.15, hi=0.4)
+
+
+def q_percent_rank_prices(sf_dir: str):
+    """Global rank statistics per distinct price value: n, exact
+    integer percent_rank and cume_dist in milli — the global-window
+    ranking done as a VALUE histogram (bounded cents domain), never a
+    row sort.  Per-batch histogram partials → one tiny value-keyed
+    combine on the driver (domain-sized, not row-sized) → cumsum."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        d = (pd.DataFrame({"v_cents": v})
+             .groupby("v_cents", as_index=False)
+             .agg(c=("v_cents", "count")))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    p = _pdf(_read(sf_dir, "orders", ["o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow"),
+             ["v_cents", "c"])
+    h = (p.groupby("v_cents", as_index=False)["c"].sum()
+         .sort_values("v_cents").reset_index(drop=True))
+    if len(h) == 0:
+        return pd.DataFrame({
+            "v_cents": pd.array([], dtype="int64"),
+            "n": pd.array([], dtype="int64"),
+            "pct_rank_milli": pd.array([], dtype="int64"),
+            "cume_dist_milli": pd.array([], dtype="int64")})
+    n = int(h["c"].sum())
+    c = h["c"].to_numpy(dtype=np.int64)
+    below = np.concatenate(([0], np.cumsum(c)[:-1])).astype(np.int64)
+    out = pd.DataFrame({"v_cents": h["v_cents"].astype("int64"),
+                        "n": c})
+    out["pct_rank_milli"] = (1000 * below // max(n - 1, 1)) \
+        .astype("int64")
+    out["cume_dist_milli"] = (1000 * (below + c) // max(n, 1)) \
+        .astype("int64")
+    return out
+
+
+QUERIES.update({"scd2_user_status": q_scd2_user_status,
+                "contrastive_negatives": q_contrastive_negatives,
+                "percent_rank_prices": q_percent_rank_prices})
 
 ORACLE_SQL.update({
     "scd2_user_status": """
@@ -12489,6 +12537,42 @@ ORACLE_SQL.update({
                    PARTITION BY user_id ORDER BY seg),
                    CAST(-1 AS BIGINT)) AS valid_to_us
         FROM r
+    """,
+    "contrastive_negatives": """
+        -- NULL embeddings are unindexed/unsearchable (the engine-wide
+        -- vector-index contract)
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+                     AND embedding IS NOT NULL),
+        s AS (SELECT q.qid AS query_id, v.vec_id AS negative_id,
+                     list_cosine_similarity(q.e, CAST(v.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.qid
+                AND v.embedding IS NOT NULL)
+        SELECT query_id, negative_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, negative_id) AS rank
+        FROM s WHERE sim >= 0.15 AND sim < 0.4
+        QUALIFY rank <= 10
+    """,
+    "percent_rank_prices": """
+        WITH h AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS v_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1),
+        t AS (
+            SELECT v_cents, n,
+                   coalesce(sum(n) OVER (
+                       ORDER BY v_cents ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND 1 PRECEDING), 0) AS below,
+                   sum(n) OVER () AS total
+            FROM h)
+        SELECT v_cents, n,
+               CAST(1000 * below // greatest(total - 1, 1) AS BIGINT)
+                   AS pct_rank_milli,
+               CAST(1000 * (below + n) // greatest(total, 1) AS BIGINT)
+                   AS cume_dist_milli
+        FROM t
     """,
 })
 
