@@ -68,6 +68,10 @@ QUERY_NAMES = [
     "setsim_orders", "basket_pair_counts", "interval_overlap_stats",
     "graph_bfs_hops", "knn_hamming", "zorder_range_orders",
     "simjoin_editdist_names", "skyline_parts",
+    # session-8 additions (compressed-domain ANN, contrastive mining,
+    # SCD2 history build, global value-rank stats)
+    "knn_pq", "contrastive_negatives", "scd2_user_status",
+    "percent_rank_prices",
 ]
 
 
