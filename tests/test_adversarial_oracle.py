@@ -388,6 +388,12 @@ ADVERSARIAL_QUERIES = [
     # zero-length interval where a change lands on a tied ts must
     # agree) and single-event users (open interval only)
     "scd2_user_status",
+    # session-8 batch 2: the fixture's cosines all fall OUTSIDE the
+    # [0.15, 0.4) negative band (0.110 below, 0.552 above) — band
+    # boundaries + the typed-empty result must agree; percent_rank
+    # over the heavy price ties (10/10/20/30 ×10) pins the
+    # tie-plateau rank semantics
+    "contrastive_negatives", "percent_rank_prices",
 ]
 
 
