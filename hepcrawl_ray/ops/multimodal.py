@@ -301,6 +301,68 @@ def area_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return out[:, :, 0] if squeeze else out
 
 
+class ImagePatchStage:
+    """ViT-style patchification stats: decode to LUMA once (no RGB
+    materialization), split into non-overlapping P×P patches (edge
+    remainders cropped — the ViT convention), and emit per-image
+    INTEGER patch-quality stats: grid shape, patch count, blank-patch
+    count (variance below a milli threshold — the border / solid-fill
+    filter signal vision pipelines gate on), and mean patch variance.
+
+    All patch moments come from ONE (gh, p, gw, p) reshape + two
+    axis-sums per image — no per-patch Python.  Luma values are exact
+    integers (codecs._luma_from_rgb_bytes), so variance is computed in
+    int64 as n·Σx² − (Σx)² and scaled by 1000·/n² with integer
+    division — bit-deterministic across runs and partitionings.
+    Decode is the real per-image work (CLAUDE lesson 8: batch the
+    fixed-overhead tail, keep the big per-image ops per-image)."""
+
+    def __init__(self, patch: int = 8, blank_var_milli: int = 1000):
+        self.patch = int(patch)
+        self.blank_var_milli = int(blank_var_milli)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.patch
+        n_px = p * p
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        n = len(blobs)
+        ok = np.zeros(n, bool)
+        grid_h = np.zeros(n, np.int64)
+        grid_w = np.zeros(n, np.int64)
+        n_blank = np.zeros(n, np.int64)
+        mean_var = np.zeros(n, np.int64)
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            try:
+                luma, w, h = codecs.decode_luma(blob, fmt)
+            except Exception:
+                continue
+            gh, gw = h // p, w // p
+            if gh == 0 or gw == 0:
+                ok[i] = True          # decoded, just smaller than one patch
+                continue
+            ok[i] = True
+            grid_h[i], grid_w[i] = gh, gw
+            v = luma[:gh * p, :gw * p].astype(np.int64)
+            blocks = v.reshape(gh, p, gw, p)
+            s = blocks.sum(axis=(1, 3))
+            ss = (blocks * blocks).sum(axis=(1, 3))
+            var_num = n_px * ss - s * s            # n² × variance
+            var_milli = 1000 * var_num // (n_px * n_px)
+            n_blank[i] = int((var_milli < self.blank_var_milli).sum())
+            mean_var[i] = int(1000 * int(var_num.sum())
+                              // (n_px * n_px * gh * gw))
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "decoded": pa.array(ok),
+            "grid_h": pa.array(grid_h),
+            "grid_w": pa.array(grid_w),
+            "n_patches": pa.array(grid_h * grid_w),
+            "n_blank": pa.array(n_blank),
+            "mean_patch_var_milli": pa.array(mean_var),
+        })
+
+
 class ImageQualityStage:
     """LAION-style image corpus gate: decode (REAL, own codecs) and
     judge size / aspect / contrast / entropy against thresholds.  All

@@ -1505,6 +1505,20 @@ def q_multimodal_image_features(sf_dir: str):
         .drop_columns(["thumbnail"])
 
 
+def q_multimodal_image_patches(sf_dir: str):
+    """ViT-style P×P patchification stats over the synthetic corpus
+    (actor-pool stage; REAL luma decode; integer-exact per-patch
+    variance — see ops.multimodal.ImagePatchStage)."""
+    import ray
+
+    from hepcrawl_ray.ops.multimodal import ImagePatchStage
+
+    images, _, _, _ = _crawl_tables(sf_dir)
+    return ray.data.from_arrow(images.select(["image_id", "bytes", "fmt"])) \
+        .map_batches(ImagePatchStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=(1, 2), num_cpus=0.5)
+
+
 def q_multimodal_audio_features(sf_dir: str):
     """Audio band-energy features over REAL PCM WAV payloads (stdlib
     wave decode; sines at deterministic frequencies across sample
@@ -1556,6 +1570,7 @@ QUERIES.update({
     "source_sitemap_expand": q_source_sitemap_expand,
     "source_jsonl_expand": q_source_jsonl_expand,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_image_patches": q_multimodal_image_patches,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_frames": q_multimodal_video_frames,
 })

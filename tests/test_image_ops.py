@@ -121,3 +121,79 @@ def test_image_dedup_pipeline_collapses_probes(ray_session):
             assert keeps[pid] + keeps[orig] <= 1
     # phash drift is 0-4 bits vs max_distance=6: all must collapse
     assert same_comp == len(probes)
+
+
+# ---------------------------------------------------------------- patches --
+
+def _patch_stage_run(px_list, patch=8, blank_var_milli=1000):
+    from hepcrawl_ray.ops.multimodal import ImagePatchStage
+
+    t = pa.table({
+        "image_id": pa.array([f"im{i}" for i in range(len(px_list))]),
+        "bytes": pa.array([codecs.encode_png(px) for px in px_list],
+                          pa.binary()),
+        "fmt": pa.array(["png"] * len(px_list)),
+    })
+    stage = ImagePatchStage(patch=patch, blank_var_milli=blank_var_milli)
+    return stage(t).to_pandas()
+
+
+def test_patch_stage_constant_image_all_blank():
+    px = np.full((16, 24, 3), 99, np.uint8)
+    out = _patch_stage_run([px])
+    r = out.iloc[0]
+    assert r["decoded"] and r["grid_h"] == 2 and r["grid_w"] == 3
+    assert r["n_patches"] == 6 and r["n_blank"] == 6
+    assert r["mean_patch_var_milli"] == 0
+
+
+def test_patch_stage_mixed_blank_count_exact():
+    # left 8x8 patch constant (blank), right 8x8 patch checkerboard
+    px = np.zeros((8, 16, 3), np.uint8)
+    px[:, 8:, :] = (np.indices((8, 8)).sum(axis=0) % 2)[..., None] \
+        .astype(np.uint8) * 255
+    out = _patch_stage_run([px])
+    r = out.iloc[0]
+    assert r["n_patches"] == 2 and r["n_blank"] == 1
+    # checkerboard luma alternates 0/255: variance = (255/2)^2 exactly
+    # -> mean over the two patches = var/2; milli floor on both steps
+    n = 64
+    s = 32 * 255
+    ss = 32 * 255 * 255
+    var_num = n * ss - s * s
+    expect = 1000 * var_num // (n * n * 2)
+    assert r["mean_patch_var_milli"] == expect
+
+
+def test_patch_stage_crops_edge_remainders():
+    px = np.zeros((20, 20, 3), np.uint8)
+    out = _patch_stage_run([px])
+    r = out.iloc[0]
+    assert r["grid_h"] == 2 and r["grid_w"] == 2  # 20//8
+
+
+def test_patch_stage_tiny_and_garbled_rows():
+    from hepcrawl_ray.ops.multimodal import ImagePatchStage
+
+    px = np.zeros((4, 4, 3), np.uint8)           # smaller than a patch
+    t = pa.table({
+        "image_id": pa.array(["small", "bad"]),
+        "bytes": pa.array([codecs.encode_png(px), b"garbage"],
+                          pa.binary()),
+        "fmt": pa.array(["png", "png"]),
+    })
+    out = ImagePatchStage()(t).to_pandas()
+    small, bad = out.iloc[0], out.iloc[1]
+    assert small["decoded"] and small["n_patches"] == 0
+    assert not bad["decoded"] and bad["n_patches"] == 0
+
+
+def test_patch_stage_partitioning_invariant():
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (24, 24, 3), dtype=np.uint8).astype(np.uint8)
+            for _ in range(6)]
+    whole = _patch_stage_run(imgs)
+    halves = np.concatenate([
+        _patch_stage_run(imgs[:3])["mean_patch_var_milli"],
+        _patch_stage_run(imgs[3:])["mean_patch_var_milli"]])
+    assert (whole["mean_patch_var_milli"].to_numpy() == halves).all()
