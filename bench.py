@@ -71,7 +71,7 @@ QUERY_NAMES = [
     # session-8 additions (compressed-domain ANN, contrastive mining,
     # SCD2 history build, global value-rank stats)
     "knn_pq", "contrastive_negatives", "scd2_user_status",
-    "percent_rank_prices",
+    "percent_rank_prices", "snapshot_diff_orders",
 ]
 
 

@@ -214,31 +214,47 @@ def q_agg_lineitem_pricing(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_join_revenue_by_nation(sf_dir: str):
-    """Fact-fact join with dimension-only broadcast (analog:
-    affiliation-by-id / downloaded-file joins are broadcast-style
-    row-local lookups, reference: hepcrawl/tohep.py:38-67,
-    utils.py:210-217).
+    """Fact-fact-dim join rolled up to nation revenue (analog:
+    affiliation-by-id / downloaded-file joins are keyed lookups,
+    reference: hepcrawl/tohep.py:38-67, utils.py:210-217).
 
-    Scale shape: ONLY truly dimension-sized state (nation, 25 rows) is
-    broadcast.  lineitem joins orders on orderkey via the house
-    adaptive attach (ops/joinutil.attach_dim: broadcast under the size
-    bar, else one bucket-gather shuffle), after a per-batch partial
-    aggregation that collapses lineitem to one row per orderkey — ~4x
-    fewer rows and just 3 narrow columns through the shuffle.  Ray's
-    Dataset.join was dropped here: it crashes whenever a shuffle
-    partition receives zero LEFT rows (CLAUDE.md lesson 11), which an
-    empty shard reproduces deterministically.  The custkey -> nation
-    resolution is the house union + bucket-groupby pandas-merge
-    gather, so the customer table — fact-scale in this schema — never
-    lands on the driver and is never broadcast."""
+    Scale shape — ONE fact-sized exchange total: (1) orders gets
+    c_nationkey via the house adaptive attach (ops/joinutil.attach_dim:
+    customer rides a broadcast under the 100k-row bar, a bucket gather
+    above it), and the 25-row nation dict resolves the name per batch;
+    (2) lineitem collapses to one partial row per orderkey per batch
+    (3 narrow columns); (3) the single orderkey-keyed bucket gather
+    attaches n_name onto the partials; (4) each attached batch
+    re-collapses to <= 25 nation rows, so the final Aggregate moves a
+    dimension-sized table.  The previous shape chained TWO
+    sort-exchanges (581k-row orderkey gather, then a second
+    custkey-bucket union gather): 15.5s idle-box at sf0.1/32 CPUs vs
+    ~7s for this plan.  Ray's Dataset.join stays out — it crashes on
+    shuffle partitions with zero LEFT rows (CLAUDE.md lesson 11).
+    """
     import ray
 
-    # dimension read stays driver-side parquet (typed even when empty)
+    from hepcrawl_ray.ops import joinutil as J
+
     nation = _read_table(sf_dir, "nation",
                          ["n_nationkey", "n_name"]).to_pandas()
-    nation_ref = ray.put(dict(zip(nation["n_nationkey"].to_numpy(),
-                                  nation["n_name"].to_list())))
-    n_buckets = 32
+    nations = dict(zip(nation["n_nationkey"].to_numpy(),
+                       nation["n_name"].to_list()))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ord_nat, _ = J.attach_dim(orders, cust, fact_key="o_custkey",
+                              dim_key="c_custkey", cols=["c_nationkey"])
+
+    def add_name(t: pa.Table) -> pa.Table:
+        # 25-entry dict rides the task closure (lesson 15: tiny state
+        # is faster as a task fn than an actor pool)
+        nk = pd.Series(t.column("c_nationkey")
+                       .to_numpy(zero_copy_only=False)).map(nations)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "n_name": pa.array(nk.to_numpy(), pa.string())})
+
+    ord_name = ord_nat.map_batches(add_name, batch_format="pyarrow")
 
     def li_partial(t: pa.Table) -> pa.Table:
         rev_c = _cents(t.column("l_extendedprice").to_numpy()
@@ -254,79 +270,20 @@ def q_join_revenue_by_nation(sf_dir: str):
                                      "l_discount"])
           .map_batches(li_partial, batch_format="pyarrow"))
 
-    # lineitem-partials <- orders via the house adaptive attach
-    # (broadcast under the size bar, else ONE bucket-gather shuffle).
-    # Ray's Dataset.join is out: it crashes whenever a shuffle
-    # partition receives zero LEFT rows (CLAUDE.md lesson 11) — an
-    # empty shard reproduces it deterministically.
-    from hepcrawl_ray.ops import joinutil as J
+    joined, _ = J.attach_dim(li, ord_name, fact_key="l_orderkey",
+                             dim_key="o_orderkey", cols=["n_name"])
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined, _ = J.attach_dim(li, orders, fact_key="l_orderkey",
-                             dim_key="o_orderkey", cols=["o_custkey"])
-
-    def fact_partial(t: pa.Table) -> pa.Table:
-        """join output -> one row per custkey per batch, union schema."""
-        g = (pa.table({"custkey": t.column("o_custkey"),
-                       "p_rev": t.column("p_rev"),
-                       "p_n": t.column("p_n")})
-             .group_by("custkey").aggregate([("p_rev", "sum"),
-                                             ("p_n", "sum")])
-             .rename_columns(["custkey", "p_rev", "p_n"]))
-        k = g.column("custkey").to_numpy(zero_copy_only=False)
-        return g.append_column("n_name", pa.nulls(g.num_rows, pa.string())) \
-                .append_column("_side", pa.array(np.zeros(g.num_rows, np.int8))) \
-                .append_column("_bucket", pa.array(
-                    (k % n_buckets).astype(np.int64)))
-
-    class CustSide:
-        """customer -> (custkey, n_name) rows, nation resolved via the
-        broadcast 25-row dict; payload columns null-padded to the
-        union schema."""
-
-        def __init__(self):
-            self.nations = ray.get(nation_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            k = t.column("c_custkey").to_numpy(zero_copy_only=False)
-            names = pd.Series(t.column("c_nationkey").to_numpy()) \
-                .map(self.nations)
-            return pa.table({
-                "custkey": t.column("c_custkey"),
-                "p_rev": pa.nulls(t.num_rows, pa.int64()),
-                "p_n": pa.nulls(t.num_rows, pa.int64()),
-                "n_name": pa.array(names.to_numpy(), pa.string()),
-                "_side": pa.array(np.ones(t.num_rows, np.int8)),
-                "_bucket": pa.array((k % n_buckets).astype(np.int64)),
-            })
-
-    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-            .map_batches(CustSide, batch_format="pyarrow",
-                         concurrency=(1, 2), num_cpus=0.5))
-
-    def gather(g: pd.DataFrame) -> pd.DataFrame:
-        fact = g[g["_side"] == 0]
-        if fact.empty:
-            return pd.DataFrame({"n_name": pd.Series([], dtype=str),
-                                 "p_rev": pd.Series([], dtype="int64"),
-                                 "p_n": pd.Series([], dtype="int64")})
-        dim = g.loc[g["_side"] == 1, ["custkey", "n_name"]].copy()
-        # union null-padding degrades int64 -> float64 (lesson 13)
-        dim["custkey"] = dim["custkey"].astype("int64")
-        m = (fact[["custkey", "p_rev", "p_n"]]
-             .assign(custkey=lambda d: d["custkey"].astype("int64"),
-                     p_rev=lambda d: d["p_rev"].astype("int64"),
-                     p_n=lambda d: d["p_n"].astype("int64"))
-             .merge(dim, on="custkey", how="inner"))
-        return (m.groupby("n_name", as_index=False)[["p_rev", "p_n"]]
-                .sum())
+    def nation_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"n_name": t.column("n_name"),
+                          "p_rev": t.column("p_rev"),
+                          "p_n": t.column("p_n")})
+                .group_by("n_name").aggregate([("p_rev", "sum"),
+                                               ("p_n", "sum")])
+                .rename_columns(["n_name", "p_rev", "p_n"]))
 
     from ray.data.aggregate import Sum
 
-    return (joined.map_batches(fact_partial, batch_format="pyarrow")
-            .union(cust)
-            .groupby("_bucket")
-            .map_groups(gather, batch_format="pandas")
+    return (joined.map_batches(nation_partial, batch_format="pyarrow")
             .groupby("n_name")
             .aggregate(Sum("p_rev", alias_name="revenue_cents"),
                        Sum("p_n", alias_name="n_lineitems")))
@@ -12521,9 +12478,72 @@ def q_percent_rank_prices(sf_dir: str):
     return out
 
 
+def q_snapshot_diff_orders(sf_dir: str):
+    """Snapshot / CDC diff: classify every key across two table
+    versions as added / removed / changed (unchanged rows are
+    suppressed — at 100 TB they are ~all the rows and nobody wants
+    them back).  The "new" snapshot is derived deterministically from
+    orders (drop keys %101=0, bump price +1.00 on keys %97=0, add a
+    +1e9-keyed copy of keys %103=0) so the oracle reproduces it
+    exactly.
+
+    Scale shape: each side is its own streaming scan projecting to
+    (key, cents, side) partials; ONE key-bucket shuffle; the outer
+    merge + classification runs per bucket in pandas C (merge
+    indicator), never on the driver.  The generic two-input diff —
+    the sides here derive from one table only so DuckDB can mirror
+    the fixture."""
+    n_buckets = 64
+
+    def left(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"k": pa.array(k), "cents": pa.array(cents),
+                         "side": pa.array(np.zeros(len(k), np.int64)),
+                         "_bucket": pa.array(k % n_buckets)})
+
+    def right(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        keep = k % 101 != 0
+        rk, rc = k[keep], cents[keep].copy()
+        rc[rk % 97 == 0] += 100
+        add = rk % 103 == 0
+        ok = np.concatenate([rk, rk[add] + 1_000_000_000])
+        oc = np.concatenate([rc, rc[add]])
+        return pa.table({"k": pa.array(ok), "cents": pa.array(oc),
+                         "side": pa.array(np.ones(len(ok), np.int64)),
+                         "_bucket": pa.array(ok % n_buckets)})
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["side"] == 0, ["k", "cents"]]
+        r = g.loc[g["side"] == 1, ["k", "cents"]]
+        m = l.merge(r, on="k", how="outer", indicator=True,
+                    suffixes=("_l", "_r"))
+        cls = np.where(
+            m["_merge"] == "right_only", "added",
+            np.where(m["_merge"] == "left_only", "removed",
+                     np.where(m["cents_l"] != m["cents_r"],
+                              "changed", "unchanged")))
+        out = pd.DataFrame({"k": m["k"].astype("int64"),
+                            "class": cls})
+        return out[out["class"] != "unchanged"]
+
+    src = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    both = src.map_batches(left, batch_format="pyarrow").union(
+        src.map_batches(right, batch_format="pyarrow"))
+    return both.groupby("_bucket").map_groups(
+        classify, batch_format="pandas")
+
+
 QUERIES.update({"scd2_user_status": q_scd2_user_status,
                 "contrastive_negatives": q_contrastive_negatives,
-                "percent_rank_prices": q_percent_rank_prices})
+                "percent_rank_prices": q_percent_rank_prices,
+                "snapshot_diff_orders": q_snapshot_diff_orders})
 
 ORACLE_SQL.update({
     "scd2_user_status": """
@@ -12568,6 +12588,30 @@ ORACLE_SQL.update({
                                   ORDER BY sim DESC, negative_id) AS rank
         FROM s WHERE sim >= 0.15 AND sim < 0.4
         QUALIFY rank <= 10
+    """,
+    "snapshot_diff_orders": """
+        WITH l AS (
+            SELECT o_orderkey AS k,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders),
+        r AS (
+            SELECT k, cents + CASE WHEN k % 97 = 0 THEN 100 ELSE 0 END
+                       AS cents
+            FROM l WHERE k % 101 <> 0
+            UNION ALL
+            SELECT k + 1000000000 AS k,
+                   cents + CASE WHEN k % 97 = 0 THEN 100 ELSE 0 END
+                       AS cents
+            FROM l WHERE k % 101 <> 0 AND k % 103 = 0),
+        j AS (
+            SELECT coalesce(l.k, r.k) AS k,
+                   CASE WHEN l.k IS NULL THEN 'added'
+                        WHEN r.k IS NULL THEN 'removed'
+                        WHEN l.cents <> r.cents THEN 'changed'
+                        ELSE 'unchanged' END AS class
+            FROM l FULL OUTER JOIN r ON l.k = r.k)
+        SELECT k, class FROM j WHERE class <> 'unchanged'
     """,
     "percent_rank_prices": """
         WITH h AS (

@@ -394,6 +394,10 @@ ADVERSARIAL_QUERIES = [
     # over the heavy price ties (10/10/20/30 ×10) pins the
     # tie-plateau rank semantics
     "contrastive_negatives", "percent_rank_prices",
+    # session-8 batch 3: the fixture's 40 order keys hit NONE of the
+    # diff fixture's moduli (97/101/103) — the snapshot diff is
+    # legitimately EMPTY and the typed-empty schema must agree
+    "snapshot_diff_orders",
 ]
 
 
