@@ -12540,10 +12540,168 @@ def q_snapshot_diff_orders(sf_dir: str):
         classify, batch_format="pandas")
 
 
+def q_fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit: for every FK edge in the schema,
+    the child row count and the count of ORPHANED child rows (no
+    parent key) — the load-time warehouse contract check.
+
+    Scale shape per edge: the child collapses to per-batch (key, n)
+    partials; the parent never lands on the driver as keys — it
+    streams ONCE into a broadcast Bloom, and only bloom HITS take the
+    keyed verify shuffle (ops/antijoin.bloom_anti_join, exact by
+    construction).  Orphan partials then collapse to one number per
+    batch.  events.user_id->customer is a genuine cross-table edge
+    the generator does NOT guarantee — nonzero orphans there are a
+    real finding, and the oracle agrees by LEFT JOIN."""
+    from hepcrawl_ray.ops.antijoin import bloom_anti_join
+
+    rels = [
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+
+    import ray
+
+    broadcast_bar = 100_000
+    out_rel, out_child, out_orph = [], [], []
+    for rel, ct, ck, pt, pk in rels:
+        child = _read(sf_dir, ct, [ck])
+        parent = _read(sf_dir, pt, [pk])
+        p_count = parent.count()
+
+        if p_count <= broadcast_bar:
+            # dimension-sized parent: broadcast its distinct key set
+            # once and audit in ONE zero-shuffle streaming pass
+            keys = parent.unique(pk) or []
+            key_arr = pa.array(sorted(int(k) for k in keys),
+                               type=pa.int64())
+            key_ref = ray.put(key_arr)
+
+            def audit(t: pa.Table, _ck=ck, _ref=key_ref) -> pa.Table:
+                k = pc.cast(t.column(_ck), pa.int64())
+                hit = pc.is_in(k, value_set=ray.get(_ref))
+                miss = t.num_rows - int(
+                    pc.sum(pc.cast(hit, pa.int64())).as_py() or 0)
+                return pa.table({
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "o": pa.array([miss], pa.int64())})
+
+            stats = _pdf(child.map_batches(audit,
+                                           batch_format="pyarrow"),
+                         ["n", "o"])
+            n_child = int(stats["n"].sum())
+            n_orph = int(stats["o"].sum())
+        else:
+            # fact-sized parent: (key, n) child partials, parent
+            # streams once into a broadcast Bloom, only hits take
+            # the keyed verify shuffle
+            def partial(t: pa.Table, _ck=ck) -> pa.Table:
+                g = (t.group_by(_ck).aggregate([(_ck, "count")])
+                     .rename_columns([_ck, "n"]))
+                return g.set_column(
+                    1, "n", pc.cast(g.column("n"), pa.int64()))
+
+            parts = child.map_batches(partial, batch_format="pyarrow")
+            n_child = int(_pdf(
+                parts.map_batches(
+                    lambda t: pa.table({"s": pa.array(
+                        [int(pc.sum(t.column("n")).as_py() or 0)],
+                        pa.int64())}),
+                    batch_format="pyarrow"), ["s"])["s"].sum())
+            if n_child == 0:
+                # empty child: zero orphans, and an all-empty
+                # partials Dataset has no schema to key on
+                n_orph = 0
+            else:
+                orphans = bloom_anti_join(parts, parent,
+                                          key_col=ck, done_key_col=pk)
+                n_orph = int(_pdf(
+                    orphans.map_batches(
+                        lambda t: pa.table({"s": pa.array(
+                            [int(pc.sum(t.column("n")).as_py() or 0)],
+                            pa.int64())}),
+                        batch_format="pyarrow"), ["s"])["s"].sum())
+        out_rel.append(rel)
+        out_child.append(n_child)
+        out_orph.append(n_orph)
+
+    return pd.DataFrame({"rel": out_rel,
+                         "n_child": pd.array(out_child, dtype="int64"),
+                         "n_orphans": pd.array(out_orph, dtype="int64")})
+
+
+def q_gap_fill_daily_activity(sf_dir: str):
+    """Calendar gap fill (time-series densification): per user, the
+    daily event count over EVERY day between the user's first and
+    last active day, missing days zero-filled — the resample step
+    every longitudinal feature pipeline needs.
+
+    Scale shape: per-batch distinct (user, day, n) partials → ONE
+    user-bucket shuffle → each bucket densifies vectorized (per-user
+    spans via min/max, one global arange sliced by cumsum offsets,
+    counts merged back by sorted searchsorted) — no per-user Python.
+    Output is spans-sized, bounded by users × calendar days."""
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = (pd.DataFrame({"user_id": u, "day": ts // 86_400_000_000})
+             .groupby(["user_id", "day"], as_index=False)
+             .agg(n=("day", "count")))
+        d["_bucket"] = d["user_id"].to_numpy() % n_buckets
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["user_id", "day"], as_index=False)["n"].sum()
+             .sort_values(["user_id", "day"]))
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        d = g["day"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        first = np.flatnonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))
+        last = np.concatenate((first[1:] - 1, [len(u) - 1]))
+        d0, d1 = d[first], d[last]
+        span = d1 - d0 + 1
+        total = int(span.sum())
+        starts = np.concatenate(([0], np.cumsum(span)[:-1]))
+        out_u = np.repeat(u[first], span)
+        out_d = (np.arange(total, dtype=np.int64)
+                 - np.repeat(starts, span) + np.repeat(d0, span))
+        # merge observed counts back on the (user, day) PAIR — a
+        # composite int key would overflow int64 for large ids
+        # (CLAUDE lesson 12); the two-column pandas merge is C
+        out = (pd.DataFrame({"user_id": out_u, "day": out_d})
+               .merge(g, on=["user_id", "day"], how="left"))
+        out["n_events"] = out["n"].fillna(0).astype("int64")
+        return out[["user_id", "day", "n_events"]]
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(densify, batch_format="pandas"))
+
+
 QUERIES.update({"scd2_user_status": q_scd2_user_status,
                 "contrastive_negatives": q_contrastive_negatives,
                 "percent_rank_prices": q_percent_rank_prices,
-                "snapshot_diff_orders": q_snapshot_diff_orders})
+                "snapshot_diff_orders": q_snapshot_diff_orders,
+                "fk_integrity_audit": q_fk_integrity_audit,
+                "gap_fill_daily_activity": q_gap_fill_daily_activity})
 
 ORACLE_SQL.update({
     "scd2_user_status": """
@@ -12612,6 +12770,80 @@ ORACLE_SQL.update({
                         ELSE 'unchanged' END AS class
             FROM l FULL OUTER JOIN r ON l.k = r.k)
         SELECT k, class FROM j WHERE class <> 'unchanged'
+    """,
+    "fk_integrity_audit": """
+        WITH r1 AS (
+            SELECT 'customer.c_nationkey->nation' AS rel,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(coalesce(sum(CASE WHEN p.n_nationkey IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+            FROM customer c LEFT JOIN nation p
+              ON c.c_nationkey = p.n_nationkey),
+        r2 AS (
+            SELECT 'events.user_id->customer' AS rel,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(coalesce(sum(CASE WHEN p.c_custkey IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+            FROM events e LEFT JOIN customer p
+              ON e.user_id = p.c_custkey),
+        r3 AS (
+            SELECT 'lineitem.l_orderkey->orders' AS rel,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(coalesce(sum(CASE WHEN p.o_orderkey IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+            FROM lineitem l LEFT JOIN orders p
+              ON l.l_orderkey = p.o_orderkey),
+        r4 AS (
+            SELECT 'lineitem.l_partkey->part' AS rel,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(coalesce(sum(CASE WHEN p.p_partkey IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+            FROM lineitem l LEFT JOIN part p
+              ON l.l_partkey = p.p_partkey),
+        r5 AS (
+            SELECT 'lineitem.l_suppkey->supplier' AS rel,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(coalesce(sum(CASE WHEN p.s_suppkey IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+            FROM lineitem l LEFT JOIN supplier p
+              ON l.l_suppkey = p.s_suppkey),
+        r6 AS (
+            SELECT 'orders.o_custkey->customer' AS rel,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(coalesce(sum(CASE WHEN p.c_custkey IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+            FROM orders o LEFT JOIN customer p
+              ON o.o_custkey = p.c_custkey),
+        r7 AS (
+            SELECT 'supplier.s_nationkey->nation' AS rel,
+                   CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(coalesce(sum(CASE WHEN p.n_nationkey IS NULL
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+            FROM supplier s LEFT JOIN nation p
+              ON s.s_nationkey = p.n_nationkey)
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+        UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+        UNION ALL SELECT * FROM r7
+    """,
+    "gap_fill_daily_activity": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        b AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM e GROUP BY user_id),
+        g AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1)) AS BIGINT)
+                       AS day
+            FROM b)
+        SELECT g.user_id, g.day,
+               CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
+        FROM g LEFT JOIN e ON g.user_id = e.user_id
+                          AND g.day = e.day
     """,
     "percent_rank_prices": """
         WITH h AS (

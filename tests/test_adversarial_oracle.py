@@ -398,6 +398,11 @@ ADVERSARIAL_QUERIES = [
     # diff fixture's moduli (97/101/103) — the snapshot diff is
     # legitimately EMPTY and the typed-empty schema must agree
     "snapshot_diff_orders",
+    # session-8 batch 4: gap fill over the fixture's day-gap bursts,
+    # single-event users (span = 1) and the midnight-straddling
+    # burst (day boundary decides the span); FK audit over the
+    # fixture's childless customers and nation 3 with no customers
+    "gap_fill_daily_activity", "fk_integrity_audit",
 ]
 
 
