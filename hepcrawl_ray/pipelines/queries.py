@@ -3942,6 +3942,30 @@ def q_pivot_event_counts(sf_dir: str):
             .groupby("user_id").aggregate(*aggs))
 
 
+def q_unpivot_event_counts(sf_dir: str):
+    """UNPIVOT / melt — the inverse of q_pivot_event_counts: the wide
+    per-user count table exploded back to long (user_id, metric, n)
+    rows, zero counts dropped (the sparse-long convention).  The melt
+    is a per-batch column-slice explode (5 filtered slices +
+    concat_tables, all Arrow) riding the SAME one-shuffle plan as the
+    pivot — wide rows never land on the driver."""
+    wide = q_pivot_event_counts(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for name in _PIVOT_TYPES:
+            n = t.column(f"n_{name}")
+            sub = pa.table({
+                "user_id": t.column("user_id"),
+                "metric": pa.array([name] * t.num_rows, pa.string()),
+                "n": pc.cast(n, pa.int64()),
+            }).filter(pc.greater(n, 0))
+            parts.append(sub)
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 def q_dedup_minhash_pipeline(sf_dir: str):
     """The COMPLETE scalable dedup pipeline end-to-end: MinHash-LSH
     candidate pairs (Jaccard-verified) -> connected components ->
@@ -3966,6 +3990,7 @@ QUERIES.update({"dedup_keep_canonical": q_dedup_keep_canonical,
                 "grouped_quantiles_chars": q_grouped_quantiles_chars,
                 "semi_join_active_customers": q_semi_join_active_customers,
                 "pivot_event_counts": q_pivot_event_counts,
+                "unpivot_event_counts": q_unpivot_event_counts,
                 "dedup_minhash_pipeline": q_dedup_minhash_pipeline})
 
 ORACLE_SQL.update({
@@ -4089,6 +4114,32 @@ ORACLE_SQL.update({
                CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
                    AS n_signup
         FROM events GROUP BY user_id
+    """,
+    "unpivot_event_counts": """
+        WITH w AS (
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view')
+                        AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'signup')
+                        AS BIGINT) AS n_signup
+            FROM events GROUP BY user_id)
+        SELECT user_id, metric, n FROM (
+            SELECT user_id, 'click' AS metric, n_click AS n FROM w
+            UNION ALL
+            SELECT user_id, 'view', n_view FROM w
+            UNION ALL
+            SELECT user_id, 'purchase', n_purchase FROM w
+            UNION ALL
+            SELECT user_id, 'error', n_error FROM w
+            UNION ALL
+            SELECT user_id, 'signup', n_signup FROM w)
+        WHERE n > 0
     """,
 })
 
