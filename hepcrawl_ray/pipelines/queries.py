@@ -12747,12 +12747,90 @@ def q_gap_fill_daily_activity(sf_dir: str):
             .map_groups(densify, batch_format="pandas"))
 
 
+def q_upsert_orders(sf_dir: str):
+    """MERGE INTO / upsert: apply a changelog (updates, deletes,
+    inserts) to the orders base with latest-wins-per-key semantics —
+    the Delta/Iceberg MERGE every incremental warehouse load runs.
+    The changelog is derived deterministically (update price +1.00 on
+    keys %97=0, delete keys %101=0, insert a +1e9-keyed copy of keys
+    %103=0) so the oracle reproduces the merged state exactly.
+
+    Scale shape: base and changelog stream as TAGGED sides through
+    ONE key-bucket shuffle; each bucket applies the changelog
+    vectorized in pandas C (delete anti-mask, update override via
+    merge, insert append) and emits only its (bucket, n_rows,
+    sum_cents) aggregate — the verifiable digest of the full merged
+    table, which at 100 TB would be written partition-wise, not
+    returned."""
+    n_buckets = 64
+
+    def base_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"k": pa.array(k), "cents": pa.array(cents),
+                         "op": pa.array(["B"] * len(k), pa.string()),
+                         "_bucket": pa.array(k % n_buckets)})
+
+    def changelog_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        upd = (k % 97 == 0) & (k % 101 != 0)
+        dele = k % 101 == 0
+        ins = (k % 103 == 0) & (k % 101 != 0)
+        ok = np.concatenate([k[upd], k[dele], k[ins] + 1_000_000_000])
+        oc = np.concatenate([cents[upd] + 100, cents[dele],
+                             cents[ins]])
+        oop = np.array(["U"] * int(upd.sum()) + ["D"] * int(dele.sum())
+                       + ["I"] * int(ins.sum()), dtype=object)
+        return pa.table({"k": pa.array(ok), "cents": pa.array(oc),
+                         "op": pa.array(oop, pa.string()),
+                         "_bucket": pa.array(ok % n_buckets)})
+
+    def apply_merge(g: pd.DataFrame) -> pd.DataFrame:
+        base = g.loc[g["op"] == "B", ["k", "cents"]]
+        dele = set(g.loc[g["op"] == "D", "k"].astype("int64"))
+        upd = g.loc[g["op"] == "U", ["k", "cents"]]
+        ins = g.loc[g["op"] == "I", ["k", "cents"]]
+        live = base[~base["k"].astype("int64").isin(dele)]
+        # latest-wins: changelog update rows override base values
+        if len(upd):
+            m = live.merge(upd, on="k", how="left",
+                           suffixes=("", "_new"))
+            live = pd.DataFrame({
+                "k": m["k"],
+                "cents": m["cents_new"].fillna(m["cents"])})
+        merged = pd.concat([live, ins], ignore_index=True)
+        if not len(merged):
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64")})
+        k = merged["k"].astype("int64").to_numpy()
+        c = merged["cents"].astype("int64").to_numpy()
+        d = (pd.DataFrame({"bucket": k % n_buckets, "c": c})
+             .groupby("bucket", as_index=False)
+             .agg(n_rows=("c", "count"), sum_cents=("c", "sum")))
+        return d.astype({"bucket": "int64", "n_rows": "int64",
+                         "sum_cents": "int64"})
+
+    src = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    both = src.map_batches(base_side, batch_format="pyarrow").union(
+        src.map_batches(changelog_side, batch_format="pyarrow"))
+    return both.groupby("_bucket").map_groups(
+        apply_merge, batch_format="pandas")
+
+
 QUERIES.update({"scd2_user_status": q_scd2_user_status,
                 "contrastive_negatives": q_contrastive_negatives,
                 "percent_rank_prices": q_percent_rank_prices,
                 "snapshot_diff_orders": q_snapshot_diff_orders,
                 "fk_integrity_audit": q_fk_integrity_audit,
-                "gap_fill_daily_activity": q_gap_fill_daily_activity})
+                "gap_fill_daily_activity": q_gap_fill_daily_activity,
+                "upsert_orders": q_upsert_orders})
 
 ORACLE_SQL.update({
     "scd2_user_status": """
@@ -12876,6 +12954,24 @@ ORACLE_SQL.update({
         UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
         UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
         UNION ALL SELECT * FROM r7
+    """,
+    "upsert_orders": """
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders),
+        merged AS (
+            SELECT k, CASE WHEN k % 97 = 0 THEN cents + 100
+                           ELSE cents END AS cents
+            FROM base WHERE k % 101 <> 0
+            UNION ALL
+            SELECT k + 1000000000 AS k, cents
+            FROM base WHERE k % 103 = 0 AND k % 101 <> 0)
+        SELECT k % 64 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM merged GROUP BY 1
     """,
     "gap_fill_daily_activity": """
         WITH e AS (

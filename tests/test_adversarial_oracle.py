@@ -403,6 +403,10 @@ ADVERSARIAL_QUERIES = [
     # burst (day boundary decides the span); FK audit over the
     # fixture's childless customers and nation 3 with no customers
     "gap_fill_daily_activity", "fk_integrity_audit",
+    # session-8 batch 5: the fixture's keys produce an EMPTY
+    # changelog — MERGE must reduce to identity and the per-bucket
+    # digests must equal the raw base aggregates (tied prices sum)
+    "upsert_orders",
 ]
 
 
