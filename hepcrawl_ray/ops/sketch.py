@@ -292,3 +292,33 @@ def approx_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75), *,
         "q": pa.array(list(qs), pa.float64()),
         "approx_value": pa.array([merged.quantile(q) for q in qs],
                                  pa.int64())})
+
+
+def approx_distinct_by_group(ds, group_col: str, value_col: str,
+                             p: int = 12) -> dict:
+    """Grouped approximate COUNT(DISTINCT value) — one HyperLogLog per
+    (batch, group).  Groups are vocabulary-sized by contract (event
+    types, languages, sources), so the merged driver state is
+    |groups| kilobyte sketches and rows never shuffle; at 100 TB this
+    replaces a |groups| × |values| exact distinct exchange with a
+    byte-bounded fold."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(group_col).to_pandas(),
+            "v": t.column(value_col).to_pandas()})
+        keys, blobs = [], []
+        for k, g in df.groupby("k", sort=False):
+            keys.append(k)
+            blobs.append(HyperLogLog(p).add_many(g["v"]).to_bytes())
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    merged: dict = {}
+    for row in ds.map_batches(sketch_batch,
+                              batch_format="pyarrow").take_all():
+        hll = merged.setdefault(row["k"], HyperLogLog(p))
+        hll.merge(HyperLogLog.from_bytes(row["sketch"]))
+    return {k: h.estimate() for k, h in merged.items()}

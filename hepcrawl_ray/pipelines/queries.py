@@ -2278,6 +2278,27 @@ def q_approx_distinct_users(sf_dir: str):
 QUERIES["approx_distinct_users"] = q_approx_distinct_users
 
 
+def q_approx_distinct_users_by_type(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users PER EVENT TYPE
+    (one kilobyte sketch per (batch, type), merged on the driver —
+    groups are vocabulary-sized, rows never shuffle).  Rows-only:
+    approximate by design; the exact twin distinct_users_by_type is
+    oracle-green and the <5% error bound is pinned in tests."""
+    from hepcrawl_ray.ops.sketch import approx_distinct_by_group
+
+    est = approx_distinct_by_group(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
+    keys = sorted(est)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "estimate": pa.array([float(est[k]) for k in keys],
+                             pa.float64())})
+
+
+QUERIES["approx_distinct_users_by_type"] = q_approx_distinct_users_by_type
+
+
 def q_approx_heavy_users(sf_dir: str):
     """CountMin heavy hitters: top-10 users by event count via one
     mergeable sketch + local candidates per batch (rows-only:

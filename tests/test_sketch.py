@@ -229,3 +229,34 @@ def test_approx_quantiles_dataset(ray_session):
     for q, est in zip(out["q"], out["approx_value"]):
         rank = np.searchsorted(cents, est, side="right") / len(cents)
         assert abs(rank - q) < 0.02, (q, est)
+
+
+def test_grouped_hll_error_bound(ray_session):
+    from hepcrawl_ray.ops.sketch import approx_distinct_by_group
+    from hepcrawl_ray.pipelines.queries import _read
+
+    sf = "/root/testdata/sf0.001"
+    ds = _read(sf, "events", ["event_type", "user_id"])
+    est = approx_distinct_by_group(ds, "event_type", "user_id")
+
+    exact = {}
+    for r in _read(sf, "events", ["event_type", "user_id"]).take_all():
+        exact.setdefault(r["event_type"], set()).add(r["user_id"])
+    assert set(est) == set(exact)
+    for k, s in exact.items():
+        assert abs(est[k] - len(s)) / len(s) < 0.05
+
+
+def test_grouped_hll_batch_split_invariant(ray_session):
+    """Merging per-batch sketches must equal one-shot sketching —
+    the mergeability contract the distributed fold relies on."""
+    import numpy as np
+
+    from hepcrawl_ray.ops.sketch import HyperLogLog
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 5000, 20000)
+    one = HyperLogLog(12).add_many(vals)
+    a = HyperLogLog(12).add_many(vals[:9000])
+    b = HyperLogLog(12).add_many(vals[9000:])
+    assert a.merge(b).estimate() == one.estimate()
