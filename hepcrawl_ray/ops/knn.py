@@ -367,6 +367,70 @@ def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
         global_topk, batch_format="pandas")
 
 
+# --------------------------------------------- signature Hamming kNN ----
+
+def signature_hamming_knn(ds, probe_ids, *, k=10, id_col="image_id",
+                          sig_col="phash"):
+    """Top-k nearest rows to each probe by Hamming distance over a
+    precomputed int64 SIGNATURE column (perceptual hash, SimHash…) —
+    similar-image retrieval without decoding a single payload byte.
+
+    Same scale shape as knn_bruteforce: the probe signatures (tiny)
+    ride the task closure, each batch computes popcounts vectorized
+    (ops/text.hamming64) and emits a per-probe partial top-k, and a
+    small per-probe fold keeps the global top-k — the corpus never
+    shuffles.  Deterministic: ties by ascending id.  Ids may be any
+    orderable type (string image ids included)."""
+    from hepcrawl_ray.ops.text import hamming64
+
+    probe_set = sorted(set(probe_ids))
+    p_rows = ds.select_columns([id_col, sig_col]).map_batches(
+        lambda t: t.filter(pa.compute.is_in(
+            t.column(id_col), value_set=pa.array(probe_set))),
+        batch_format="pyarrow").take_all()
+    p_ids = [r[id_col] for r in p_rows]
+    p_sigs = np.array([r[sig_col] for r in p_rows], dtype=np.int64)
+
+    empty = pa.table({"probe_id": pa.array([], pa.string()),
+                      "neighbor_id": pa.array([], pa.string()),
+                      "hamming": pa.array([], pa.int64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or not p_ids:
+            return empty
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=object)
+        sigs = batch.column(sig_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_p, out_n, out_d = [], [], []
+        for pi, pid in enumerate(p_ids):
+            mask = ids != pid
+            cand = np.nonzero(mask)[0]
+            if not len(cand):
+                continue
+            d = hamming64(sigs[cand],
+                          np.full(len(cand), p_sigs[pi], np.int64))
+            order = np.lexsort(
+                (ids[cand].astype("U"), d))[:min(k, len(cand))]
+            sel = cand[order]
+            out_p.extend([str(pid)] * len(sel))
+            out_n.extend(str(x) for x in ids[sel])
+            out_d.extend(int(x) for x in d[order])
+        return pa.table({"probe_id": pa.array(out_p, pa.string()),
+                         "neighbor_id": pa.array(out_n, pa.string()),
+                         "hamming": pa.array(out_d, pa.int64())})
+
+    partials = ds.select_columns([id_col, sig_col]).map_batches(
+        local_topk, batch_format="pyarrow")
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hamming", "neighbor_id"]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["probe_id", "neighbor_id", "hamming", "rank"]]
+
+    return partials.groupby("probe_id").map_groups(
+        global_topk, batch_format="pandas")
+
+
 # ------------------------------------------------- contrastive mining ----
 
 def hard_negatives(ds, query_ids, *, k=10, lo=0.15, hi=0.4,

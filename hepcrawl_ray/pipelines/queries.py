@@ -1476,6 +1476,30 @@ def q_multimodal_image_patches(sf_dir: str):
                      batch_size=64, concurrency=(1, 2), num_cpus=0.5)
 
 
+def q_image_phash_retrieval(sf_dir: str):
+    """Similar-image retrieval by perceptual hash: top-10 nearest
+    corpus images to 3 probe images by pHash Hamming distance — no
+    payload byte decoded at query time (the signature column IS the
+    index).  Rows-only: engine-defined signature; exactness of the
+    partial-top-k fold vs a flat scan is pinned in tests."""
+    import ray
+
+    from hepcrawl_ray.ops.knn import signature_hamming_knn
+
+    images, _, _, _ = _crawl_tables(sf_dir)
+    t = images.select(["image_id", "phash"])
+    # from_arrow(table) is ONE block (CLAUDE.md #3): slice so the
+    # per-batch partial top-k actually parallelizes
+    n_chunks = 8
+    step = -(-t.num_rows // n_chunks)
+    refs = [ray.put(t.slice(i * step, step)) for i in range(n_chunks)
+            if i * step < t.num_rows]
+    ds = ray.data.from_arrow_refs(refs)
+    probes = [images.column("image_id")[i].as_py()
+              for i in (0, 7, 23) if i < images.num_rows]
+    return signature_hamming_knn(ds, probes, k=10)
+
+
 def q_multimodal_audio_features(sf_dir: str):
     """Audio band-energy features over REAL PCM WAV payloads (stdlib
     wave decode; sines at deterministic frequencies across sample
@@ -1528,6 +1552,7 @@ QUERIES.update({
     "source_jsonl_expand": q_source_jsonl_expand,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_image_patches": q_multimodal_image_patches,
+    "image_phash_retrieval": q_image_phash_retrieval,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_frames": q_multimodal_video_frames,
 })

@@ -197,3 +197,30 @@ def test_patch_stage_partitioning_invariant():
         _patch_stage_run(imgs[:3])["mean_patch_var_milli"],
         _patch_stage_run(imgs[3:])["mean_patch_var_milli"]])
     assert (whole["mean_patch_var_milli"].to_numpy() == halves).all()
+
+
+def test_phash_retrieval_matches_flat_scan(ray_session):
+    from hepcrawl_ray.ops.text import hamming64
+    from hepcrawl_ray.pipelines.queries import QUERIES, _crawl_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["image_phash_retrieval"](sf).to_pandas()
+    images, _, _, _ = _crawl_tables(sf)
+    ids = np.array(images.column("image_id").to_pylist(), dtype=object)
+    sigs = images.column("phash").to_numpy().astype(np.int64)
+    probes = [ids[i] for i in (0, 7, 23)]
+
+    assert set(got["probe_id"]) == set(str(p) for p in probes)
+    for pi, pid in enumerate(probes):
+        psig = sigs[list(ids).index(pid)]
+        mask = ids != pid
+        d = hamming64(sigs[mask], np.full(mask.sum(), psig, np.int64))
+        order = np.lexsort((ids[mask].astype("U"), d))[:10]
+        want = list(ids[mask][order])
+        mine = (got[got["probe_id"] == str(pid)]
+                .sort_values("rank")["neighbor_id"].tolist())
+        assert mine == [str(w) for w in want]
+        # ranks are 1..10 and hamming is non-decreasing
+        sub = got[got["probe_id"] == str(pid)].sort_values("rank")
+        assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+        assert (np.diff(sub["hamming"].to_numpy()) >= 0).all()
