@@ -12793,6 +12793,48 @@ def q_gap_fill_daily_activity(sf_dir: str):
             .map_groups(densify, batch_format="pandas"))
 
 
+def q_source_robust_read(sf_dir: str):
+    """Corrupt-shard quarantine read (reference posture: errors as
+    items, never job death — hepcrawl/middlewares.py:42-55, DESY
+    per-file error rows): documents are sharded to 4 parquet files by
+    doc_id % 4, shard 3 is TRUNCATED mid-file, and the robust reader
+    (sources/robust.py: distributed footer probe → pruned read) must
+    recover exactly the healthy shards' rows and quarantine the bad
+    file.  Oracled: survivors are exactly doc_id % 4 <> 3."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqt
+
+    from hepcrawl_ray.sources.robust import read_parquet_robust
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "lang"])
+    ids = docs.column("doc_id").to_numpy()
+
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for shard in range(4):
+            t = docs.filter(pa.array(ids % 4 == shard))
+            p = os.path.join(d, f"shard-{shard}.parquet")
+            pqt.write_table(t, p)
+            paths.append(p)
+        # truncate shard 3 mid-file (a killed writer's artifact)
+        blob = open(paths[3], "rb").read()
+        with open(paths[3], "wb") as f:
+            f.write(blob[:max(4, len(blob) // 2)])
+
+        ds, quarantine = read_parquet_robust(paths,
+                                             columns=["doc_id", "lang"])
+        assert quarantine.num_rows == 1  # exactly the truncated shard
+        got = ds.to_pandas() if ds is not None else None
+    if got is None or got.shape[1] == 0:
+        # all-empty healthy shards: Ray read_parquet yields zero
+        # blocks, losing the schema — restore the typed empty
+        got = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "lang": pd.Series([], dtype=str)})
+    return got
+
+
 def q_upsert_orders(sf_dir: str):
     """MERGE INTO / upsert: apply a changelog (updates, deletes,
     inserts) to the orders base with latest-wins-per-key semantics —
@@ -12876,7 +12918,8 @@ QUERIES.update({"scd2_user_status": q_scd2_user_status,
                 "snapshot_diff_orders": q_snapshot_diff_orders,
                 "fk_integrity_audit": q_fk_integrity_audit,
                 "gap_fill_daily_activity": q_gap_fill_daily_activity,
-                "upsert_orders": q_upsert_orders})
+                "upsert_orders": q_upsert_orders,
+                "source_robust_read": q_source_robust_read})
 
 ORACLE_SQL.update({
     "scd2_user_status": """
@@ -13000,6 +13043,9 @@ ORACLE_SQL.update({
         UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
         UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
         UNION ALL SELECT * FROM r7
+    """,
+    "source_robust_read": """
+        SELECT doc_id, lang FROM documents WHERE doc_id % 4 <> 3
     """,
     "upsert_orders": """
         WITH base AS (
