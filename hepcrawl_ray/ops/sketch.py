@@ -322,3 +322,40 @@ def approx_distinct_by_group(ds, group_col: str, value_col: str,
         hll = merged.setdefault(row["k"], HyperLogLog(p))
         hll.merge(HyperLogLog.from_bytes(row["sketch"]))
     return {k: h.estimate() for k, h in merged.items()}
+
+
+def approx_quantiles_by_group(ds, group_col: str, value_col: str,
+                              qs=(0.5, 0.9), *, k: int = 256,
+                              transform=None) -> dict:
+    """Grouped approximate quantiles — one KLL sketch per (batch,
+    group), merged per group on the driver.  Same contract as
+    approx_distinct_by_group: groups are vocabulary-sized, so the
+    merged state is |groups| kilobyte sketches and rows never
+    shuffle (the grouped twin of the exact value-histogram
+    percentile queries, for value domains too wide to histogram)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        raw = t.column(value_col).to_numpy(zero_copy_only=False)
+        v = transform(raw) if transform else raw.astype(np.int64)
+        df = pd.DataFrame({"k": t.column(group_col).to_pandas(),
+                           "v": v})
+        keys, blobs = [], []
+        for key, g in df.groupby("k", sort=False):
+            keys.append(key)
+            blobs.append(QuantileSketch(k_param).add_many(
+                g["v"].to_numpy()).to_bytes())
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    k_param = k
+    merged: dict = {}
+    for row in ds.map_batches(sketch_batch,
+                              batch_format="pyarrow").take_all():
+        s = merged.setdefault(row["k"], QuantileSketch(k_param))
+        s.merge(QuantileSketch.from_bytes(row["sketch"]))
+    return {key: {q: s.quantile(q) for q in qs}
+            for key, s in merged.items()}

@@ -2324,6 +2324,29 @@ def q_approx_distinct_users_by_type(sf_dir: str):
 QUERIES["approx_distinct_users_by_type"] = q_approx_distinct_users_by_type
 
 
+def q_approx_quantiles_by_source(sf_dir: str):
+    """Grouped KLL quantiles: approximate p50/p90 of document length
+    PER SOURCE (one kilobyte sketch per (batch, source), merged on the
+    driver — rows never shuffle; the wide-domain twin of the exact
+    value-histogram q_grouped_quantiles_chars, whose oracle pins the
+    truth; rank-error bound vs it is pinned in tests)."""
+    from hepcrawl_ray.ops.sketch import approx_quantiles_by_group
+
+    est = approx_quantiles_by_group(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        "source", "n_chars", qs=(0.5, 0.9))
+    keys = sorted(est)
+    return pa.table({
+        "source": pa.array(keys, pa.string()),
+        "approx_p50": pa.array([int(est[k][0.5]) for k in keys],
+                               pa.int64()),
+        "approx_p90": pa.array([int(est[k][0.9]) for k in keys],
+                               pa.int64())})
+
+
+QUERIES["approx_quantiles_by_source"] = q_approx_quantiles_by_source
+
+
 def q_approx_heavy_users(sf_dir: str):
     """CountMin heavy hitters: top-10 users by event count via one
     mergeable sketch + local candidates per batch (rows-only:

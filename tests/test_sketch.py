@@ -260,3 +260,26 @@ def test_grouped_hll_batch_split_invariant(ray_session):
     a = HyperLogLog(12).add_many(vals[:9000])
     b = HyperLogLog(12).add_many(vals[9000:])
     assert a.merge(b).estimate() == one.estimate()
+
+
+def test_grouped_kll_rank_error_vs_exact(ray_session):
+    from hepcrawl_ray.ops.sketch import approx_quantiles_by_group
+    from hepcrawl_ray.pipelines.queries import _read
+
+    sf = "/root/testdata/sf0.001"
+    est = approx_quantiles_by_group(
+        _read(sf, "documents", ["source", "n_chars"]),
+        "source", "n_chars", qs=(0.5, 0.9))
+
+    import numpy as np
+    vals = {}
+    for r in _read(sf, "documents", ["source", "n_chars"]).take_all():
+        vals.setdefault(r["source"], []).append(r["n_chars"])
+    assert set(est) == set(vals)
+    for k, v in vals.items():
+        v = np.sort(np.asarray(v))
+        for q in (0.5, 0.9):
+            # rank error: the estimate's rank within the exact sorted
+            # values must be within 5% of the target rank
+            r = np.searchsorted(v, est[k][q], side="right")
+            assert abs(r / len(v) - q) <= 0.05 + 1.0 / len(v)
