@@ -12383,7 +12383,65 @@ def q_gini_order_prices(sf_dir: str):
                          "gini_milli": pd.array([g], dtype="int64")})
 
 
-QUERIES.update({"gini_order_prices": q_gini_order_prices})
+def q_key_skew_audit(sf_dir: str):
+    """Shuffle-key skew audit for events.user_id: exact integer Gini
+    and top-key share over the PER-KEY COUNT distribution — the
+    "is this key safe to shuffle on" check run before committing a
+    100 TB pipeline to a partitioning key (CLAUDE lesson: one hot
+    host held 50% of the frontier until salted).
+
+    Scale shape: per-batch (key, n) partials → ONE key-bucket shuffle
+    for exact per-key totals → each bucket emits its count-HISTOGRAM
+    (value → freq, bounded by the count domain) → driver combines
+    histograms and evaluates the grouped-rank Gini identity — driver
+    state is count-domain-sized, never key-sized."""
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = (pd.DataFrame({"user_id": u})
+             .groupby("user_id", as_index=False)
+             .agg(n=("user_id", "count")))
+        d["_bucket"] = d["user_id"].to_numpy() % n_buckets
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def count_hist(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby("user_id")["n"].sum()
+        h = totals.value_counts().rename_axis("v").rename("c") \
+            .reset_index()
+        return h.astype({"v": "int64", "c": "int64"})
+
+    p = _pdf(_read(sf_dir, "events", ["user_id"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(count_hist, batch_format="pandas"),
+             ["v", "c"])
+    if len(p) == 0:
+        return pd.DataFrame({
+            "n_keys": pd.array([0], dtype="int64"),
+            "n_rows": pd.array([0], dtype="int64"),
+            "gini_milli": pd.array([np.nan], dtype="float64"),
+            "top_share_milli": pd.array([np.nan], dtype="float64")})
+    h = p.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    c = h["c"].to_numpy(dtype=np.int64)
+    v = h["v"].to_numpy(dtype=np.int64)
+    s = np.concatenate(([0], np.cumsum(c)[:-1]))
+    n = int(c.sum())                      # number of keys
+    S = int((v * c).sum())                # total rows
+    NUM = int(sum(int(vv) * int(cc) * (2 * int(ss) + int(cc) + 1)
+                  for vv, cc, ss in zip(v, c, s)))
+    g_milli = 1000 * (NUM - (n + 1) * S) // (n * S)
+    top_milli = 1000 * int(v.max()) // S
+    return pd.DataFrame({
+        "n_keys": pd.array([n], dtype="int64"),
+        "n_rows": pd.array([S], dtype="int64"),
+        "gini_milli": pd.array([g_milli], dtype="int64"),
+        "top_share_milli": pd.array([top_milli], dtype="int64")})
+
+
+QUERIES.update({"gini_order_prices": q_gini_order_prices,
+                "key_skew_audit": q_key_skew_audit})
 
 ORACLE_SQL.update({
     "gini_order_prices": """
@@ -12406,6 +12464,33 @@ ORACLE_SQL.update({
         SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_rows,
                CAST(1000 * (num - (n + 1) * S) // (n * S) AS BIGINT)
                    AS gini_milli
+        FROM t
+    """,
+    "key_skew_audit": """
+        WITH k AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id),
+        h AS (
+            SELECT n AS v, CAST(count(*) AS BIGINT) AS c
+            FROM k GROUP BY n),
+        w AS (
+            SELECT v, c,
+                   coalesce(sum(c) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS s
+            FROM h),
+        t AS (
+            SELECT CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS S,
+                   CAST(sum(c) AS HUGEINT) AS n,
+                   CAST(sum(CAST(v AS HUGEINT) * c * (2 * s + c + 1))
+                        AS HUGEINT) AS num,
+                   CAST(max(v) AS HUGEINT) AS mx
+            FROM w)
+        SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_keys,
+               CAST(coalesce(S, 0) AS BIGINT) AS n_rows,
+               CAST(1000 * (num - (n + 1) * S) // (n * S) AS BIGINT)
+                   AS gini_milli,
+               CAST(1000 * mx // S AS BIGINT) AS top_share_milli
         FROM t
     """,
 })

@@ -407,6 +407,10 @@ ADVERSARIAL_QUERIES = [
     # changelog — MERGE must reduce to identity and the per-bucket
     # digests must equal the raw base aggregates (tied prices sum)
     "upsert_orders",
+    # session-8 batch 6: skew audit over the fixture's tiny key set
+    # (7 users, heavy count ties incl. the single-event user) — the
+    # grouped-rank Gini identity over COUNTS with max-share ties
+    "key_skew_audit",
 ]
 
 
