@@ -1476,6 +1476,21 @@ def q_multimodal_image_patches(sf_dir: str):
                      batch_size=64, concurrency=(1, 2), num_cpus=0.5)
 
 
+def q_image_sharpness_gate(sf_dir: str):
+    """Blur gate over the synthetic corpus: Laplacian-variance
+    sharpness per image (integer-exact; actor-pool stage, REAL luma
+    decode — ops.multimodal.ImageSharpnessStage)."""
+    import ray
+
+    from hepcrawl_ray.ops.multimodal import ImageSharpnessStage
+
+    images, _, _, _ = _crawl_tables(sf_dir)
+    return ray.data.from_arrow(images.select(["image_id", "bytes",
+                                              "fmt"])) \
+        .map_batches(ImageSharpnessStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=(1, 2), num_cpus=0.5)
+
+
 def q_image_phash_retrieval(sf_dir: str):
     """Similar-image retrieval by perceptual hash: top-10 nearest
     corpus images to 3 probe images by pHash Hamming distance — no
@@ -1553,6 +1568,7 @@ QUERIES.update({
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_image_patches": q_multimodal_image_patches,
     "image_phash_retrieval": q_image_phash_retrieval,
+    "image_sharpness_gate": q_image_sharpness_gate,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_frames": q_multimodal_video_frames,
 })

@@ -224,3 +224,51 @@ def test_phash_retrieval_matches_flat_scan(ray_session):
         sub = got[got["probe_id"] == str(pid)].sort_values("rank")
         assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
         assert (np.diff(sub["hamming"].to_numpy()) >= 0).all()
+
+
+def test_sharpness_stage_constant_vs_checkerboard():
+    from hepcrawl_ray.ops.multimodal import ImageSharpnessStage
+
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    checker = (np.indices((16, 16)).sum(axis=0) % 2)[..., None] \
+        .astype(np.uint8) * 255
+    checker = np.repeat(checker, 3, axis=2)
+    tiny = np.zeros((2, 2, 3), np.uint8)
+    t = pa.table({
+        "image_id": pa.array(["flat", "checker", "tiny", "bad"]),
+        "bytes": pa.array([codecs.encode_png(flat),
+                           codecs.encode_png(checker),
+                           codecs.encode_png(tiny), b"nope"],
+                          pa.binary()),
+        "fmt": pa.array(["png"] * 4),
+    })
+    out = ImageSharpnessStage()(t).to_pandas().set_index("image_id")
+    assert out.loc["flat", "sharpness_milli"] == 0
+    assert not out.loc["flat", "is_sharp"]
+    # checkerboard: every interior Laplacian is ±8·255 — max contrast
+    assert out.loc["checker", "sharpness_milli"] > 1_000_000
+    assert out.loc["checker", "is_sharp"]
+    assert out.loc["tiny", "decoded"] and \
+        out.loc["tiny", "sharpness_milli"] == -1
+    assert not out.loc["bad", "decoded"]
+
+
+def test_sharpness_integer_exact_reference():
+    from hepcrawl_ray.ops.multimodal import ImageSharpnessStage
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (12, 20, 3), dtype=np.uint8) \
+        .astype(np.uint8)
+    t = pa.table({"image_id": pa.array(["x"]),
+                  "bytes": pa.array([codecs.encode_png(px)], pa.binary()),
+                  "fmt": pa.array(["png"])})
+    got = int(ImageSharpnessStage()(t).column("sharpness_milli")[0]
+              .as_py())
+    luma, w, h = codecs.decode_luma(codecs.encode_png(px), "png")
+    v = luma.astype(np.int64)
+    lap = (4 * v[1:-1, 1:-1] - v[:-2, 1:-1] - v[2:, 1:-1]
+           - v[1:-1, :-2] - v[1:-1, 2:]).ravel()
+    m = len(lap)
+    want = 1000 * (m * int((lap * lap).sum()) - int(lap.sum()) ** 2) \
+        // (m * m)
+    assert got == want
