@@ -247,6 +247,56 @@ class AudioFeatureStage:
         })
 
 
+class AudioQualityStage:
+    """Audio ingest QC: silence ratio, clipping ratio, peak and RMS
+    per clip — the gate that drops dead-air and clipped recordings
+    before feature extraction spends compute on them.  REAL WAV-PCM
+    decode (stdlib); all ratios emitted as deterministic milli ints
+    (floor), thresholds fixed at construction (once per actor)."""
+
+    def __init__(self, silence_amp_milli: int = 10,
+                 max_silence_milli: int = 900,
+                 max_clip_milli: int = 10):
+        self.silence_amp = silence_amp_milli / 1000.0
+        self.max_silence_milli = int(max_silence_milli)
+        self.max_clip_milli = int(max_clip_milli)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes").to_pylist()
+        n = len(blobs)
+        ok = np.zeros(n, bool)
+        sil = np.full(n, -1, np.int64)
+        clip = np.full(n, -1, np.int64)
+        peak = np.full(n, -1, np.int64)
+        rms = np.full(n, -1, np.int64)
+        for i, blob in enumerate(blobs):
+            try:
+                wav, _rate = decode_wav_pcm(blob)
+            except Exception:
+                continue
+            ok[i] = True
+            if not len(wav):
+                continue
+            a = np.abs(wav)
+            sil[i] = int(1000 * int((a < self.silence_amp).sum())
+                         // len(a))
+            clip[i] = int(1000 * int((a >= 0.999).sum()) // len(a))
+            peak[i] = int(np.floor(1000 * float(a.max())))
+            rms[i] = int(np.floor(
+                1000 * float(np.sqrt(np.mean(wav * wav)))))
+        clean = ok & (sil >= 0) & (sil <= self.max_silence_milli) \
+            & (clip <= self.max_clip_milli)
+        return pa.table({
+            "audio_id": batch.column("audio_id"),
+            "decoded": pa.array(ok),
+            "silence_milli": pa.array(sil),
+            "clip_milli": pa.array(clip),
+            "peak_milli": pa.array(peak),
+            "rms_milli": pa.array(rms),
+            "is_clean": pa.array(clean),
+        })
+
+
 class VideoFrameSampleStage:
     """binary video -> k uniformly sampled frame thumbnails (stubbed decode)."""
 

@@ -1542,6 +1542,31 @@ def q_multimodal_audio_features(sf_dir: str):
         concurrency=(1, 2), num_cpus=0.5)
 
 
+def q_audio_quality_gate(sf_dir: str):
+    """Audio ingest QC over a deterministic WAV corpus that PLANTS the
+    failure modes: every 5th clip is near-silent (amp 0.001), every
+    8th is driven past full scale (clipped by PCM encode clamping) —
+    the gate must flag exactly those (pinned in tests)."""
+    import ray
+
+    from hepcrawl_ray.ops.multimodal import (AudioQualityStage,
+                                             encode_wav_pcm)
+
+    ids, blobs = [], []
+    for i in range(64):
+        rate = (8_000, 16_000, 44_100)[i % 3]
+        tgrid = np.arange(rate // 4, dtype=np.float64) / rate
+        amp = 0.001 if i % 5 == 0 else (1.4 if i % 8 == 0 else 0.5)
+        sig = np.clip(amp * np.sin(2 * np.pi * 220.0 * (1 + i % 4)
+                                   * tgrid), -1.0, 1.0)
+        ids.append(f"aud{i:04d}")
+        blobs.append(encode_wav_pcm(sig, rate, sampwidth=2))
+    rows = pa.table({"audio_id": ids, "bytes": blobs})
+    return ray.data.from_arrow(rows).map_batches(
+        AudioQualityStage, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2), num_cpus=0.5)
+
+
 def q_multimodal_video_frames(sf_dir: str):
     """Video frame sampling (STUBBED decode; plumbing/schema real)."""
     import ray
@@ -1570,6 +1595,7 @@ QUERIES.update({
     "image_phash_retrieval": q_image_phash_retrieval,
     "image_sharpness_gate": q_image_sharpness_gate,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "audio_quality_gate": q_audio_quality_gate,
     "multimodal_video_frames": q_multimodal_video_frames,
 })
 

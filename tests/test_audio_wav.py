@@ -138,3 +138,37 @@ def test_audio_dedup_pipeline_collapses_probes(ray_session):
     # base clips are pairwise far: every non-probe is its own root
     base_roots = originals["root"]
     assert base_roots.nunique() == 48
+
+
+def test_audio_quality_gate_flags_planted_failures(ray_session):
+    from hepcrawl_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["audio_quality_gate"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert len(out) == 64 and out["decoded"].all()
+    for _, r in out.iterrows():
+        i = int(r["audio_id"][3:])
+        if i % 5 == 0:
+            # near-silent plant: almost all samples under threshold
+            assert r["silence_milli"] > 900 and not r["is_clean"]
+        elif i % 8 == 0:
+            # overdriven plant: visible clipping plateau
+            assert r["clip_milli"] > 10 and not r["is_clean"]
+        else:
+            assert r["is_clean"], r.to_dict()
+
+
+def test_audio_quality_stage_empty_and_garbage_rows():
+    import numpy as np
+    import pyarrow as pa
+
+    from hepcrawl_ray.ops.multimodal import (AudioQualityStage,
+                                             encode_wav_pcm)
+
+    good = encode_wav_pcm(np.zeros(100), 8000, sampwidth=2)
+    t = pa.table({"audio_id": pa.array(["zeros", "junk"]),
+                  "bytes": pa.array([good, b"xx"], pa.binary())})
+    out = AudioQualityStage()(t).to_pandas().set_index("audio_id")
+    assert out.loc["zeros", "silence_milli"] == 1000
+    assert not out.loc["zeros", "is_clean"]
+    assert not out.loc["junk", "decoded"]
