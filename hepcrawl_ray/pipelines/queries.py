@@ -2389,6 +2389,52 @@ def q_approx_quantiles_by_source(sf_dir: str):
 QUERIES["approx_quantiles_by_source"] = q_approx_quantiles_by_source
 
 
+def q_approx_audience_overlap(sf_dir: str):
+    """Sketch composition: approximate |A∩B| and Jaccard between the
+    clicker and purchaser audiences via HLL inclusion–exclusion
+    (est(A) + est(B) − est(A∪B)) — three mergeable sketches total,
+    rows never shuffle.  The union sketch is the MERGE of the two
+    audience sketches (the HLL closure property), not a third pass.
+    Rows-only: approximate by design; the exact twin q_set_ops_users
+    is oracle-green and the error bound is pinned in tests."""
+    from hepcrawl_ray.ops.sketch import HyperLogLog
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        u = t.column("user_id")
+        out = []
+        for name in ("click", "purchase"):
+            hll = HyperLogLog(12).add_many(
+                pc.filter(u, pc.equal(et, name)).to_pylist())
+            out.append((name, hll.to_bytes()))
+        return pa.table({
+            "k": pa.array([k for k, _ in out], pa.string()),
+            "sketch": pa.array([b for _, b in out], pa.binary())})
+
+    merged = {"click": HyperLogLog(12), "purchase": HyperLogLog(12)}
+    for row in ds.map_batches(sketch_batch,
+                              batch_format="pyarrow").take_all():
+        merged[row["k"]].merge(HyperLogLog.from_bytes(row["sketch"]))
+    a = merged["click"].estimate()
+    b = merged["purchase"].estimate()
+    union = HyperLogLog(12).merge(merged["click"]) \
+        .merge(merged["purchase"]).estimate()
+    inter = max(0.0, a + b - union)
+    return pa.table({
+        "metric": pa.array(["clickers", "purchasers", "union",
+                            "intersection", "jaccard_milli"],
+                           pa.string()),
+        "estimate": pa.array(
+            [float(a), float(b), float(union), float(inter),
+             float(int(1000 * inter / union)) if union else 0.0],
+            pa.float64())})
+
+
+QUERIES["approx_audience_overlap"] = q_approx_audience_overlap
+
+
 def q_approx_heavy_users(sf_dir: str):
     """CountMin heavy hitters: top-10 users by event count via one
     mergeable sketch + local candidates per batch (rows-only:

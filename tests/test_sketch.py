@@ -283,3 +283,25 @@ def test_grouped_kll_rank_error_vs_exact(ray_session):
             # values must be within 5% of the target rank
             r = np.searchsorted(v, est[k][q], side="right")
             assert abs(r / len(v) - q) <= 0.05 + 1.0 / len(v)
+
+
+def test_audience_overlap_error_bound(ray_session):
+    from hepcrawl_ray.pipelines.queries import QUERIES, _read
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["approx_audience_overlap"](sf).to_pandas() \
+        .set_index("metric")["estimate"]
+
+    click, buy = set(), set()
+    for r in _read(sf, "events", ["user_id", "event_type"]).take_all():
+        if r["event_type"] == "click":
+            click.add(r["user_id"])
+        elif r["event_type"] == "purchase":
+            buy.add(r["user_id"])
+    # inclusion-exclusion compounds three estimates; allow 10% on the
+    # intersection, 5% on the single-set estimates
+    assert abs(out["clickers"] - len(click)) / len(click) < 0.05
+    assert abs(out["purchasers"] - len(buy)) / len(buy) < 0.05
+    assert abs(out["union"] - len(click | buy)) / len(click | buy) < 0.05
+    inter = len(click & buy)
+    assert abs(out["intersection"] - inter) / max(inter, 1) < 0.10
