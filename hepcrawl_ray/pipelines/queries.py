@@ -12528,8 +12528,69 @@ def q_key_skew_audit(sf_dir: str):
         "top_share_milli": pd.array([top_milli], dtype="int64")})
 
 
+def q_tree_rollup_docs(sf_dir: str):
+    """Hierarchical subtree rollup over the implicit binary tree
+    parent(k) = k // 2 (category-tree / org-chart accumulation):
+    for every node id ≤ 255 (the top 8 levels), the total characters
+    and document count of its SUBTREE — self included.
+
+    Scale shape: recursion is eliminated by ANCESTOR EXPLOSION — each
+    doc emits its ≤18 ancestor ids as shifted array views (no Python
+    loop over rows), filtered to the bounded output domain (node ≤
+    255), pre-aggregated per batch over ≤255 keys, then one tiny
+    domain-sized combine.  No iterative passes, no recursive joins —
+    the 100 TB shape for bounded-depth tree aggregation."""
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        chars = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nodes, vals = [], []
+        for s in range(0, 64):
+            v = ids >> s
+            # the CTE walk emits k>>s iff s==0 or k>>(s-1) > 1
+            keep = np.ones(len(ids), bool) if s == 0 \
+                else (ids >> (s - 1)) > 1
+            if not keep.any():
+                break
+            nodes.append(v[keep])
+            vals.append(chars[keep])
+        node = np.concatenate(nodes)
+        val = np.concatenate(vals)
+        m = node <= 255
+        node, val = node[m], val[m]
+        if not len(node):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "subtree_chars": pa.array([], pa.int64()),
+                             "subtree_docs": pa.array([], pa.int64())})
+        # bounded domain: bincount both moments, emit only seen nodes
+        s_chars = np.bincount(node, weights=val, minlength=256) \
+            .astype(np.int64)
+        s_docs = np.bincount(node, minlength=256).astype(np.int64)
+        seen = np.flatnonzero(s_docs)
+        return pa.table({
+            "node": pa.array(seen.astype(np.int64)),
+            "subtree_chars": pa.array(s_chars[seen]),
+            "subtree_docs": pa.array(s_docs[seen])})
+
+    p = _pdf(_read(sf_dir, "documents", ["doc_id", "n_chars"])
+             .map_batches(explode, batch_format="pyarrow"),
+             ["node", "subtree_chars", "subtree_docs"])
+    if len(p) == 0:
+        return pd.DataFrame({
+            "node": pd.array([], dtype="int64"),
+            "subtree_chars": pd.array([], dtype="int64"),
+            "subtree_docs": pd.array([], dtype="int64")})
+    out = (p.groupby("node", as_index=False)[
+        ["subtree_chars", "subtree_docs"]].sum()
+        .astype({"node": "int64", "subtree_chars": "int64",
+                 "subtree_docs": "int64"}))
+    return out
+
+
 QUERIES.update({"gini_order_prices": q_gini_order_prices,
-                "key_skew_audit": q_key_skew_audit})
+                "key_skew_audit": q_key_skew_audit,
+                "tree_rollup_docs": q_tree_rollup_docs})
 
 ORACLE_SQL.update({
     "gini_order_prices": """
@@ -12553,6 +12614,16 @@ ORACLE_SQL.update({
                CAST(1000 * (num - (n + 1) * S) // (n * S) AS BIGINT)
                    AS gini_milli
         FROM t
+    """,
+    "tree_rollup_docs": """
+        WITH RECURSIVE anc AS (
+            SELECT doc_id AS node, n_chars FROM documents
+            UNION ALL
+            SELECT node // 2, n_chars FROM anc WHERE node > 1)
+        SELECT node,
+               CAST(sum(n_chars) AS BIGINT) AS subtree_chars,
+               CAST(count(*) AS BIGINT) AS subtree_docs
+        FROM anc WHERE node <= 255 GROUP BY node
     """,
     "key_skew_audit": """
         WITH k AS (
