@@ -155,6 +155,85 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Run a query AND its DuckDB oracle on the same parquet tables
+    and compare row counts, column names, and sorted values — the
+    driver's three-gate correctness check as a user-facing self-test
+    (`verify NAME`, or `verify all` for every oracled query)."""
+    import duckdb
+    import pandas as pd
+
+    from hepcrawl_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    names = sorted(ORACLE_SQL) if args.name == "all" else [args.name]
+    if args.name != "all" and args.name not in ORACLE_SQL:
+        hint = ("has no SQL oracle (rows-only query)"
+                if args.name in QUERIES else "— see `list`")
+        print(f"cannot verify {args.name!r}: {hint}", file=sys.stderr)
+        return 2
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].where(pd.notna(df[c]), None).astype(str)
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+        for c in df.columns:
+            if pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+        return df
+
+    owned = _ensure_ray(args.num_cpus)
+    con = duckdb.connect()
+    import os
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        p = os.path.join(args.sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = 0
+    try:
+        for name in names:
+            t0 = time.monotonic()
+            try:
+                got = normalize(_to_table(
+                    QUERIES[name](args.sf_dir)).to_pandas())
+                want = normalize(con.sql(ORACLE_SQL[name]).df())
+                ok_rows = len(got) == len(want)
+                ok_cols = list(got.columns) == list(want.columns)
+                ok_vals = ok_rows and ok_cols and got.equals(want)
+                if not ok_vals and ok_rows and ok_cols:
+                    # dtype-tolerant value compare (int64 vs float64)
+                    try:
+                        pd.testing.assert_frame_equal(
+                            got, want, check_dtype=False)
+                        ok_vals = True
+                    except AssertionError:
+                        ok_vals = False
+                status = "PASS" if (ok_rows and ok_cols and ok_vals) \
+                    else "FAIL"
+                if status == "FAIL":
+                    failures += 1
+                dt = time.monotonic() - t0
+                print(f"{status}  {name}  rows={len(got)}/{len(want)}"
+                      f"  ({dt:.2f}s)")
+            except Exception as exc:
+                failures += 1
+                print(f"ERROR {name}  {type(exc).__name__}: "
+                      f"{str(exc)[:120]}")
+    finally:
+        if owned:
+            import ray
+
+            ray.shutdown()
+    print(f"# {len(names) - failures}/{len(names)} verified",
+          file=sys.stderr)
+    return 1 if failures else 0
+
+
 def cmd_crawl(args) -> int:
     owned = _ensure_ray(args.num_cpus)
     try:
@@ -217,6 +296,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_stats)
+
+    s = sub.add_parser("verify",
+                       help="run a query AND its DuckDB oracle, "
+                            "compare (NAME or 'all')")
+    s.add_argument("name")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_verify)
 
     s = sub.add_parser("crawl",
                        help="resumable flagship crawl (seeds -> "

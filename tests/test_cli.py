@@ -56,3 +56,13 @@ def test_crawl_resume_skips_finished(ray_session, tmp_path, capsys):
         if f.endswith(".parquet"):
             assert os.path.getmtime(f) == mtimes[f], f
     assert ray.is_initialized()
+
+
+def test_verify_subcommand_pass_and_gates(ray_session, capsys):
+    assert main(["verify", "agg_lineitem_pricing", "--sf-dir", SF]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("PASS") and "rows=6/6" in out
+    # rows-only query: refused with a pointed message
+    assert main(["verify", "crawl_records", "--sf-dir", SF]) == 2
+    assert main(["verify", "not_a_query", "--sf-dir", SF]) == 2
+    assert ray.is_initialized()          # guard did not shut Ray down
