@@ -2435,6 +2435,52 @@ def q_approx_audience_overlap(sf_dir: str):
 QUERIES["approx_audience_overlap"] = q_approx_audience_overlap
 
 
+def q_cluster_balanced_sample(sf_dir: str):
+    """Cluster-balanced (diversity) sampling — the semantic-coverage
+    subsample a training-mixture pipeline runs so one dense region
+    cannot dominate the data: spherical k-means assignment, then a
+    DETERMINISTIC per-cluster quota (the 10 members with the smallest
+    multiplicative id hash — reproducible at any partition count, no
+    RNG state).
+
+    Scale shape: assignment is a per-batch matmul against broadcast
+    centroids; the quota is a per-batch local top-10-per-cluster
+    prune (lossless projection) feeding one tiny cluster-keyed
+    shuffle.  Rows-only (k-means is iterative-float); membership
+    determinism and quota invariants are pinned in tests."""
+    from hepcrawl_ray.ops import cluster as C
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = C.kmeans_fit(emb, k=10, iters=4)
+    assigned = C.kmeans_assign(emb, cent, pack_vec=False)
+
+    def local_quota(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (ids * _MIX_MULT) % (1 << 31)
+        df = pd.DataFrame({
+            "vec_id": ids,
+            "cluster": t.column("cluster").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "h": h})
+        return pa.Table.from_pandas(
+            df.sort_values(["cluster", "h", "vec_id"])
+            .groupby("cluster").head(10), preserve_index=False)
+
+    def final_quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "vec_id"]).head(10)
+        out = g[["cluster", "vec_id"]].astype("int64")
+        out["sample_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return out
+
+    return (assigned.map_batches(local_quota, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(final_quota, batch_format="pandas"))
+
+
+QUERIES["cluster_balanced_sample"] = q_cluster_balanced_sample
+
+
 def q_approx_heavy_users(sf_dir: str):
     """CountMin heavy hitters: top-10 users by event count via one
     mergeable sketch + local candidates per batch (rows-only:

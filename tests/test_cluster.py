@@ -186,3 +186,20 @@ def test_mean_vector_exact(ray_session):
     # float32 storage in the list column bounds the comparison
     assert np.allclose(m, mat.astype(np.float32).mean(axis=0),
                        atol=1e-5)
+
+
+def test_cluster_balanced_sample_quota_and_determinism(ray_session):
+    from hepcrawl_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["cluster_balanced_sample"](sf).to_pandas() \
+        .sort_values(["cluster", "sample_rank"]).reset_index(drop=True)
+    b = QUERIES["cluster_balanced_sample"](sf).to_pandas() \
+        .sort_values(["cluster", "sample_rank"]).reset_index(drop=True)
+    assert a.equals(b)                       # fully deterministic
+    per = a.groupby("cluster")["vec_id"].count()
+    assert (per <= 10).all() and per.sum() == len(a)
+    assert a["vec_id"].is_unique             # one cluster per vector
+    for _, g in a.groupby("cluster"):
+        assert g["sample_rank"].tolist() == list(
+            range(1, len(g) + 1))
