@@ -367,6 +367,84 @@ def knn_ivf_query(index_dir: str, query_vecs: np.ndarray, *, k=10,
         global_topk, batch_format="pandas")
 
 
+# ----------------------------------------------- scalar quantization ----
+
+def sq8_train(ds, *, vec_col="embedding"):
+    """Per-dimension min/max for int8 scalar quantization, from ONE
+    streaming pass of per-batch partials (dims-sized rows, tiny
+    combine).  Returns (vmin, vmax) float64 arrays of shape (dim,)."""
+    def partial(t: pa.Table) -> pa.Table:
+        t = drop_null_vectors(t, vec_col)
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        mat = list_column_to_matrix(t.column(vec_col))
+        d = mat.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "lo": pa.array(mat.min(axis=0)),
+            "hi": pa.array(mat.max(axis=0))})
+
+    rows = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return np.zeros(0), np.zeros(0)
+    dim = max(r["dim"] for r in rows) + 1
+    vmin = np.full(dim, np.inf)
+    vmax = np.full(dim, -np.inf)
+    for r in rows:
+        vmin[r["dim"]] = min(vmin[r["dim"]], r["lo"])
+        vmax[r["dim"]] = max(vmax[r["dim"]], r["hi"])
+    return vmin, vmax
+
+
+def sq8_encode(mat: np.ndarray, vmin: np.ndarray,
+               vmax: np.ndarray) -> np.ndarray:
+    """Quantize (n, dim) float rows to uint8 codes: 255 uniform steps
+    per dimension over the trained [vmin, vmax] range (4x smaller
+    than float32 storage; max reconstruction error = step/2)."""
+    span = np.where(vmax > vmin, vmax - vmin, 1.0)
+    q = np.rint((mat - vmin) / span * 255.0)
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
+def sq8_decode(codes: np.ndarray, vmin: np.ndarray,
+               vmax: np.ndarray) -> np.ndarray:
+    span = np.where(vmax > vmin, vmax - vmin, 1.0)
+    return vmin + codes.astype(np.float64) / 255.0 * span
+
+
+def sq8_error_stats(ds, vmin, vmax, *, vec_col="embedding"):
+    """Quantize + reconstruct per batch, emitting error PARTIALS
+    (n, sum |err|, max |err|, sum ||x||^2) — the audit that decides
+    whether 4x-compressed storage is acceptable for a corpus."""
+    def partial(t: pa.Table) -> pa.Table:
+        t = drop_null_vectors(t, vec_col)
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "abs_err": pa.array([], pa.float64()),
+                             "max_err": pa.array([], pa.float64()),
+                             "sq_norm": pa.array([], pa.float64())})
+        mat = list_column_to_matrix(t.column(vec_col))
+        rec = sq8_decode(sq8_encode(mat, vmin, vmax), vmin, vmax)
+        err = np.abs(rec - mat)
+        return pa.table({
+            "n": pa.array([mat.size], pa.int64()),
+            "abs_err": pa.array([float(err.sum())]),
+            "max_err": pa.array([float(err.max())]),
+            "sq_norm": pa.array([float((mat * mat).sum())])})
+
+    rows = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    return {
+        "n_values": int(n),
+        "mean_abs_err": (sum(r["abs_err"] for r in rows) / n) if n else 0.0,
+        "max_abs_err": max((r["max_err"] for r in rows), default=0.0),
+    }
+
+
 # --------------------------------------------- signature Hamming kNN ----
 
 def signature_hamming_knn(ds, probe_ids, *, k=10, id_col="image_id",

@@ -2481,6 +2481,34 @@ def q_cluster_balanced_sample(sf_dir: str):
 QUERIES["cluster_balanced_sample"] = q_cluster_balanced_sample
 
 
+def q_embedding_sq8_audit(sf_dir: str):
+    """int8 scalar quantization audit for the embedding corpus: train
+    per-dim ranges in one partials pass, quantize+reconstruct in a
+    second, report compression ratio and error stats — the
+    decide-before-you-commit check for 4x-compressed vector storage
+    (rows-only: float reconstruction; error bounds pinned in
+    tests/test_knn_pq.py)."""
+    from hepcrawl_ray.ops import knn as K
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    vmin, vmax = K.sq8_train(ds)
+    stats = K.sq8_error_stats(ds, vmin, vmax)
+    step = float(np.max(np.where(vmax > vmin, vmax - vmin, 1.0))) / 255.0
+    return pa.table({
+        "metric": pa.array(["n_values", "bytes_ratio_milli",
+                            "mean_abs_err_micro", "max_abs_err_micro",
+                            "worst_step_micro"], pa.string()),
+        "value": pa.array([
+            float(stats["n_values"]),
+            250.0,                       # uint8 / float32 in milli
+            float(int(stats["mean_abs_err"] * 1e6)),
+            float(int(stats["max_abs_err"] * 1e6)),
+            float(int(step * 1e6))], pa.float64())})
+
+
+QUERIES["embedding_sq8_audit"] = q_embedding_sq8_audit
+
+
 def q_approx_heavy_users(sf_dir: str):
     """CountMin heavy hitters: top-10 users by event count via one
     mergeable sketch + local candidates per batch (rows-only:

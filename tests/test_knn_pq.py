@@ -68,3 +68,30 @@ def test_pq_query_registry(ray_session):
     out = QUERIES["knn_pq"](SF).to_pandas()
     assert len(out) == 50                        # 5 queries x top-10
     assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
+
+
+def test_sq8_roundtrip_error_bounded(ray_session):
+    from hepcrawl_ray.ops import knn as K
+
+    ds = _read(SF, "embeddings", ["vec_id", "embedding"])
+    vmin, vmax = K.sq8_train(ds)
+    assert len(vmin) == 64 and (vmax >= vmin).all()
+    rows = ds.take(200)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    codes = K.sq8_encode(mat, vmin, vmax)
+    assert codes.dtype == np.uint8
+    assert codes.nbytes * 4 == mat.astype(np.float32).nbytes
+    rec = K.sq8_decode(codes, vmin, vmax)
+    # uniform quantization: error <= step/2 per element, per dim
+    step = np.where(vmax > vmin, vmax - vmin, 1.0) / 255.0
+    assert (np.abs(rec - mat) <= step / 2 + 1e-12).all()
+
+
+def test_sq8_audit_query(ray_session):
+    from hepcrawl_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["embedding_sq8_audit"](SF).to_pandas() \
+        .set_index("metric")["value"]
+    assert out["n_values"] > 0
+    assert out["mean_abs_err_micro"] <= out["worst_step_micro"] / 2
+    assert out["max_abs_err_micro"] <= out["worst_step_micro"] / 2 + 1
