@@ -2509,6 +2509,111 @@ def q_embedding_sq8_audit(sf_dir: str):
 QUERIES["embedding_sq8_audit"] = q_embedding_sq8_audit
 
 
+def q_corpus_drift_chi2(sf_dir: str):
+    """Corpus drift audit: exact integer chi-square decomposition of
+    the term distribution between two sources (src0 vs src1) — the
+    distribution-shift check run between crawl snapshots before
+    mixing them into one training corpus.
+
+    Per-cell contribution in milli is ALL-INTEGER:
+    ``1000·d² // (G·R_s·C_t)`` with ``d = o·G − R_s·C_t`` (and the
+    2×K identity d1 = −d0), evaluated in arbitrary-precision Python
+    ints on the DOMAIN-sized term table — per-batch (source, term, n)
+    partials, vocabulary-sized combine (at open-vocabulary scale,
+    prefilter with the CMS heavy-hitter sketch first).  Output: the
+    top-20 drifting terms by contribution, ties by term."""
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        src = np.asarray(t.column("source").to_pylist(),
+                         dtype=object)[parent]
+        keep = (src == "src0") | (src == "src1")
+        if not keep.any():
+            return pa.table({"term": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = (pa.table({"term": flat.filter(pa.array(keep)),
+                       "source": pa.array(src[keep], pa.string()),
+                       "n": pa.array(np.ones(int(keep.sum()),
+                                             np.int64))})
+             .group_by(["term", "source"]).aggregate([("n", "sum")])
+             .rename_columns(["term", "source", "n"]))
+        return g
+
+    p = _pdf(_read(sf_dir, "documents", ["text", "source"])
+             .map_batches(partial, batch_format="pyarrow"),
+             ["term", "source", "n"])
+    empty = pd.DataFrame({
+        "term": pd.Series([], dtype=str),
+        "n_src0": pd.array([], dtype="int64"),
+        "n_src1": pd.array([], dtype="int64"),
+        "contrib_milli": pd.array([], dtype="int64")})
+    if len(p) == 0:
+        return empty
+    w = (p.groupby(["term", "source"], as_index=False)["n"].sum()
+         .pivot(index="term", columns="source", values="n")
+         .reindex(columns=["src0", "src1"]).fillna(0).astype("int64")
+         .rename(columns={"src0": "o0", "src1": "o1"})
+         .rename_axis(None, axis=1).reset_index())
+    R0, R1 = int(w["o0"].sum()), int(w["o1"].sum())
+    G = R0 + R1
+    if G == 0 or R0 == 0 or R1 == 0:
+        return empty
+    contrib = []
+    for o0, o1 in zip(w["o0"], w["o1"]):
+        C = int(o0) + int(o1)
+        d = int(o0) * G - R0 * C                # d1 = -d0 exactly
+        contrib.append(1000 * d * d // (G * R0 * C)
+                       + 1000 * d * d // (G * R1 * C))
+    w["contrib_milli"] = pd.array(contrib, dtype="int64")
+    out = (w.sort_values(["contrib_milli", "term"],
+                         ascending=[False, True]).head(20)
+           .rename(columns={"o0": "n_src0", "o1": "n_src1"}))
+    return out[["term", "n_src0", "n_src1", "contrib_milli"]] \
+        .reset_index(drop=True)
+
+
+QUERIES["corpus_drift_chi2"] = q_corpus_drift_chi2
+
+ORACLE_SQL.update({
+    "corpus_drift_chi2": """
+        WITH tok AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents
+            WHERE source IN ('src0', 'src1') AND text IS NOT NULL),
+        c AS (
+            SELECT term,
+                   CAST(coalesce(count(*) FILTER (source = 'src0'), 0)
+                        AS HUGEINT) AS o0,
+                   CAST(coalesce(count(*) FILTER (source = 'src1'), 0)
+                        AS HUGEINT) AS o1
+            FROM tok WHERE term <> '' GROUP BY term),
+        m AS (
+            SELECT CAST(sum(o0) AS HUGEINT) AS R0,
+                   CAST(sum(o1) AS HUGEINT) AS R1,
+                   CAST(sum(o0 + o1) AS HUGEINT) AS G
+            FROM c),
+        s AS (
+            SELECT term, o0, o1,
+                   (o0 * G - R0 * (o0 + o1)) AS d,
+                   R0, R1, G, (o0 + o1) AS C
+            FROM c, m)
+        SELECT term,
+               CAST(o0 AS BIGINT) AS n_src0,
+               CAST(o1 AS BIGINT) AS n_src1,
+               CAST(1000 * d * d // (G * R0 * C)
+                    + 1000 * d * d // (G * R1 * C) AS BIGINT)
+                   AS contrib_milli
+        FROM s
+        WHERE R0 > 0 AND R1 > 0  -- engine contract: both snapshots
+                                 -- must be present for a drift test
+        ORDER BY contrib_milli DESC, term
+        LIMIT 20
+    """,
+})
+
+
 def q_approx_heavy_users(sf_dir: str):
     """CountMin heavy hitters: top-10 users by event count via one
     mergeable sketch + local candidates per batch (rows-only:
