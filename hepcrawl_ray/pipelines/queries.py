@@ -2574,6 +2574,57 @@ def q_corpus_drift_chi2(sf_dir: str):
 
 QUERIES["corpus_drift_chi2"] = q_corpus_drift_chi2
 
+
+def q_corpus_drift_emd(sf_dir: str):
+    """Numeric-column drift: exact integer 1-D earth-mover distance
+    between the src0 and src1 document-length distributions — the
+    companion check to q_corpus_drift_chi2 for NUMERIC columns (a
+    shifted length distribution flags boilerplate injection or
+    truncation between crawl snapshots).
+
+    All-integer: per-source VALUE histograms (bounded n_chars domain,
+    per-batch partials), PMFs floor-quantized to milli, EMD =
+    Σ |cumsum(p0 − p1)| over the sorted value union — deterministic
+    on both engine and SQL sides by construction."""
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        keep = (src == "src0") | (src == "src1")
+        if not keep.any():
+            return pa.table({"source": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        d = (pd.DataFrame({
+                "source": src[keep],
+                "v": t.column("n_chars").to_numpy(
+                    zero_copy_only=False).astype(np.int64)[keep]})
+             .groupby(["source", "v"], as_index=False)
+             .agg(c=("v", "count")))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    p = _pdf(_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(partial, batch_format="pyarrow"),
+             ["source", "v", "c"])
+    empty = pd.DataFrame({"metric": pd.Series([], dtype=str),
+                          "value": pd.array([], dtype="int64")})
+    if len(p) == 0:
+        return empty
+    h = (p.groupby(["source", "v"], as_index=False)["c"].sum()
+         .pivot(index="v", columns="source", values="c")
+         .reindex(columns=["src0", "src1"]).fillna(0).astype("int64")
+         .rename_axis(None, axis=1).sort_index())
+    n0, n1 = int(h["src0"].sum()), int(h["src1"].sum())
+    if n0 == 0 or n1 == 0:
+        return empty
+    p0 = (1000 * h["src0"].to_numpy(dtype=np.int64)) // n0
+    p1 = (1000 * h["src1"].to_numpy(dtype=np.int64)) // n1
+    emd = int(np.abs(np.cumsum(p0 - p1)).sum())
+    return pd.DataFrame({
+        "metric": ["n_src0", "n_src1", "n_bins", "emd_milli"],
+        "value": pd.array([n0, n1, len(h), emd], dtype="int64")})
+
+
+QUERIES["corpus_drift_emd"] = q_corpus_drift_emd
+
 ORACLE_SQL.update({
     "corpus_drift_chi2": """
         WITH tok AS (
@@ -2610,6 +2661,37 @@ ORACLE_SQL.update({
                                  -- must be present for a drift test
         ORDER BY contrib_milli DESC, term
         LIMIT 20
+    """,
+    "corpus_drift_emd": """
+        WITH h AS (
+            SELECT n_chars AS v,
+                   CAST(coalesce(count(*) FILTER (source = 'src0'), 0)
+                        AS BIGINT) AS c0,
+                   CAST(coalesce(count(*) FILTER (source = 'src1'), 0)
+                        AS BIGINT) AS c1
+            FROM documents WHERE source IN ('src0', 'src1')
+            GROUP BY n_chars),
+        m AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM h),
+        q AS (
+            SELECT v, 1000 * c0 // n0 AS p0, 1000 * c1 // n1 AS p1
+            FROM h, m WHERE n0 > 0 AND n1 > 0),
+        cum AS (
+            SELECT sum(p0 - p1) OVER (ORDER BY v) AS d FROM q)
+        SELECT metric, value FROM (
+            SELECT 'n_src0' AS metric, CAST(n0 AS BIGINT) AS value,
+                   0 AS ord
+            FROM m WHERE n0 > 0 AND n1 > 0
+            UNION ALL
+            SELECT 'n_src1', CAST(n1 AS BIGINT), 1
+            FROM m WHERE n0 > 0 AND n1 > 0
+            UNION ALL
+            SELECT 'n_bins', CAST(count(*) AS BIGINT), 2 FROM q
+            HAVING count(*) > 0
+            UNION ALL
+            SELECT 'emd_milli', CAST(coalesce(sum(abs(d)), 0)
+                                     AS BIGINT), 3
+            FROM cum HAVING count(*) > 0)
+        ORDER BY ord
     """,
 })
 
