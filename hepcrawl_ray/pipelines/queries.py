@@ -13440,12 +13440,91 @@ def q_upsert_orders(sf_dir: str):
         apply_merge, batch_format="pandas")
 
 
+def q_gap_fill_interpolate(sf_dir: str):
+    """Linear-interpolation gap fill (time-series resample): per user,
+    the daily spend (cents) on EVERY day between first and last
+    activity, missing days filled by exact INTEGER linear
+    interpolation between the neighboring observed days — the sensor /
+    metrics densification with deterministic arithmetic.
+
+    Scale shape: per-batch (user, day, cents) partials → ONE
+    user-bucket shuffle → per bucket: span densify (gap_fill's arange
+    trick) + pandas merge_asof backward/forward for the neighbor
+    lookup (C, no composite keys — lesson 12) + TRUNCATING integer
+    division (matches DuckDB ``//`` on negative deltas, lesson 16)."""
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents(t.column("value").to_numpy(
+            zero_copy_only=False))
+        d = (pd.DataFrame({"user_id": u,
+                           "day": ts // 86_400_000_000,
+                           "cents": cents})
+             .groupby(["user_id", "day"], as_index=False)["cents"]
+             .sum())
+        d["_bucket"] = d["user_id"].to_numpy() % n_buckets
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        obs = (g.groupby(["user_id", "day"], as_index=False)["cents"]
+               .sum().sort_values(["user_id", "day"])
+               .reset_index(drop=True))
+        u = obs["user_id"].to_numpy(dtype=np.int64)
+        d = obs["day"].to_numpy(dtype=np.int64)
+        first = np.flatnonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))
+        last = np.concatenate((first[1:] - 1, [len(u) - 1]))
+        span = d[last] - d[first] + 1
+        total = int(span.sum())
+        starts = np.concatenate(([0], np.cumsum(span)[:-1]))
+        dense = pd.DataFrame({
+            "user_id": np.repeat(u[first], span),
+            "day": (np.arange(total, dtype=np.int64)
+                    - np.repeat(starts, span)
+                    + np.repeat(d[first], span))})
+        # merge_asof needs the ON key sorted GLOBALLY (not just within
+        # each by-group) — stable-sort both frames by day
+        dense = dense.sort_values("day", kind="stable") \
+            .reset_index(drop=True)
+        obs_s = obs.sort_values("day", kind="stable")
+        prev = pd.merge_asof(
+            dense,
+            obs_s.rename(columns={"cents": "pv"}).assign(
+                pday=obs_s["day"]),
+            on="day", by="user_id", direction="backward")
+        nxt = pd.merge_asof(
+            dense,
+            obs_s.rename(columns={"cents": "nv"}).assign(
+                nday=obs_s["day"]),
+            on="day", by="user_id", direction="forward")
+        pv = prev["pv"].to_numpy(dtype=np.int64)
+        pdy = prev["pday"].to_numpy(dtype=np.int64)
+        nv = nxt["nv"].to_numpy(dtype=np.int64)
+        nd = nxt["nday"].to_numpy(dtype=np.int64)
+        num = (nv - pv) * (dense["day"].to_numpy() - pdy)
+        den = np.maximum(nd - pdy, 1)
+        # DuckDB // TRUNCATES toward zero; numpy // floors (lesson 16)
+        q = np.where(num >= 0, num // den, -((-num) // den))
+        dense["cents"] = pv + q
+        return dense[["user_id", "day", "cents"]]
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(densify, batch_format="pandas"))
+
+
 QUERIES.update({"scd2_user_status": q_scd2_user_status,
                 "contrastive_negatives": q_contrastive_negatives,
                 "percent_rank_prices": q_percent_rank_prices,
                 "snapshot_diff_orders": q_snapshot_diff_orders,
                 "fk_integrity_audit": q_fk_integrity_audit,
                 "gap_fill_daily_activity": q_gap_fill_daily_activity,
+                "gap_fill_interpolate": q_gap_fill_interpolate,
                 "upsert_orders": q_upsert_orders,
                 "source_robust_read": q_source_robust_read})
 
@@ -13611,6 +13690,47 @@ ORACLE_SQL.update({
                CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
         FROM g LEFT JOIN e ON g.user_id = e.user_id
                           AND g.day = e.day
+    """,
+    "gap_fill_interpolate": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2),
+        b AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM e GROUP BY user_id),
+        g AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1)) AS BIGINT)
+                       AS day
+            FROM b),
+        j AS (
+            SELECT g.user_id, g.day, e.cents
+            FROM g LEFT JOIN e ON g.user_id = e.user_id
+                              AND g.day = e.day),
+        w AS (
+            SELECT user_id, day, cents,
+                   last_value(cents IGNORE NULLS) OVER wp AS pv,
+                   last_value(CASE WHEN cents IS NOT NULL THEN day
+                              END IGNORE NULLS) OVER wp AS pd,
+                   first_value(cents IGNORE NULLS) OVER wn AS nv,
+                   first_value(CASE WHEN cents IS NOT NULL THEN day
+                               END IGNORE NULLS) OVER wn AS nd
+            FROM j
+            WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW),
+                   wn AS (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING))
+        SELECT user_id, day,
+               CAST(CASE WHEN cents IS NOT NULL THEN cents
+                    ELSE pv + (nv - pv) * (day - pd)
+                              // greatest(nd - pd, 1) END AS BIGINT)
+                   AS cents
+        FROM w
     """,
     "percent_rank_prices": """
         WITH h AS (

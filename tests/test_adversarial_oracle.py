@@ -411,6 +411,10 @@ ADVERSARIAL_QUERIES = [
     # (7 users, heavy count ties incl. the single-event user) — the
     # grouped-rank Gini identity over COUNTS with max-share ties
     "key_skew_audit",
+    # session-8 batch 7: integer lerp over the fixture's multi-day
+    # gaps with DECREASING values (negative deltas exercise the
+    # truncating-division parity, lesson 16) and single-day users
+    "gap_fill_interpolate",
 ]
 
 
