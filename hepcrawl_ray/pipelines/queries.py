@@ -2625,6 +2625,70 @@ def q_corpus_drift_emd(sf_dir: str):
 
 QUERIES["corpus_drift_emd"] = q_corpus_drift_emd
 
+
+def q_weighted_sample_orders(sf_dir: str):
+    """Weighted priority sampling WITHOUT replacement: the 20 orders
+    with the smallest ``hash(key) / weight`` priority (weight = price
+    cents) — heavier rows win proportionally more often, membership
+    is exactly reproducible at any partition count, and NO RNG state
+    exists to checkpoint (the A-Res shape with an integer-hash
+    surrogate for u).
+
+    Determinism note: the priority is a single IEEE-754 double
+    DIVISION of exact integers — correctly rounded by spec on both
+    numpy and DuckDB, so the float ORDER is bit-identical (pow/log
+    priorities would NOT be — libm differs).  Scale shape: per-batch
+    local top-20 prune, one candidate-sized fold."""
+    k = 20
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.maximum(_cents(t.column("o_totalprice")
+                                  .to_numpy(zero_copy_only=False)), 1)
+        h = (ids * _MIX_MULT) % (1 << 31)
+        prio = h.astype(np.float64) / cents
+        order = np.lexsort((ids, prio))[:k]
+        return pa.table({
+            "o_orderkey": pa.array(ids[order]),
+            "cents": pa.array(cents[order]),
+            "prio": pa.array(prio[order])})
+
+    p = _pdf(_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+             .map_batches(local_top, batch_format="pyarrow"),
+             ["o_orderkey", "cents", "prio"])
+    if len(p) == 0:
+        return pd.DataFrame({
+            "o_orderkey": pd.array([], dtype="int64"),
+            "cents": pd.array([], dtype="int64"),
+            "sample_rank": pd.array([], dtype="int64")})
+    out = (p.sort_values(["prio", "o_orderkey"]).head(k)
+           .reset_index(drop=True))
+    out["sample_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["o_orderkey", "cents", "sample_rank"]] \
+        .astype("int64")
+
+
+QUERIES["weighted_sample_orders"] = q_weighted_sample_orders
+
+ORACLE_SQL.update({
+    "weighted_sample_orders": """
+        WITH d AS (
+            SELECT o_orderkey,
+                   greatest(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT), 1) AS cents
+            FROM orders)
+        SELECT o_orderkey, cents,
+               CAST(row_number() OVER (
+                   ORDER BY CAST((o_orderkey * 2654435761)
+                                 % 2147483648 AS DOUBLE) / cents,
+                            o_orderkey) AS BIGINT) AS sample_rank
+        FROM d
+        ORDER BY sample_rank
+        LIMIT 20
+    """,
+})
+
 ORACLE_SQL.update({
     "corpus_drift_chi2": """
         WITH tok AS (
