@@ -2671,6 +2671,81 @@ def q_weighted_sample_orders(sf_dir: str):
 
 QUERIES["weighted_sample_orders"] = q_weighted_sample_orders
 
+
+def q_changepoint_revenue(sf_dir: str):
+    """CUSUM change-point detection on the daily-revenue series —
+    the level-shift monitor a pipeline runs on its own throughput /
+    revenue telemetry.  ALL-INTEGER: with daily cents x_i, n days and
+    total T, the centered cumulative sum S_k = Σ_{i≤k}(n·x_i − T) is
+    exact in int64-ish Python ints (no rational mean ever computed);
+    the change point is the day with max |S_k| (ties: earliest day).
+
+    Scale shape: per-batch (day, cents) partials → day-domain-sized
+    combine (calendar-bounded) → driver cumsum.  Output: the top-5
+    candidate days by |S| with their scores."""
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        d = (pd.DataFrame({"day": ts // 86_400_000_000,
+                           "cents": cents})
+             .groupby("day", as_index=False)["cents"].sum())
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    p = _pdf(_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow"),
+             ["day", "cents"])
+    empty = pd.DataFrame({"day": pd.array([], dtype="int64"),
+                          "abs_s": pd.array([], dtype="int64"),
+                          "cusum_rank": pd.array([], dtype="int64")})
+    if len(p) == 0:
+        return empty
+    h = (p.groupby("day", as_index=False)["cents"].sum()
+         .sort_values("day").reset_index(drop=True))
+    x = [int(v) for v in h["cents"]]
+    n, T = len(x), sum(x)
+    s, cur = [], 0
+    for v in x:
+        cur += n * v - T
+        s.append(abs(cur))
+    out = pd.DataFrame({"day": h["day"].astype("int64"),
+                        "abs_s": pd.array(s, dtype="int64")})
+    out = (out.sort_values(["abs_s", "day"],
+                           ascending=[False, True]).head(5)
+           .reset_index(drop=True))
+    out["cusum_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+QUERIES["changepoint_revenue"] = q_changepoint_revenue
+
+ORACLE_SQL.update({
+    "changepoint_revenue": """
+        WITH d AS (
+            SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                        AS BIGINT) AS day,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(cents) AS HUGEINT) AS T
+              FROM d),
+        s AS (
+            SELECT day,
+                   abs(sum(n * cents - T) OVER (ORDER BY day))
+                       AS abs_s
+            FROM d, m)
+        SELECT day, CAST(abs_s AS BIGINT) AS abs_s,
+               CAST(row_number() OVER (
+                   ORDER BY abs_s DESC, day) AS BIGINT)
+                   AS cusum_rank
+        FROM s
+        ORDER BY cusum_rank
+        LIMIT 5
+    """,
+})
+
 ORACLE_SQL.update({
     "weighted_sample_orders": """
         WITH d AS (
