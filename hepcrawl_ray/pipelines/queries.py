@@ -2720,7 +2720,141 @@ def q_changepoint_revenue(sf_dir: str):
 
 QUERIES["changepoint_revenue"] = q_changepoint_revenue
 
+
+def q_table_profile_orders(sf_dir: str):
+    """DESCRIBE-style distributed profiling of the orders table: per
+    column, row count, null count and EXACT distinct count — the
+    schema-discovery pass run before planning any pipeline over an
+    unfamiliar 100 TB table.
+
+    Scale shape: one streaming pass emits per-batch partials for ALL
+    columns together — null counts (tiny) plus per-batch DISTINCT
+    hashed values tagged by column — then ONE hash-bucket shuffle
+    counts distincts per bucket and a vocabulary-sized combine sums
+    them.  Values never leave the workers un-hashed; the driver holds
+    |columns| numbers."""
+    from hepcrawl_ray.ops.text import content_hash64
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"]
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_c, out_h, out_b = [], [], []
+        meta_c, meta_n, meta_nulls = [], [], []
+        for c in cols:
+            col = t.column(c)
+            meta_c.append(c)
+            meta_n.append(t.num_rows)
+            nc = col.null_count if not isinstance(col, pa.ChunkedArray) \
+                else sum(ch.null_count for ch in col.chunks)
+            meta_nulls.append(int(nc))
+            valid = col.combine_chunks().drop_null() \
+                if isinstance(col, pa.ChunkedArray) else col.drop_null()
+            if pa.types.is_string(valid.type):
+                h = content_hash64(valid.to_pylist())
+            elif pa.types.is_floating(valid.type):
+                # float distinct is counted in the cents domain on
+                # BOTH sides (injective for 2-decimal money values)
+                h = _cents(valid.to_numpy(zero_copy_only=False))
+            else:
+                h = pc.cast(valid, pa.int64()) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+            hu = np.unique(np.asarray(h, dtype=np.int64))
+            out_c.extend([c] * len(hu))
+            out_h.extend(hu.tolist())
+            out_b.extend((hu % n_buckets).tolist())
+        vals = pa.table({
+            "kind": pa.array(["v"] * len(out_c), pa.string()),
+            "col": pa.array(out_c, pa.string()),
+            "h": pa.array(out_h, pa.int64()),
+            "_bucket": pa.array(out_b, pa.int64())})
+        meta = pa.table({
+            "kind": pa.array(["m"] * len(meta_c), pa.string()),
+            "col": pa.array(meta_c, pa.string()),
+            "h": pa.array([int(n) * 1_000_000 + nn for n, nn in
+                           zip(meta_n, meta_nulls)], pa.int64()),
+            "_bucket": pa.array([int(0)] * len(meta_c), pa.int64())})
+        return pa.concat_tables([vals, meta])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["kind"] == "v"]
+        d = (v.drop_duplicates(["col", "h"])
+             .groupby("col").size().rename("n_distinct")
+             .reset_index())
+        m = g[g["kind"] == "m"]
+        if len(m):
+            mm = pd.DataFrame({
+                "col": m["col"],
+                "n_rows": m["h"] // 1_000_000,
+                "n_nulls": m["h"] % 1_000_000})
+            mm = mm.groupby("col", as_index=False).sum()
+        else:
+            mm = pd.DataFrame({"col": pd.Series([], dtype=str),
+                               "n_rows": pd.Series([], dtype="int64"),
+                               "n_nulls": pd.Series([], dtype="int64")})
+        out = d.merge(mm, on="col", how="outer").fillna(0)
+        return out.astype({"n_distinct": "int64", "n_rows": "int64",
+                           "n_nulls": "int64"})
+
+    p = _pdf(_read(sf_dir, "orders", cols)
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(per_bucket, batch_format="pandas"),
+             ["col", "n_distinct", "n_rows", "n_nulls"])
+    if len(p) == 0:
+        # empty table: the profile still has one row per column
+        # (all-zero counts), matching the oracle's per-column UNION
+        return pd.DataFrame({
+            "col": sorted(cols),
+            "n_rows": pd.array([0] * len(cols), dtype="int64"),
+            "n_nulls": pd.array([0] * len(cols), dtype="int64"),
+            "n_distinct": pd.array([0] * len(cols), dtype="int64")})
+    out = (p.groupby("col", as_index=False)[
+        ["n_rows", "n_nulls", "n_distinct"]].sum()
+        .sort_values("col").reset_index(drop=True)
+        .astype({"n_rows": "int64", "n_nulls": "int64",
+                 "n_distinct": "int64"}))
+    return out[["col", "n_rows", "n_nulls", "n_distinct"]]
+
+
+QUERIES["table_profile_orders"] = q_table_profile_orders
+
 ORACLE_SQL.update({
+    "table_profile_orders": """
+        SELECT 'o_custkey' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_orderdate) AS BIGINT),
+               CAST(count(DISTINCT o_orderdate) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_orderkey) AS BIGINT),
+               CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_orderpriority) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_orderstatus) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_totalprice) AS BIGINT),
+               CAST(count(DISTINCT
+                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)
+        FROM orders
+    """,
     "changepoint_revenue": """
         WITH d AS (
             SELECT CAST(epoch_us(o_orderdate) // 86400000000
