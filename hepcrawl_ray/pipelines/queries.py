@@ -2820,6 +2820,63 @@ def q_table_profile_orders(sf_dir: str):
 
 QUERIES["table_profile_orders"] = q_table_profile_orders
 
+
+def q_peak_hour_per_user(sf_dir: str):
+    """Per-entity modal feature: each user's PEAK ACTIVITY HOUR (the
+    hour-of-day with the most events; ties → earliest hour) plus its
+    event count — the grouped-mode feature engineering every
+    behavioral model ingests.
+
+    Scale shape: per-batch (user, hour, n) partials (24-bounded per
+    user) → ONE user-bucket shuffle → pandas idxmax per bucket in C."""
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = (pd.DataFrame({
+                "user_id": u,
+                "hour": (ts // 3_600_000_000) % 24})
+             .groupby(["user_id", "hour"], as_index=False)
+             .agg(n=("hour", "count")))
+        d["_bucket"] = d["user_id"].to_numpy() % n_buckets
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def peak(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g.groupby(["user_id", "hour"], as_index=False)["n"].sum()
+             .sort_values(["user_id", "n", "hour"],
+                          ascending=[True, False, True]))
+        out = h.groupby("user_id", as_index=False).head(1)
+        return (out.rename(columns={"hour": "peak_hour",
+                                    "n": "n_events"})
+                .astype("int64"))
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(peak, batch_format="pandas"))
+
+
+QUERIES["peak_hour_per_user"] = q_peak_hour_per_user
+
+ORACLE_SQL.update({
+    "peak_hour_per_user": """
+        WITH h AS (
+            SELECT user_id,
+                   CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                       AS peak_hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2)
+        SELECT user_id, peak_hour, n_events
+        FROM h
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY n_events DESC, peak_hour) = 1
+    """,
+})
+
 ORACLE_SQL.update({
     "table_profile_orders": """
         SELECT 'o_custkey' AS col,
