@@ -46,6 +46,8 @@ def _fetch_output(batch: pa.Table, image_ids, found: np.ndarray,
     error ParsedItem, hepcrawl/utils.py:492-502) — never exceptions."""
     null_mask = pa.array(~found)
     n = len(image_ids)
+    ids = image_ids if isinstance(image_ids, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(image_ids, type=pa.string())
 
     def col(name):
         c = taken.column(name)
@@ -53,7 +55,7 @@ def _fetch_output(batch: pa.Table, image_ids, found: np.ndarray,
             return c
         return pa.compute.if_else(null_mask, pa.nulls(n, c.type), c)
 
-    out = batch.append_column("image_id", pa.array(image_ids))
+    out = batch.append_column("image_id", ids)
     for name in PAYLOAD_COLS:
         out = out.append_column(name, col(name))
     error = pa.array([None if ok else FETCH_ERROR_NOT_FOUND for ok in found],
@@ -70,22 +72,22 @@ class FetchStage:
     table/ref anywhere a pipeline accepts ``images``."""
 
     def __init__(self, images_ref):
+        import pandas as pd
         import ray
 
         images: pa.Table = ray.get(images_ref) if not isinstance(images_ref, pa.Table) \
             else images_ref
         self.images = images
-        ids = images.column("image_id").to_pylist()
-        self.index = {i: n for n, i in enumerate(ids)}
+        # hash engine built lazily in C on first get_indexer, memoized
+        self.index = pd.Index(images.column("image_id").to_pandas())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        image_ids = [urlkit.image_id_of(u) for u in urls]
-        rows = np.array([self.index.get(i, -1) for i in image_ids], dtype=np.int64)
+        ids_arr = urlkit.image_ids_of_many(batch.column("url"))
+        rows = self.index.get_indexer(ids_arr.to_pandas())
         found = rows >= 0
         # gather found rows from the corpus in one take()
         taken = self.images.take(pa.array(np.where(found, rows, 0)))
-        return _fetch_output(batch, image_ids, found, taken)
+        return _fetch_output(batch, ids_arr, found, taken)
 
 
 class KeyedFetchStage:
@@ -97,15 +99,20 @@ class KeyedFetchStage:
       image_id per row group — a few bytes per GB of corpus) into a
       range manifest.
     - ``__call__`` maps the batch's keys onto candidate row groups via
-      searchsorted over the sorted key list, reads JUST those row
-      groups (one IO per group, LRU-cached across consecutive batches
-      — admission order is roughly key-clustered per frontier
-      partition), and gathers rows with one vectorized ``index_in``.
+      vectorized searchsorteds over a MIN-SORTED manifest (O(batch ×
+      log groups) per batch — independent of the manifest size), reads
+      JUST those row groups (one IO per group, LRU-cached across
+      consecutive batches — admission order is roughly key-clustered
+      per frontier partition), and gathers rows with one C-level
+      hash-index probe (``pandas.Index.get_indexer``).
 
     At real scale the same stage shape does Lance ``take`` / object-
     store range reads; the row-group manifest generalizes to any
     key-range-indexed layout.  ``max_resident_rows`` records the high
-    water mark of corpus rows held, so tests can assert O(batch)."""
+    water mark of corpus rows held, so tests can assert O(batch);
+    ``last_candidates_checked`` records how many manifest entries the
+    last selection examined, so tests can assert it tracks the batch's
+    key spread, NOT the total number of row groups."""
 
     def __init__(self, corpus_path, cache_rowgroups: int = 8):
         import glob
@@ -135,19 +142,63 @@ class KeyedFetchStage:
                 maxs.append(st.max)
                 locs.append((len(self.files), rg))
             self.files.append(f)
-        self.rg_min = np.array(mins, dtype=object)
-        self.rg_max = np.array(maxs, dtype=object)
-        self.rg_loc = locs
+        # sorted manifest: fixed-width unicode arrays (C-level
+        # searchsorted) ordered by (min, max); cmax = running max of
+        # maxes handles OVERLAPPING key ranges across files
+        mins_u = np.asarray(mins, dtype=np.str_)
+        maxs_u = np.asarray(maxs, dtype=np.str_)
+        order = np.lexsort((maxs_u, mins_u))
+        self.rg_min = mins_u[order]
+        self.rg_max = maxs_u[order]
+        # running max via object dtype (np.maximum lacks a str loop);
+        # one-time O(G) at init, stored fixed-width for C searchsorted
+        self.rg_cmax = np.maximum.accumulate(
+            self.rg_max.astype(object)).astype(np.str_)
+        self.rg_loc = [locs[j] for j in order]
         self.cache: "OrderedDict[tuple, pa.Table]" = OrderedDict()
         self.cache_rowgroups = cache_rowgroups
         self.max_resident_rows = 0
+        self.last_candidates_checked = 0
         # working-set memo: consecutive batches usually hit the SAME
         # row-group set (key-clustered admissions, or a small corpus
-        # fitting the cache) — reuse the assembled table + dict index
+        # fitting the cache) — reuse the assembled table + hash index
         # instead of re-concatenating and re-hashing per batch
         self._ws_need: tuple = ()
         self._ws_corpus: pa.Table | None = None
-        self._ws_index: dict[str, int] = {}
+        self._ws_index = None  # pandas.Index (engine memoized on it)
+
+    def _select_rowgroups(self, su: np.ndarray) -> np.ndarray:
+        """Manifest indices of row groups whose [min, max] range
+        contains at least one requested key.
+
+        ``su``: sorted unique keys (unicode dtype).  Two vectorized
+        searchsorteds bound each key's candidate window in the
+        min-sorted manifest ([first cmax >= key, last min <= key));
+        windows are merged and only the candidates inside them are
+        verified — cost O(|su| log G + |candidates|), never O(G)."""
+        right = np.searchsorted(self.rg_min, su, side="right")
+        left = np.searchsorted(self.rg_cmax, su, side="left")
+        nonempty = right > left
+        if not nonempty.any():
+            self.last_candidates_checked = 0
+            return np.empty(0, dtype=np.int64)
+        lo, hi = left[nonempty], right[nonempty]
+        # merge the (sorted, possibly overlapping) windows [lo_i, hi_i)
+        run_hi = np.maximum.accumulate(hi)
+        new_seg = np.empty(lo.size, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = lo[1:] > run_hi[:-1]
+        starts = lo[new_seg]
+        seg_idx = np.nonzero(new_seg)[0]
+        last = np.append(seg_idx[1:] - 1, lo.size - 1)
+        ends = run_hi[last]
+        cand = np.concatenate([np.arange(s, e)
+                               for s, e in zip(starts, ends)])
+        self.last_candidates_checked = int(cand.size)
+        # verify: candidate j is needed iff some key in [min_j, max_j]
+        klo = np.searchsorted(su, self.rg_min[cand], side="left")
+        khi = np.searchsorted(su, self.rg_max[cand], side="right")
+        return cand[khi > klo]
 
     def _rowgroup(self, j: int) -> pa.Table:
         key = self.rg_loc[j]
@@ -161,38 +212,37 @@ class KeyedFetchStage:
         return t
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        image_ids = [urlkit.image_id_of(u) for u in urls]
-        su = np.unique(np.asarray(image_ids, dtype=object))
-        # row group j is a candidate iff some requested key falls in
-        # [min_j, max_j] — two searchsorteds per group over the sorted
-        # request keys (manifest loop is O(#row groups), fine up to
-        # ~10^5 groups; a sorted-manifest searchsorted is the next gear)
-        need = [j for j in range(len(self.rg_loc))
-                if np.searchsorted(su, self.rg_max[j], "right")
-                > np.searchsorted(su, self.rg_min[j], "left")]
-        n = len(image_ids)
-        if not need:
+        ids_arr = urlkit.image_ids_of_many(batch.column("url"))
+        n = len(ids_arr)
+        if n == 0:
+            need = np.empty(0, dtype=np.int64)
+        else:
+            su = np.unique(ids_arr.to_numpy(zero_copy_only=False)
+                           .astype(np.str_))
+            need = self._select_rowgroups(su)
+        if not need.size:
             sch = self.files[0].schema_arrow
             taken = pa.table({f.name: pa.nulls(n, f.type) for f in sch})
-            return _fetch_output(batch, image_ids, np.zeros(n, bool), taken)
-        need_key = tuple(need)
+            return _fetch_output(batch, ids_arr, np.zeros(n, bool), taken)
+        need_key = tuple(need.tolist())
         if need_key != self._ws_need or self._ws_corpus is None:
+            import pandas as pd
+
             corpus = pa.concat_tables([self._rowgroup(j) for j in need])
             self._ws_need = need_key
             self._ws_corpus = corpus
-            self._ws_index = {k: i for i, k in enumerate(
-                corpus.column("image_id").to_pylist())}
+            # pandas Index: hash engine built once (lazily, in C) per
+            # working set, probed per batch with get_indexer
+            self._ws_index = pd.Index(corpus.column("image_id").to_pandas())
             resident = corpus.num_rows + sum(
                 t.num_rows for k, t in self.cache.items()
                 if k not in {self.rg_loc[j] for j in need})
             self.max_resident_rows = max(self.max_resident_rows, resident)
         corpus, index = self._ws_corpus, self._ws_index
-        rows = np.array([index.get(k, -1) for k in image_ids],
-                        dtype=np.int64)
+        rows = index.get_indexer(ids_arr.to_pandas())
         found = rows >= 0
         taken = corpus.take(pa.array(np.where(found, rows, 0)))
-        return _fetch_output(batch, image_ids, found, taken)
+        return _fetch_output(batch, ids_arr, found, taken)
 
 
 class FetchParseStage:

@@ -144,6 +144,21 @@ def image_id_of(url: str) -> str:
     return url.rstrip("/").rsplit("/", 1)[-1]
 
 
+def image_ids_of_many(url_col):
+    """Vectorized ``image_id_of`` over an Arrow string array/chunked
+    array — one RE2 ``extract_regex`` pass, no per-row Python (the hot
+    fetch stage calls this per batch).  MUST stay semantics-identical
+    to ``image_id_of`` (equivalence pinned in tests/test_urlkit.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(url_col, pattern=r"(?P<image_id>[^/]+)/*$")
+    ids = pc.struct_field(ex, "image_id")
+    # no match (empty / all-slash url) -> image_id_of returns ""
+    return pc.fill_null(ids, "").combine_chunks() \
+        if isinstance(ids, pa.ChunkedArray) else pc.fill_null(ids, "")
+
+
 def partition_of_host(host: str, num_partitions: int, salt: int = 0) -> int:
     """Frontier partition for ``host``.
 

@@ -94,6 +94,72 @@ class TestKeyedFetchStage:
         b = _batch(urls[half - 40:half + 40])  # straddles the file split
         assert small(b).equals(keyed(b))
 
+    def test_selection_cost_independent_of_manifest_size(self, tmp_path):
+        """VERDICT r3 item 1: ≥10^4 row groups, per-batch candidate
+        checks track the batch's key spread — NOT the manifest size."""
+        n, g_rows = 20_000, 2          # -> 10_000 row groups
+        ids = [f"img{i:08d}" for i in range(n)]
+        tbl = pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array([b"x"] * n, pa.binary()),
+            "w": pa.array(np.full(n, 4, np.int32)),
+            "h": pa.array(np.full(n, 4, np.int32)),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "caption": pa.array(["c"] * n, pa.string()),
+            "phash": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        p = str(tmp_path / "many_groups.parquet")
+        pq.write_table(tbl, p, row_group_size=g_rows)
+        keyed = KeyedFetchStage(p, cache_rowgroups=4)
+        assert len(keyed.rg_loc) == n // g_rows
+
+        # clustered batch: 64 consecutive keys -> ~32 groups examined
+        b = _batch([f"http://h/s/{i}" for i in ids[5000:5064]])
+        out = keyed(b)
+        assert out.column("fetch_error").null_count == 64
+        assert keyed.last_candidates_checked <= 64
+        assert keyed.max_resident_rows <= 64 + 4 * g_rows
+
+        # scattered batch: 64 keys spread over the whole key space ->
+        # candidates bounded by key count, not the 10^4 manifest
+        rng = np.random.default_rng(3)
+        pick = sorted(rng.choice(n, 64, replace=False).tolist())
+        b2 = _batch([f"http://h/s/{ids[i]}" for i in pick])
+        out2 = keyed(b2)
+        assert out2.column("fetch_error").null_count == 64
+        assert keyed.last_candidates_checked <= 3 * 64
+        assert keyed.last_candidates_checked < len(keyed.rg_loc) // 10
+
+        # misses between groups select nothing
+        miss = _batch(["http://h/s/img00000010x", "http://h/s/zzz"])
+        outm = keyed(miss)
+        assert outm.column("fetch_error").null_count == 0
+
+    def test_overlapping_file_ranges(self, tmp_path):
+        """Interleaved key ranges across files (cmax sweep): every key
+        still resolves, groups from BOTH files are consulted."""
+        a = [f"k{i:05d}" for i in range(0, 400, 2)]       # evens
+        b = [f"k{i:05d}" for i in range(1, 400, 2)]       # odds
+
+        def tab(ids):
+            m = len(ids)
+            return pa.table({
+                "image_id": pa.array(ids), "bytes": pa.array([b""] * m, pa.binary()),
+                "w": pa.array(np.full(m, 4, np.int32)),
+                "h": pa.array(np.full(m, 4, np.int32)),
+                "fmt": pa.array(["png"] * m), "caption": pa.array(["c"] * m),
+                "phash": pa.array(np.arange(m, dtype=np.int64)),
+            })
+        d = tmp_path / "overlap"
+        d.mkdir()
+        pq.write_table(tab(a), str(d / "a.parquet"), row_group_size=16)
+        pq.write_table(tab(b), str(d / "b.parquet"), row_group_size=16)
+        keyed = KeyedFetchStage(str(d))
+        want = [f"k{i:05d}" for i in range(100, 140)]     # mixed parity
+        out = keyed(_batch([f"http://h/s/{k}" for k in want]))
+        assert out.column("fetch_error").null_count == len(want)
+        assert out.column("image_id").to_pylist() == want
+
     def test_missing_stats_rejected(self, tmp_path):
         images, _ = synth.generate_corpus(50, size_range=(16, 20))
         p = str(tmp_path / "nostats.parquet")

@@ -81,6 +81,18 @@ class TestHost:
         assert uk.image_id_of("http://h.org/set1/img0042") == "img0042"
         assert uk.image_id_of("http://h.org/set1/img0042/") == "img0042"
 
+    def test_image_ids_of_many_matches_scalar(self):
+        import pyarrow as pa
+
+        urls = ["http://h.org/set1/img0042", "http://h.org/set1/img0042/",
+                "http://h.org/a/b/c///", "http://h/", "http://h", "",
+                "///", "plain", "x/y"]
+        want = [uk.image_id_of(u) for u in urls]
+        got = uk.image_ids_of_many(pa.array(urls, pa.string())).to_pylist()
+        assert got == want
+        chunked = pa.chunked_array([urls[:4], urls[4:]], pa.string())
+        assert uk.image_ids_of_many(chunked).to_pylist() == want
+
 
 class TestPartition:
     def test_stable_and_in_range(self):
