@@ -124,6 +124,33 @@ def drain_admissions(actors, max_rounds=None, seal=False):
     return ray.data.from_arrow_refs(refs)
 
 
+def drain_admissions_chunked(actors, target_rows=1 << 18, seal=True):
+    """Chunked drain: no partition ever materializes its whole schedule
+    as one block (at 10^10 URLs / few partitions a full drain is one
+    multi-GB table per actor — and one object ref gating downstream
+    parallelism).  Each round of ``drain_chunk`` calls yields ≈
+    ``target_rows`` rows per partition as its own object-store block;
+    the union over chunks is EXACTLY the full-drain schedule (each
+    queue's closed form continues from its virtual clock).
+
+    The tables are never fetched to the driver — the per-chunk refs
+    feed ``from_arrow_refs`` directly."""
+    import ray
+
+    if seal:
+        ray.get([a.seal.remote() for a in actors])
+    live = list(actors)
+    refs = []
+    while live:
+        refs.extend(a.drain_chunk.remote(target_rows) for a in live)
+        # pending() runs after drain_chunk on each actor (actor tasks
+        # are ordered), so it reflects the post-chunk queue state;
+        # finished partitions drop out of the next round
+        pend = ray.get([a.pending.remote() for a in live])
+        live = [a for a, p in zip(live, pend) if p > 0]
+    return ray.data.from_arrow_refs(refs)
+
+
 def fetch_and_parse(admissions_ds, images, *, fetch_concurrency=4,
                     parse_concurrency=4, batch_size=1024,
                     verify_pixels=True, num_blocks=None, drop_bytes=False,
@@ -186,8 +213,15 @@ def run_crawl(images, seeds, politeness, *, num_partitions=4,
               salted_hosts=None, output_dir=None, checkpoint_dir=None,
               fetch_concurrency=4, parse_concurrency=4,
               batch_size=1024, verify_pixels=True, num_blocks=None,
-              drop_bytes=False, frontier_capacity=1 << 17):
-    """Full crawl.  Returns dict with the records Dataset and metrics."""
+              drop_bytes=False, frontier_capacity=1 << 17,
+              drain_chunk_rows=1 << 18):
+    """Full crawl.  Returns dict with the records Dataset and metrics.
+
+    ``drain_chunk_rows``: admissions leave each frontier partition in
+    ≈-this-many-row chunks (bounded blocks, see
+    :func:`drain_admissions_chunked`); ``None`` drains each partition's
+    whole schedule in one fused seal+drain call (one block per
+    partition — fine at test scale, unbounded at 10^10 URLs)."""
     import ray
 
     pol_rows = politeness.to_pylist() if isinstance(politeness, pa.Table) \
@@ -199,7 +233,11 @@ def run_crawl(images, seeds, politeness, *, num_partitions=4,
     if checkpoint_dir:
         ray.get([a.seal.remote() for a in actors])
         ray.get([a.checkpoint.remote(checkpoint_dir) for a in actors])
-    admissions = drain_admissions(actors, seal=True)
+    if drain_chunk_rows is None:
+        admissions = drain_admissions(actors, seal=True)
+    else:
+        admissions = drain_admissions_chunked(actors,
+                                              target_rows=drain_chunk_rows)
     records = fetch_and_parse(
         admissions, images, fetch_concurrency=fetch_concurrency,
         parse_concurrency=parse_concurrency, batch_size=batch_size,
