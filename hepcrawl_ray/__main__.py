@@ -206,10 +206,13 @@ def cmd_verify(args) -> int:
                 ok_cols = list(got.columns) == list(want.columns)
                 ok_vals = ok_rows and ok_cols and got.equals(want)
                 if not ok_vals and ok_rows and ok_cols:
-                    # dtype-tolerant value compare (int64 vs float64)
+                    # dtype-tolerant but VALUE-EXACT compare (int64 vs
+                    # float64 dtype drift only — check_exact keeps the
+                    # spot-check as strict as the pytest oracle mirror)
                     try:
                         pd.testing.assert_frame_equal(
-                            got, want, check_dtype=False)
+                            got, want, check_dtype=False,
+                            check_exact=True)
                         ok_vals = True
                     except AssertionError:
                         ok_vals = False

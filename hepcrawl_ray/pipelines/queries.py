@@ -1168,10 +1168,25 @@ ORACLE_SQL = {
 # source expansion queries (SURVEY §2.1 — archives, feeds, JSONL)
 # ---------------------------------------------------------------------------
 
+# Fixture bound for the §2.1 expansion queries: _docs_by_source feeds
+# DRIVER-SIDE package/feed fixture builders, so it must never
+# materialize an unbounded documents table on the driver.  The cap is
+# a doc_id predicate (not a head()) so the DuckDB oracles express the
+# identical bound; it exceeds every mirrored SF's id domain, so test
+# results are unchanged while a 100 TB run stays driver-safe.
+_FIXTURE_DOC_CAP = 100_000
+
+
 def _docs_by_source(sf_dir: str):
-    """documents grouped per source, driver-side (dimension-sized)."""
-    rows = _read(sf_dir, "documents", ["doc_id", "source", "lang"]) \
-        .take_all()
+    """documents grouped per source, driver-side (BOUNDED: the filter
+    streams in workers and only doc_id < _FIXTURE_DOC_CAP rows ever
+    reach the driver)."""
+    rows = (_read(sf_dir, "documents", ["doc_id", "source", "lang"])
+            .map_batches(
+                lambda t: t.filter(pc.less(t.column("doc_id"),
+                                           _FIXTURE_DOC_CAP)),
+                batch_format="pyarrow")
+            .take_all())
     by_src: dict[str, list] = {}
     for r in rows:
         by_src.setdefault(r["source"], []).append(r)
@@ -1603,14 +1618,14 @@ ORACLE_SQL.update({
     "source_zip_expand": """
         SELECT source AS package_id,
                'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name
-        FROM documents
+        FROM documents WHERE doc_id < 100000
     """,
     "source_paged_harvest": """
         SELECT '10.99/' || CAST(doc_id AS VARCHAR) AS doi,
                doc_id,
                CASE WHEN doc_id % 7 = 0 THEN 'json' ELSE 'jats' END AS fmt,
                doc_id % 7 = 0 AS used_fallback
-        FROM documents
+        FROM documents WHERE doc_id < 100000
     """,
     "filter_harvest_predicate": """
         SELECT doc_id,
@@ -1625,17 +1640,18 @@ ORACLE_SQL.update({
     "source_tar_expand": """
         SELECT source AS package_id,
                'doc_' || CAST(doc_id AS VARCHAR) || '.xml' AS member_name
-        FROM documents
+        FROM documents WHERE doc_id < 100000
     """,
     "source_xml_feed_expand": """
         SELECT source AS feed_id, doc_id FROM documents
+        WHERE doc_id < 100000
     """,
     "source_sitemap_expand": """
         WITH r AS (
             SELECT source, doc_id,
                    row_number() OVER (PARTITION BY source
                                       ORDER BY doc_id) - 1 AS rn
-            FROM documents)
+            FROM documents WHERE doc_id < 100000)
         SELECT source,
                CAST(rn // 5 AS BIGINT) AS sitemap_id,
                doc_id,
@@ -1646,6 +1662,7 @@ ORACLE_SQL.update({
     """,
     "source_jsonl_expand": """
         SELECT source, doc_id, lang FROM documents
+        WHERE doc_id < 100000
     """,
 })
 
@@ -2764,16 +2781,22 @@ def q_table_profile_orders(sf_dir: str):
             out_c.extend([c] * len(hu))
             out_h.extend(hu.tolist())
             out_b.extend((hu % n_buckets).tolist())
+        # n_rows / n_nulls ride as SEPARATE int64 columns (never packed
+        # into one word: a single batch with >=1M nulls in a column
+        # would silently corrupt a packed encoding at 100TB block sizes)
         vals = pa.table({
             "kind": pa.array(["v"] * len(out_c), pa.string()),
             "col": pa.array(out_c, pa.string()),
             "h": pa.array(out_h, pa.int64()),
+            "nr": pa.array([0] * len(out_c), pa.int64()),
+            "nn": pa.array([0] * len(out_c), pa.int64()),
             "_bucket": pa.array(out_b, pa.int64())})
         meta = pa.table({
             "kind": pa.array(["m"] * len(meta_c), pa.string()),
             "col": pa.array(meta_c, pa.string()),
-            "h": pa.array([int(n) * 1_000_000 + nn for n, nn in
-                           zip(meta_n, meta_nulls)], pa.int64()),
+            "h": pa.array([0] * len(meta_c), pa.int64()),
+            "nr": pa.array([int(n) for n in meta_n], pa.int64()),
+            "nn": pa.array([int(nn) for nn in meta_nulls], pa.int64()),
             "_bucket": pa.array([int(0)] * len(meta_c), pa.int64())})
         return pa.concat_tables([vals, meta])
 
@@ -2786,8 +2809,8 @@ def q_table_profile_orders(sf_dir: str):
         if len(m):
             mm = pd.DataFrame({
                 "col": m["col"],
-                "n_rows": m["h"] // 1_000_000,
-                "n_nulls": m["h"] % 1_000_000})
+                "n_rows": m["nr"],
+                "n_nulls": m["nn"]})
             mm = mm.groupby("col", as_index=False).sum()
         else:
             mm = pd.DataFrame({"col": pd.Series([], dtype=str),
@@ -13097,11 +13120,14 @@ def q_key_skew_audit(sf_dir: str):
              .map_groups(count_hist, batch_format="pandas"),
              ["v", "c"])
     if len(p) == 0:
+        # int64 sentinel (-1) so BOTH paths share one schema — the
+        # oracle COALESCEs its NULL division results to the same
+        # sentinel on the empty-events edge
         return pd.DataFrame({
             "n_keys": pd.array([0], dtype="int64"),
             "n_rows": pd.array([0], dtype="int64"),
-            "gini_milli": pd.array([np.nan], dtype="float64"),
-            "top_share_milli": pd.array([np.nan], dtype="float64")})
+            "gini_milli": pd.array([-1], dtype="int64"),
+            "top_share_milli": pd.array([-1], dtype="int64")})
     h = p.groupby("v", as_index=False)["c"].sum().sort_values("v")
     c = h["c"].to_numpy(dtype=np.int64)
     v = h["v"].to_numpy(dtype=np.int64)
@@ -13238,9 +13264,11 @@ ORACLE_SQL.update({
             FROM w)
         SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_keys,
                CAST(coalesce(S, 0) AS BIGINT) AS n_rows,
-               CAST(1000 * (num - (n + 1) * S) // (n * S) AS BIGINT)
+               CAST(coalesce(
+                   1000 * (num - (n + 1) * S) // (n * S), -1) AS BIGINT)
                    AS gini_milli,
-               CAST(1000 * mx // S AS BIGINT) AS top_share_milli
+               CAST(coalesce(1000 * mx // S, -1) AS BIGINT)
+                   AS top_share_milli
         FROM t
     """,
 })
@@ -13683,7 +13711,12 @@ def q_source_robust_read(sf_dir: str):
 
         ds, quarantine = read_parquet_robust(paths,
                                              columns=["doc_id", "lang"])
-        assert quarantine.num_rows == 1  # exactly the truncated shard
+        if quarantine.num_rows != 1:  # exactly the truncated shard
+            # typed error, not a bare assert: survives python -O and a
+            # probe regression fails loudly instead of AssertionError
+            raise RuntimeError(
+                f"robust read quarantined {quarantine.num_rows} shards, "
+                f"expected exactly 1 (the truncated probe)")
         got = ds.to_pandas() if ds is not None else None
     if got is None or got.shape[1] == 0:
         # all-empty healthy shards: Ray read_parquet yields zero
