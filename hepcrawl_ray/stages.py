@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from hepcrawl_ray import codecs, urlkit
-from hepcrawl_ray.caption import parse_caption
+from hepcrawl_ray.caption import parse_caption_batch
 from hepcrawl_ray.synth import GOLDEN_SCHEMA
 
 FETCH_ERROR_NOT_FOUND = "fetch failed: image not found"
@@ -285,18 +285,27 @@ class ParseStage:
         self.drop_bytes = drop_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        captions = batch.column("caption").to_pylist()
-        fetch_err = batch.column("fetch_error").to_pylist()
-        records = []
-        for cap, ferr in zip(captions, fetch_err):
-            if ferr is not None:
-                records.append({k: None if k not in ("authors", "collaborations", "dois")
-                                else [] for k in RECORD_FIELDS} | {"error": ferr})
-            else:
-                records.append(parse_caption(cap))
+        import pyarrow.compute as pc
 
-        verify_ok = np.ones(len(captions), dtype=bool)
-        phash_decoded = np.zeros(len(captions), dtype=np.int64)
+        # fetch-error rows blank their caption: the batch parser then
+        # emits exactly the EMPTY_RECORD shape, and the fetch error
+        # string overrides the malformed-caption error below — no
+        # per-row Python for the happy path (vectorized RE2 parse,
+        # parity pinned by tests/test_caption_batch.py)
+        fetch_err_col = batch.column("fetch_error")
+        has_ferr = pc.is_valid(fetch_err_col.combine_chunks()
+                               if isinstance(fetch_err_col,
+                                             pa.ChunkedArray)
+                               else fetch_err_col)
+        caps = pc.if_else(has_ferr, pa.scalar("", pa.string()),
+                          pc.fill_null(batch.column("caption"), ""))
+        parsed = parse_caption_batch(caps)
+        parsed["error"] = pc.if_else(has_ferr, fetch_err_col,
+                                     parsed["error"])
+        n_rows = batch.num_rows
+
+        verify_ok = np.ones(n_rows, dtype=bool)
+        phash_decoded = np.zeros(n_rows, dtype=np.int64)
         if self.verify_pixels:
             blobs = batch.column("bytes").to_pylist()
             fmts = batch.column("fmt").to_pylist()
@@ -329,12 +338,8 @@ class ParseStage:
         # multi-KB blobs through every later stage would double the
         # object-store traffic for no reader
         out = batch.drop_columns(["bytes"]) if self.drop_bytes else batch
-        for name, typ in zip(
-            RECORD_FIELDS + ("error",),
-            [GOLDEN_SCHEMA.field(f).type for f in RECORD_FIELDS] + [pa.string()],
-        ):
-            vals = [r.get(name) for r in records]
-            out = out.append_column(name, pa.array(vals, type=typ))
+        for name in RECORD_FIELDS + ("error",):
+            out = out.append_column(name, parsed[name])
         out = out.append_column("pixels_verified", pa.array(verify_ok))
         out = out.append_column("phash_decoded", pa.array(phash_decoded))
         return out
