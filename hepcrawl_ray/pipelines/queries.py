@@ -3425,6 +3425,71 @@ ORACLE_SQL.update({
 # publication_info shaping, collection dispatch, documents patch join)
 # ---------------------------------------------------------------------------
 
+_HEP_FIXTURE_SRCS = ("arXiv", "Elsevier", "Springer", "WSP")
+
+
+def _hep_fixture_record(d: int) -> dict:
+    """One deterministic wide hepcrawl item for doc_id ``d``, run
+    through the full tohep chain (documents patch -> normalize ->
+    builder).  Shared by the to_hep_normalize / to_hep_validate
+    queries so their oracles mirror ONE fixture."""
+    from hepcrawl_ray.tohep import (
+        get_updated_documents,
+        hepcrawl_to_hep,
+        normalize_hepcrawl_record,
+    )
+
+    source = _HEP_FIXTURE_SRCS[d % 4]
+    item = {
+        "title": f"T {d}",
+        "subtitle": f"Sub {d}" if d % 2 == 1 else "",
+        "abstract": f"Abs {d}",
+        "date_published": f"{2000 + d % 25}-{d % 12 + 1:02d}-15",
+        "copyright_holder": f"Holder {d % 4}",
+        "copyright_year": 2000 + d % 25,
+        "copyright_statement": "stmt",
+        "copyright_material": "publication",
+        "page_nr": [str(d % 40 + 1)] if d % 6 != 0 else ["n/a"],
+        "authors": [{"full_name": f"Auth, {d}",
+                     "affiliations": [{"value": f"Inst {d % 3}"},
+                                      {"value": ""}]}],
+        "dois": [{"value": f"10.7/{d}",
+                  "material": "publication"}],
+        "collections": [{"primary": "HEP"}],
+        "acquisition_source": {
+            "method": "hepcrawl",
+            "datetime": "2024-03-01T00:00:00",
+            "source": source,
+            "submission_number": f"s{d}"},
+        "documents": [{"url": f"http://pub.org/f/doc_{d}.pdf",
+                       "old_url": f"http://pub.org/f/doc_{d}.pdf",
+                       "key": f"doc_{d}.pdf"}],
+    }
+    if d % 2 == 0:
+        item["collections"].append({"primary": "Citeable"})
+    if d % 3 == 0:
+        item["collections"].append({"primary": "Published"})
+    if d % 5 == 0:
+        item["collections"].append({"primary": "ConferencePaper"})
+    if d % 7 == 0:
+        item["collections"].append({"primary": "Thesis"})
+    if d % 3 != 0:
+        item.update({
+            "journal_title": f"J{d % 5}",
+            "journal_volume": str(d % 50 + 1),
+            "journal_fpage": str(d % 90 + 1),
+            "journal_lpage": str(d % 90 + 9),
+            "journal_year": 1990 + d % 30,
+        })
+    record_files = ([{"name": f"doc_{d}.pdf",
+                      "path": f"/store/{d % 16}/doc_{d}.pdf"}]
+                    if d % 2 == 0 else
+                    [{"name": "other.pdf", "path": "/store/x"}])
+    item["documents"] = get_updated_documents(
+        item["documents"], record_files)
+    return hepcrawl_to_hep(normalize_hepcrawl_record(item, source))
+
+
 def q_to_hep_normalize(sf_dir: str):
     """The tohep normalization surface (reference:
     hepcrawl/tohep.py:38-357): one deterministic wide hepcrawl item
@@ -3433,14 +3498,6 @@ def q_to_hep_normalize(sf_dir: str):
     ids.  Exercises the publication-info presence predicate, the
     collection -> flag/doctype dispatch, page_nr int coercion, and
     the basename file join."""
-    from hepcrawl_ray.tohep import (
-        get_updated_documents,
-        hepcrawl_to_hep,
-        normalize_hepcrawl_record,
-    )
-
-    srcs = ("arXiv", "Elsevier", "Springer", "WSP")
-
     def gen_and_normalize(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         cols = {k: [] for k in (
@@ -3449,55 +3506,7 @@ def q_to_hep_normalize(sf_dir: str):
             "citeable", "refereed", "doc_type_first", "n_doc_types",
             "submission_number", "doc_url", "copyright_holder")}
         for d in ids:
-            source = srcs[d % 4]
-            item = {
-                "title": f"T {d}",
-                "subtitle": f"Sub {d}" if d % 2 == 1 else "",
-                "abstract": f"Abs {d}",
-                "date_published": f"{2000 + d % 25}-{d % 12 + 1:02d}-15",
-                "copyright_holder": f"Holder {d % 4}",
-                "copyright_year": 2000 + d % 25,
-                "copyright_statement": "stmt",
-                "copyright_material": "publication",
-                "page_nr": [str(d % 40 + 1)] if d % 6 != 0 else ["n/a"],
-                "authors": [{"full_name": f"Auth, {d}",
-                             "affiliations": [{"value": f"Inst {d % 3}"},
-                                              {"value": ""}]}],
-                "dois": [{"value": f"10.7/{d}",
-                          "material": "publication"}],
-                "collections": [{"primary": "HEP"}],
-                "acquisition_source": {
-                    "method": "hepcrawl",
-                    "datetime": "2024-03-01T00:00:00",
-                    "source": source,
-                    "submission_number": f"s{d}"},
-                "documents": [{"url": f"http://pub.org/f/doc_{d}.pdf",
-                               "old_url": f"http://pub.org/f/doc_{d}.pdf",
-                               "key": f"doc_{d}.pdf"}],
-            }
-            if d % 2 == 0:
-                item["collections"].append({"primary": "Citeable"})
-            if d % 3 == 0:
-                item["collections"].append({"primary": "Published"})
-            if d % 5 == 0:
-                item["collections"].append({"primary": "ConferencePaper"})
-            if d % 7 == 0:
-                item["collections"].append({"primary": "Thesis"})
-            if d % 3 != 0:
-                item.update({
-                    "journal_title": f"J{d % 5}",
-                    "journal_volume": str(d % 50 + 1),
-                    "journal_fpage": str(d % 90 + 1),
-                    "journal_lpage": str(d % 90 + 9),
-                    "journal_year": 1990 + d % 30,
-                })
-            record_files = ([{"name": f"doc_{d}.pdf",
-                              "path": f"/store/{d % 16}/doc_{d}.pdf"}]
-                            if d % 2 == 0 else
-                            [{"name": "other.pdf", "path": "/store/x"}])
-            item["documents"] = get_updated_documents(
-                item["documents"], record_files)
-            rec = hepcrawl_to_hep(normalize_hepcrawl_record(item, source))
+            rec = _hep_fixture_record(d)
             pub = rec.get("publication_info", [{}])[0]
             cols["title"].append(rec["titles"][0]["title"])
             cols["subtitle"].append(rec["titles"][0]["subtitle"] or None)
@@ -3526,7 +3535,47 @@ def q_to_hep_normalize(sf_dir: str):
             .map_batches(gen_and_normalize, batch_format="pyarrow"))
 
 
-QUERIES.update({"to_hep_normalize": q_to_hep_normalize})
+def q_to_hep_validate(sf_dir: str):
+    """Schema validation at the hep boundary (reference posture:
+    LiteratureBuilder.validate(), hepcrawl/tohep.py:170-357): each
+    fixture record is deterministically corrupted by doc_id modulus
+    (blank title %11, bad DOI %13, non-ISO imprint date %17, negative
+    page count %19, unknown document_type %23) and run through
+    tohep.validate_hep_record — validation failures become ERROR ROWS
+    (n_errors + first_error), never exceptions, so a 100 TB run
+    quarantines bad records instead of dying."""
+    from hepcrawl_ray.tohep import validate_hep_record
+
+    def gen_validate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        n_errs, firsts = [], []
+        for d in ids:
+            rec = _hep_fixture_record(d)
+            if d % 11 == 0:
+                rec["titles"][0]["title"] = "  "
+            if d % 13 == 0:
+                rec["dois"][0]["value"] = f"bad-{d}"
+            if d % 17 == 0:
+                rec["imprints"][0]["date"] = "15/13/2020"
+            if d % 19 == 0:
+                rec["number_of_pages"] = -5
+            if d % 23 == 0:
+                rec["document_type"] = ["fanfic"]
+            errors = validate_hep_record(rec)
+            n_errs.append(len(errors))
+            firsts.append(errors[0] if errors else None)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "is_valid": pa.array([e == 0 for e in n_errs], pa.bool_()),
+            "n_errors": pa.array(n_errs, pa.int64()),
+            "first_error": pa.array(firsts, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(gen_validate, batch_format="pyarrow"))
+
+
+QUERIES.update({"to_hep_normalize": q_to_hep_normalize,
+                "to_hep_validate": q_to_hep_validate})
 
 ORACLE_SQL.update({
     "to_hep_normalize": """
@@ -3566,6 +3615,34 @@ ORACLE_SQL.update({
                          || '.pdf' END AS doc_url,
                'Holder ' || CAST(doc_id % 4 AS VARCHAR) AS copyright_holder
         FROM documents
+    """,
+    "to_hep_validate": """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(doc_id % 11 = 0 AS INT) AS e_title,
+                   CAST(doc_id % 23 = 0 AS INT) AS e_dt,
+                   CAST(doc_id % 13 = 0 AS INT) AS e_doi,
+                   CAST(doc_id % 17 = 0 AS INT) AS e_date,
+                   CAST(doc_id % 19 = 0 AS INT) AS e_pages
+            FROM documents)
+        SELECT doc_id,
+               (e_title + e_dt + e_doi + e_date + e_pages) = 0
+                   AS is_valid,
+               CAST(e_title + e_dt + e_doi + e_date + e_pages AS BIGINT)
+                   AS n_errors,
+               CASE WHEN e_title = 1 THEN 'titles[0].title: empty'
+                    WHEN e_dt = 1
+                        THEN 'document_type[0]: unknown value ''fanfic'''
+                    WHEN e_doi = 1
+                        THEN 'dois[0].value: not a DOI: ''bad-'
+                             || CAST(doc_id AS VARCHAR) || ''''
+                    WHEN e_date = 1
+                        THEN 'imprints[0].date: not an ISO date: '
+                             || '''15/13/2020'''
+                    WHEN e_pages = 1
+                        THEN 'number_of_pages: not a positive int: -5'
+                    ELSE NULL END AS first_error
+        FROM f
     """,
 })
 

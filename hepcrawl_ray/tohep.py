@@ -280,3 +280,115 @@ def hepcrawl_to_hep(crawler_record: dict) -> dict:
         rec["documents"] = documents
 
     return rec
+
+
+# ---------------------------------------------------------------------------
+# lightweight hep-record validation (the LiteratureBuilder.validate
+# boundary — reference: hepcrawl/tohep.py:170-357 delegates to
+# inspire_schemas; here: required-fields / type / enum checks with no
+# schema dependency, emitting error STRINGS so callers produce error
+# ROWS, never exceptions)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# document_type enum of the hep literature schema (the values the
+# builder dispatch above can emit, plus the schema's remaining members)
+VALID_DOCUMENT_TYPES = frozenset({
+    "article", "activity report", "book", "book chapter",
+    "conference paper", "note", "proceedings", "report", "thesis",
+})
+
+_DOI_RE = _re.compile(r"^10\.\d+(\.\d+)*/.+$")
+_ISO_DATE_RE = _re.compile(r"^(\d{4})(?:-(\d{2})(?:-(\d{2}))?)?$")
+
+
+def _valid_iso_partial(value) -> bool:
+    """ISO date at year/month/day precision with real calendar bounds."""
+    if not isinstance(value, str):
+        return False
+    m = _ISO_DATE_RE.match(value)
+    if not m:
+        return False
+    y, mo, d = m.group(1), m.group(2), m.group(3)
+    if mo is None:
+        return True
+    if not 1 <= int(mo) <= 12:
+        return False
+    if d is None:
+        return True
+    from datetime import datetime
+
+    try:
+        datetime(int(y), int(mo), int(d))
+        return True
+    except ValueError:
+        return False
+
+
+def validate_hep_record(rec: dict) -> list[str]:
+    """Validate an assembled hep record; returns error strings (empty
+    list == valid).
+
+    Mirrors the required/type/enum surface the reference enforces via
+    ``LiteratureBuilder.validate()`` without the inspire_schemas
+    dependency: required titles / document_type / acquisition_source,
+    DOI syntax, ISO imprint dates, positive page counts, non-empty
+    author names, sane publication years.  Check ORDER is part of the
+    contract (the oracled query pins first_error).
+    """
+    errors: list[str] = []
+
+    titles = rec.get("titles") or []
+    if not titles:
+        errors.append("titles: required and non-empty")
+    else:
+        for i, t in enumerate(titles):
+            v = t.get("title")
+            if not (isinstance(v, str) and v.strip()):
+                errors.append(f"titles[{i}].title: empty")
+
+    doc_types = rec.get("document_type") or []
+    if not doc_types:
+        errors.append("document_type: required and non-empty")
+    for i, dt in enumerate(doc_types):
+        if dt not in VALID_DOCUMENT_TYPES:
+            errors.append(f"document_type[{i}]: unknown value {dt!r}")
+
+    acq = rec.get("acquisition_source")
+    if not isinstance(acq, dict):
+        errors.append("acquisition_source: required")
+    else:
+        for k in ("method", "datetime", "source", "submission_number"):
+            if not acq.get(k):
+                errors.append(f"acquisition_source.{k}: required")
+
+    for i, d in enumerate(rec.get("dois") or []):
+        v = d.get("value")
+        if not (isinstance(v, str) and _DOI_RE.match(v)):
+            errors.append(f"dois[{i}].value: not a DOI: {v!r}")
+
+    for i, im in enumerate(rec.get("imprints") or []):
+        if not _valid_iso_partial(im.get("date")):
+            errors.append(
+                f"imprints[{i}].date: not an ISO date: {im.get('date')!r}")
+
+    pages = rec.get("number_of_pages")
+    if pages is not None and (not isinstance(pages, int)
+                              or isinstance(pages, bool) or pages <= 0):
+        errors.append(f"number_of_pages: not a positive int: {pages!r}")
+
+    for i, a in enumerate(rec.get("authors") or []):
+        v = a.get("full_name")
+        if not (isinstance(v, str) and v.strip()):
+            errors.append(f"authors[{i}].full_name: empty")
+
+    for i, p in enumerate(rec.get("publication_info") or []):
+        y = p.get("year")
+        if y is not None and (not isinstance(y, int)
+                              or isinstance(y, bool)
+                              or not 1000 <= y <= 2100):
+            errors.append(
+                f"publication_info[{i}].year: out of range: {y!r}")
+
+    return errors

@@ -139,3 +139,103 @@ class TestDocumentsPatch:
         out = get_updated_documents(
             docs, [{"name": "a.pdf", "path": "/p/a.pdf"}])
         assert out[0]["key"] == "mykey"
+
+
+# ---------------------------------------------------------------------------
+# validate_hep_record (the LiteratureBuilder.validate boundary)
+# ---------------------------------------------------------------------------
+
+def _valid_rec():
+    return {
+        "titles": [{"title": "A title", "subtitle": "", "source": "s"}],
+        "document_type": ["article"],
+        "acquisition_source": {"method": "hepcrawl",
+                               "datetime": "2024-03-01T00:00:00",
+                               "source": "arXiv",
+                               "submission_number": "s1"},
+        "dois": [{"value": "10.1234/abc.5", "material": "publication"}],
+        "imprints": [{"date": "2021-03-15"}],
+        "number_of_pages": 12,
+        "authors": [{"full_name": "Name, G.", "raw_affiliations": []}],
+        "publication_info": [{"year": 2021}],
+    }
+
+
+def test_validate_valid_record():
+    from hepcrawl_ray.tohep import validate_hep_record
+
+    assert validate_hep_record(_valid_rec()) == []
+
+
+def test_validate_each_planted_failure():
+    from hepcrawl_ray.tohep import validate_hep_record
+
+    cases = [
+        (lambda r: r.__setitem__("titles", []),
+         "titles: required and non-empty"),
+        (lambda r: r["titles"][0].__setitem__("title", "  "),
+         "titles[0].title: empty"),
+        (lambda r: r.__setitem__("document_type", []),
+         "document_type: required and non-empty"),
+        (lambda r: r.__setitem__("document_type", ["fanfic"]),
+         "document_type[0]: unknown value 'fanfic'"),
+        (lambda r: r.pop("acquisition_source"),
+         "acquisition_source: required"),
+        (lambda r: r["acquisition_source"].__setitem__("method", ""),
+         "acquisition_source.method: required"),
+        (lambda r: r["dois"][0].__setitem__("value", "not-a-doi"),
+         "dois[0].value: not a DOI: 'not-a-doi'"),
+        (lambda r: r["imprints"][0].__setitem__("date", "15/13/2020"),
+         "imprints[0].date: not an ISO date: '15/13/2020'"),
+        (lambda r: r["imprints"][0].__setitem__("date", "2021-13"),
+         "imprints[0].date: not an ISO date: '2021-13'"),
+        (lambda r: r["imprints"][0].__setitem__("date", "2021-02-30"),
+         "imprints[0].date: not an ISO date: '2021-02-30'"),
+        (lambda r: r.__setitem__("number_of_pages", -5),
+         "number_of_pages: not a positive int: -5"),
+        (lambda r: r.__setitem__("number_of_pages", True),
+         "number_of_pages: not a positive int: True"),
+        (lambda r: r["authors"][0].__setitem__("full_name", ""),
+         "authors[0].full_name: empty"),
+        (lambda r: r["publication_info"][0].__setitem__("year", 99),
+         "publication_info[0].year: out of range: 99"),
+    ]
+    for corrupt, want in cases:
+        rec = _valid_rec()
+        corrupt(rec)
+        errs = validate_hep_record(rec)
+        assert errs == [want], f"{want}: got {errs}"
+
+
+def test_validate_partial_dates_and_minimal_record():
+    from hepcrawl_ray.tohep import validate_hep_record
+
+    for good in ("2021", "2021-03", "1890-02-28"):
+        rec = _valid_rec()
+        rec["imprints"][0]["date"] = good
+        assert validate_hep_record(rec) == [], good
+    # minimal record: only the three required groups
+    rec = {"titles": [{"title": "t"}], "document_type": ["thesis"],
+           "acquisition_source": {"method": "m", "datetime": "d",
+                                  "source": "s", "submission_number": "1"}}
+    assert validate_hep_record(rec) == []
+
+
+def test_validate_error_order_is_pinned():
+    """first_error ordering is part of the oracle contract."""
+    from hepcrawl_ray.tohep import validate_hep_record
+
+    rec = _valid_rec()
+    rec["titles"][0]["title"] = ""
+    rec["document_type"] = ["fanfic"]
+    rec["dois"][0]["value"] = "bad"
+    rec["imprints"][0]["date"] = "x"
+    rec["number_of_pages"] = 0
+    errs = validate_hep_record(rec)
+    assert errs == [
+        "titles[0].title: empty",
+        "document_type[0]: unknown value 'fanfic'",
+        "dois[0].value: not a DOI: 'bad'",
+        "imprints[0].date: not an ISO date: 'x'",
+        "number_of_pages: not a positive int: 0",
+    ]
