@@ -14195,6 +14195,108 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# concrete Source definitions end-to-end (§2.11 extension surface:
+# sources/definitions.py — WSP / DESY / arXiv, each a seed fn + stage
+# chain + identifier fn through ONE generic runner)
+# ---------------------------------------------------------------------------
+
+def q_source_wsp_harvest(sf_dir: str):
+    """WSP source end-to-end (reference: wsp_spider.py:34-248): zip
+    listing -> unzip XML members -> JATS parse -> article-type
+    allowlist.  Survivors are exactly doc_id % 5 in (0,1,2)."""
+    from hepcrawl_ray.sources.definitions import run_source, wsp_source
+
+    return run_source(wsp_source(), sf_dir).select_columns(
+        ["package_id", "member_name", "article_type", "title",
+         "record_id"])
+
+
+def q_source_desy_harvest(sf_dir: str):
+    """DESY source end-to-end (reference: desy_spider.py:185-245):
+    JSONL files -> per-line hep records; every 7th line is corrupt and
+    becomes an error ROW (has_error) with null record fields."""
+    from hepcrawl_ray.sources.definitions import desy_source, run_source
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "file_id": t.column("file_id"),
+            "doc_id": t.column("doc_id"),
+            "title": t.column("title"),
+            "lang": t.column("lang"),
+            "has_error": pc.is_valid(t.column("error")),
+            "record_id": t.column("record_id")})
+
+    return run_source(desy_source(), sf_dir).map_batches(
+        shape, batch_format="pyarrow")
+
+
+def q_source_arxiv_harvest(sf_dir: str):
+    """arXiv source end-to-end (reference: arxiv_spider.py:23-106 +
+    oaipmh_spider.py:121-152): resumption-link paged harvest -> record
+    parse -> category normalization + comments-keyed doctype/pages."""
+    from hepcrawl_ray.sources.definitions import arxiv_source, run_source
+
+    return run_source(arxiv_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "arxiv_eprint", "primary_category",
+         "document_type", "number_of_pages", "title", "record_id"])
+
+
+QUERIES.update({"source_wsp_harvest": q_source_wsp_harvest,
+                "source_desy_harvest": q_source_desy_harvest,
+                "source_arxiv_harvest": q_source_arxiv_harvest})
+
+ORACLE_SQL.update({
+    "source_wsp_harvest": """
+        SELECT source AS package_id,
+               'doc_' || CAST(doc_id AS VARCHAR) || '.xml' AS member_name,
+               CASE doc_id % 5 WHEN 0 THEN 'research-article'
+                               WHEN 1 THEN 'letter'
+                               ELSE 'review-article' END AS article_type,
+               'WSP ' || CAST(doc_id AS VARCHAR) AS title,
+               '10.142/wsp.' || CAST(doc_id AS VARCHAR) AS record_id
+        FROM documents
+        WHERE doc_id < 100000 AND doc_id % 5 IN (0, 1, 2)
+    """,
+    "source_desy_harvest": """
+        SELECT source AS file_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE doc_id END AS doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE 'DESY ' || CAST(doc_id AS VARCHAR) END AS title,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+               doc_id % 7 = 0 AS has_error,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE 'desy:' || CAST(doc_id AS VARCHAR)
+               END AS record_id
+        FROM documents WHERE doc_id < 100000
+    """,
+    "source_arxiv_harvest": """
+        WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS rn
+            FROM documents WHERE doc_id < 100000)
+        SELECT 'p' || CAST(rn // 50 AS VARCHAR) AS package_id,
+               doc_id,
+               '2401.' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+                   AS arxiv_eprint,
+               CASE doc_id % 4 WHEN 0 THEN 'hep-ex' WHEN 1 THEN 'hep-th'
+                               WHEN 2 THEN 'math.GT'
+                               ELSE 'astro-ph.CO' END AS primary_category,
+               CASE WHEN doc_id % 10 = 0 THEN 'thesis'
+                    WHEN doc_id % 10 = 5 THEN 'conference paper'
+                    ELSE 'article' END AS document_type,
+               CASE WHEN doc_id % 10 = 0 THEN 120
+                    WHEN doc_id % 10 = 5 THEN NULL
+                    ELSE doc_id % 40 + 1 END AS number_of_pages,
+               'ArXiv ' || CAST(doc_id AS VARCHAR) AS title,
+               '2401.' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+                   AS record_id
+        FROM r
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 
