@@ -53,6 +53,18 @@ class Join:
         return self.sep.join(str(v) for v in values)
 
 
+class ClassificationNumbers:
+    """["11.30.Er"] -> [{"standard": "PACS", "classification_number":
+    "11.30.Er"}] (reference: hepcrawl/outputs.py:30-44)."""
+
+    def __init__(self, standard: str = "PACS"):
+        self.standard = standard
+
+    def __call__(self, values):
+        return [{"standard": self.standard, "classification_number": v}
+                for v in values if v is not None]
+
+
 def list_to_value_dict(values, key: str = "value"):
     """["a","b"] -> [{"value": "a"}, {"value": "b"}]
     (reference: hepcrawl/outputs.py:42-59 ListToValueDict)."""

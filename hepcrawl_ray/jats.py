@@ -295,7 +295,24 @@ class JatsRecordParser:
                 out.append(el.text.strip())
         return out
 
+    @property
+    def keywords(self) -> tuple[list[str], list[str]]:
+        """(free_keywords, classification_numbers) from kwd-groups: a
+        group typed "pacs" holds classification numbers, every other
+        group holds free keywords (reference:
+        hepcrawl/extractors/jats.py:58-69)."""
+        free, pacs = [], []
+        for group in self.root.iter("kwd-group"):
+            target = pacs if (group.get("kwd-group-type") or "") \
+                .lower() == "pacs" else free
+            for kwd in group.iter("kwd"):
+                t = _node_text(kwd)
+                if t:
+                    target.append(t)
+        return free, pacs
+
     def parse(self) -> dict:
+        free_keywords, classification_numbers = self.keywords
         return {
             "title": self.title,
             "abstract": self.abstract,
@@ -304,6 +321,8 @@ class JatsRecordParser:
             "dois": self.dois,
             "date_published": self.publication_date,
             "references": self.references,
+            "free_keywords": free_keywords,
+            "classification_numbers": classification_numbers,
             "error": None,
         }
 
@@ -316,4 +335,6 @@ def parse_jats(xml_str: str) -> dict:
     except ET.ParseError as exc:
         return {"title": None, "abstract": None, "authors": [],
                 "collaborations": [], "dois": [], "date_published": None,
-                "references": [], "error": f"bad jats record: {exc}"}
+                "references": [], "free_keywords": [],
+                "classification_numbers": [],
+                "error": f"bad jats record: {exc}"}

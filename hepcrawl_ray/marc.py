@@ -117,6 +117,12 @@ def marcxml_to_record(xml_str: str) -> dict:
         "document_type": doc_type,
         "license": rec.first("540", "a"),
         "urls": rec.values("856", "u", ind1="4"),
+        # envelope fields (reference: hindawi_spider.py:181-234 —
+        # page_nr from 300$a, publisher source from 260$b, raw
+        # collection names from 980$a)
+        "page_nr": rec.values("300", "a"),
+        "source": rec.first("260", "b"),
+        "collections": rec.values("980", "a"),
         "error": None,
     }
 

@@ -59,6 +59,20 @@ def get_collections(doctype: str | None) -> list[str]:
     return collections
 
 
+def get_keywords(root) -> list[str]:
+    """Free keywords from the IOP object list (reference:
+    iop_spider.py:200-203 — ObjectList/Object[@Type='keyword']/
+    Param[@Name='value'])."""
+    out = []
+    for obj in root.findall(".//ObjectList/Object"):
+        if (obj.get("Type") or "").lower() != "keyword":
+            continue
+        for param in obj.findall("Param"):
+            if param.get("Name") == "value" and param.text:
+                out.append(param.text.strip())
+    return out
+
+
 def get_dois(root) -> list[str]:
     dois = [e.text for e in root.findall(
         ".//ArticleIdList/ArticleId[@IdType='doi']") if e.text]
@@ -120,7 +134,7 @@ def parse_nlm(xml_str: str) -> dict:
         return {"title": None, "authors": [], "dois": [],
                 "date_published": "", "pub_status": None, "doctype": None,
                 "collections": [], "fpage": None, "lpage": None,
-                "page_nr": "", "dropped": False,
+                "page_nr": "", "free_keywords": [], "dropped": False,
                 "error": f"bad nlm record: {exc}"}
     doctype = get_doctype(root)
     status = get_pub_status(root)
@@ -134,6 +148,7 @@ def parse_nlm(xml_str: str) -> dict:
         "doctype": doctype,
         "collections": get_collections(doctype),
         "fpage": fpage, "lpage": lpage, "page_nr": page_nr,
+        "free_keywords": get_keywords(root),
         "dropped": should_drop(status),
         "error": None,
     }

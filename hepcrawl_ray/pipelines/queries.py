@@ -14242,9 +14242,107 @@ def q_source_arxiv_harvest(sf_dir: str):
          "document_type", "number_of_pages", "title", "record_id"])
 
 
+def q_parser_envelope_fields(sf_dir: str):
+    """HEPRecord envelope-field surface across four parsers
+    (reference: items.py:117-311 — page_nr, collections,
+    free_keywords, classification_numbers, external_system_numbers,
+    thesis struct): per doc_id one MARCXML (hindawi-style 300$a/260$b/
+    980$a), one JATS kwd-group pair (free + pacs), one NLM keyword
+    object list, one PoS pex-dc (identifier + language), and a thesis
+    item through the tohep builder."""
+    from hepcrawl_ray.jats import JatsRecordParser
+    from hepcrawl_ray.marc import marcxml_to_record
+    from hepcrawl_ray.nlm import get_keywords as nlm_keywords
+    from hepcrawl_ray.pos import build_conference_paper_item
+    from hepcrawl_ray.tohep import hepcrawl_to_hep
+    import xml.etree.ElementTree as ET
+
+    def extract(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        cols = {k: [] for k in (
+            "marc_page_nr", "marc_source", "marc_collections",
+            "jats_free_kw", "jats_pacs", "nlm_kw", "pos_ext_value",
+            "pos_language", "thesis_degree", "thesis_institution",
+            "keywords_n")}
+        for d in ids:
+            marc = (
+                '<record xmlns="http://www.loc.gov/MARC21/slim">'
+                '<controlfield tag="001">m%d</controlfield>'
+                '<datafield tag="245" ind1=" " ind2=" ">'
+                '<subfield code="a">T %d</subfield></datafield>'
+                '<datafield tag="300" ind1=" " ind2=" ">'
+                '<subfield code="a">%d p</subfield></datafield>'
+                '<datafield tag="260" ind1=" " ind2=" ">'
+                '<subfield code="b">Pub%d</subfield></datafield>'
+                '<datafield tag="980" ind1=" " ind2=" ">'
+                '<subfield code="a">HEP</subfield></datafield>'
+                '</record>' % (d, d, d % 40 + 1, d % 3))
+            m = marcxml_to_record(marc)
+            cols["marc_page_nr"].append(m["page_nr"][0])
+            cols["marc_source"].append(m["source"])
+            cols["marc_collections"].append(",".join(m["collections"]))
+
+            jats = (
+                '<article><front><article-meta>'
+                '<kwd-group><kwd>kw%d</kwd><kwd>kw%d</kwd></kwd-group>'
+                '<kwd-group kwd-group-type="pacs">'
+                '<kwd>11.%d.Er</kwd></kwd-group>'
+                '</article-meta></front></article>'
+                % (d % 7, (d + 1) % 7, d % 30))
+            free, pacs = JatsRecordParser(jats).keywords
+            cols["jats_free_kw"].append(";".join(free))
+            cols["jats_pacs"].append(";".join(pacs))
+
+            nlm = ('<Article><ObjectList><Object Type="keyword">'
+                   '<Param Name="value">nk%d</Param></Object>'
+                   '<Object Type="other"><Param Name="value">x</Param>'
+                   '</Object></ObjectList></Article>' % (d % 5))
+            cols["nlm_kw"].append(";".join(nlm_keywords(
+                ET.fromstring(nlm))))
+
+            lang = "it" if d % 4 == 0 else "en"
+            pex = ('<record><metadata><pex-dc>'
+                   '<title>P %d</title>'
+                   '<identifier>PoS(SYNTH%d)%03d</identifier>'
+                   '<date>2021-05-0%d</date>'
+                   '<language>%s</language>'
+                   '<publisher>SISSA</publisher>'
+                   '</pex-dc></metadata></record>'
+                   % (d, d % 9, d % 100, d % 9 + 1, lang))
+            item = build_conference_paper_item(
+                pex, "http://pos/p", "http://pos/p.pdf")
+            cols["pos_ext_value"].append(
+                item["external_system_numbers"][0]["value"])
+            cols["pos_language"].append(item["language"])
+
+            rec = hepcrawl_to_hep({
+                "titles": [{"title": f"T {d}"}],
+                "free_keywords": free,
+                "thesis": [{"date": "2020-01-02",
+                            "degree_type": "PhD",
+                            "institutions": [f"Uni{d % 3}"]}],
+                "acquisition_source": {
+                    "method": "hepcrawl", "datetime": "2024",
+                    "source": "synth", "submission_number": "s"}})
+            cols["thesis_degree"].append(
+                rec["thesis_info"]["degree_type"])
+            cols["thesis_institution"].append(
+                rec["thesis_info"]["institutions"][0]["name"])
+            cols["keywords_n"].append(len(rec.get("keywords", [])))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            **{k: pa.array(v, pa.int64() if k == "keywords_n"
+                           else pa.string())
+               for k, v in cols.items()}})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(extract, batch_format="pyarrow"))
+
+
 QUERIES.update({"source_wsp_harvest": q_source_wsp_harvest,
                 "source_desy_harvest": q_source_desy_harvest,
-                "source_arxiv_harvest": q_source_arxiv_harvest})
+                "source_arxiv_harvest": q_source_arxiv_harvest,
+                "parser_envelope_fields": q_parser_envelope_fields})
 
 ORACLE_SQL.update({
     "source_wsp_harvest": """
@@ -14293,6 +14391,27 @@ ORACLE_SQL.update({
                '2401.' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
                    AS record_id
         FROM r
+    """,
+    "parser_envelope_fields": """
+        SELECT doc_id,
+               CAST(doc_id % 40 + 1 AS VARCHAR) || ' p' AS marc_page_nr,
+               'Pub' || CAST(doc_id % 3 AS VARCHAR) AS marc_source,
+               'HEP' AS marc_collections,
+               'kw' || CAST(doc_id % 7 AS VARCHAR) || ';kw'
+                   || CAST((doc_id + 1) % 7 AS VARCHAR) AS jats_free_kw,
+               '11.' || CAST(doc_id % 30 AS VARCHAR) || '.Er'
+                   AS jats_pacs,
+               'nk' || CAST(doc_id % 5 AS VARCHAR) AS nlm_kw,
+               'PoS(SYNTH' || CAST(doc_id % 9 AS VARCHAR) || ')'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                   AS pos_ext_value,
+               CASE WHEN doc_id % 4 = 0 THEN 'it' ELSE NULL END
+                   AS pos_language,
+               'PhD' AS thesis_degree,
+               'Uni' || CAST(doc_id % 3 AS VARCHAR)
+                   AS thesis_institution,
+               CAST(2 AS BIGINT) AS keywords_n
+        FROM documents
     """,
 })
 

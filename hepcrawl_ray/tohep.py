@@ -204,6 +204,34 @@ def hepcrawl_to_hep(crawler_record: dict) -> dict:
     if crawler_record.get("preprint_date"):
         rec["preprint_date"] = crawler_record["preprint_date"]
 
+    # envelope fields (reference: items.py:117-128 free_keywords,
+    # items.py:271-283 thesis struct, items.py:294-311
+    # external_system_numbers; builder analogs add_keyword/add_thesis)
+    keywords = [{"value": k, "source": source}
+                for k in crawler_record.get("free_keywords", []) if k]
+    if keywords:
+        rec["keywords"] = keywords
+
+    ext = [{"institute": e.get("institute"), "value": e.get("value")}
+           for e in crawler_record.get("external_system_numbers", [])
+           if e.get("value")]
+    if ext:
+        rec["external_system_numbers"] = ext
+
+    thesis = crawler_record.get("thesis")
+    if thesis:
+        t = thesis[0] if isinstance(thesis, list) else thesis
+        info = {k: v for k, v in (
+            ("date", t.get("date")),
+            ("defense_date", t.get("defense_date")),
+            ("degree_type", t.get("degree_type")),
+        ) if v}
+        insts = [{"name": n} for n in t.get("institutions", []) if n]
+        if insts:
+            info["institutions"] = insts
+        if info:
+            rec["thesis_info"] = info
+
     acq = crawler_record.get("acquisition_source", {})
     rec["acquisition_source"] = {
         "method": acq["method"],

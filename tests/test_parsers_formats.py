@@ -199,3 +199,120 @@ def test_marcxml_full_record():
 def test_marcxml_error_row():
     assert parse_marcxml("<no-record/>")["error"].startswith("bad marcxml")
     assert parse_marcxml("<<<")["error"].startswith("bad marcxml")
+
+
+# ---------------------------------------------------------------------------
+# HEPRecord envelope fields (reference: items.py:117-311; unit goldens
+# mirroring tests/unit/test_hindawi.py:104-109 / test_wsp.py style)
+# ---------------------------------------------------------------------------
+
+def test_marc_envelope_fields():
+    from hepcrawl_ray.marc import marcxml_to_record
+
+    xml = (
+        '<record xmlns="http://www.loc.gov/MARC21/slim">'
+        '<controlfield tag="001">h1</controlfield>'
+        '<datafield tag="245" ind1=" " ind2=" ">'
+        '<subfield code="a">T</subfield></datafield>'
+        '<datafield tag="300" ind1=" " ind2=" ">'
+        '<subfield code="a">12 p</subfield></datafield>'
+        '<datafield tag="260" ind1=" " ind2=" ">'
+        '<subfield code="b">Hindawi Publishing Corporation</subfield>'
+        '<subfield code="c">2015</subfield></datafield>'
+        '<datafield tag="980" ind1=" " ind2=" ">'
+        '<subfield code="a">HEP</subfield></datafield>'
+        '<datafield tag="980" ind1=" " ind2=" ">'
+        '<subfield code="a">Citeable</subfield></datafield>'
+        '<datafield tag="980" ind1=" " ind2=" ">'
+        '<subfield code="a">Published</subfield></datafield>'
+        '</record>')
+    rec = marcxml_to_record(xml)
+    assert rec["page_nr"] == ["12 p"]
+    assert rec["source"] == "Hindawi Publishing Corporation"
+    # mirror of tests/unit/test_hindawi.py:104-109
+    assert rec["collections"]
+    for collection in rec["collections"]:
+        assert collection in ("HEP", "Citeable", "Published")
+
+
+def test_jats_keyword_groups():
+    from hepcrawl_ray.jats import JatsRecordParser
+
+    xml = ('<article><front><article-meta>'
+           '<kwd-group kwd-group-type="author"><kwd>dark matter</kwd>'
+           '<kwd>lattice <italic>QCD</italic></kwd></kwd-group>'
+           '<kwd-group kwd-group-type="pacs"><kwd>11.30.Er</kwd>'
+           '<kwd>12.38.Gc</kwd></kwd-group>'
+           '<kwd-group><kwd>extra</kwd></kwd-group>'
+           '</article-meta></front></article>')
+    p = JatsRecordParser(xml)
+    free, pacs = p.keywords
+    assert free == ["dark matter", "lattice QCD", "extra"]
+    assert pacs == ["11.30.Er", "12.38.Gc"]
+    parsed = p.parse()
+    assert parsed["free_keywords"] == free
+    assert parsed["classification_numbers"] == pacs
+
+
+def test_nlm_keyword_object_list():
+    import xml.etree.ElementTree as ET
+
+    from hepcrawl_ray.nlm import get_keywords, parse_nlm
+
+    xml = ('<Article><Journal><PublisherName>IOP</PublisherName>'
+           '</Journal><ArticleTitle>T</ArticleTitle>'
+           '<ObjectList>'
+           '<Object Type="keyword"><Param Name="value">neutrino</Param>'
+           '</Object>'
+           '<Object Type="keyword"><Param Name="value">oscillation'
+           '</Param><Param Name="other">x</Param></Object>'
+           '<Object Type="doi"><Param Name="value">10.1/x</Param>'
+           '</Object></ObjectList></Article>')
+    assert get_keywords(ET.fromstring(xml)) == ["neutrino",
+                                                "oscillation"]
+    assert parse_nlm(xml)["free_keywords"] == ["neutrino", "oscillation"]
+
+
+def test_classification_numbers_processor():
+    from hepcrawl_ray.functions.loaders import ClassificationNumbers
+
+    out = ClassificationNumbers()(["11.30.Er", None, "12.38.Gc"])
+    assert out == [
+        {"standard": "PACS", "classification_number": "11.30.Er"},
+        {"standard": "PACS", "classification_number": "12.38.Gc"}]
+
+
+def test_tohep_envelope_passthrough():
+    from hepcrawl_ray.tohep import hepcrawl_to_hep
+
+    rec = hepcrawl_to_hep({
+        "titles": [{"title": "T"}],
+        "free_keywords": ["dark matter", "", "axions"],
+        "external_system_numbers": [
+            {"institute": "pos", "value": "PoS(X)001"},
+            {"institute": "none", "value": None}],
+        "thesis": [{"date": "2020-01-02", "defense_date": "2020-02-03",
+                    "degree_type": "PhD",
+                    "institutions": ["MIT", ""]}],
+        "acquisition_source": {"method": "hepcrawl", "datetime": "d",
+                               "source": "synth",
+                               "submission_number": "s"}})
+    assert rec["keywords"] == [
+        {"value": "dark matter", "source": "synth"},
+        {"value": "axions", "source": "synth"}]
+    assert rec["external_system_numbers"] == [
+        {"institute": "pos", "value": "PoS(X)001"}]
+    assert rec["thesis_info"] == {
+        "date": "2020-01-02", "defense_date": "2020-02-03",
+        "degree_type": "PhD", "institutions": [{"name": "MIT"}]}
+
+
+def test_tohep_envelope_absent_fields_omitted():
+    from hepcrawl_ray.tohep import hepcrawl_to_hep
+
+    rec = hepcrawl_to_hep({
+        "titles": [{"title": "T"}],
+        "acquisition_source": {"method": "m", "datetime": "d",
+                               "source": "s", "submission_number": "1"}})
+    for k in ("keywords", "external_system_numbers", "thesis_info"):
+        assert k not in rec
