@@ -206,6 +206,62 @@ def run_crawl_bench(num_partitions: int = 16,
             "fetched": n_fetched}
 
 
+def run_iterative_bench(n_urls: int | None = None, n_hosts: int = 32):
+    """Link-discovery throughput: an overlapping-tree frontier where
+    every admitted URL yields 3 children (adjacent nodes share one, so
+    ~1/3 of discovered links are cross-batch duplicates the seen-set
+    must absorb).  Runs the PRODUCTION in-stage discovery path
+    (stages.DiscoverRouteStage default of run_iterative_crawl):
+    worker->actor link routing, per-round seal barriers only."""
+    import pyarrow as pa
+
+    from hepcrawl_ray import synth
+    from hepcrawl_ray.pipelines import crawl as cp
+
+    n = n_urls or int(os.environ.get("BENCH_ITER_URLS", "60000"))
+    hosts = [f"host{h:02d}.iter.org" for h in range(n_hosts)]
+
+    def discover(url, seq):
+        i = int(url.rsplit("img", 1)[1])
+        out = []
+        for k in (1, 2, 3):
+            j = 2 * i + k          # overlap: node i and i+1 share 2i+3
+            if j < n:
+                out.append({
+                    "url": f"http://{hosts[j % n_hosts]}/it/img{j}",
+                    "priority": 0.0, "seq": 1_000_000 + j,
+                    "mtime": 1, "set_id": "it"})
+        return out
+
+    n_seeds = min(64, n)
+    seeds = pa.table({
+        "url": [f"http://{hosts[i % n_hosts]}/it/img{i}"
+                for i in range(n_seeds)],
+        "host": [hosts[i % n_hosts] for i in range(n_seeds)],
+        "set_id": ["it"] * n_seeds,
+        "priority": [0.0] * n_seeds,
+        "seq": list(range(n_seeds)),
+        "mtime": [1] * n_seeds,
+        "dup_of": [None] * n_seeds,
+    }, schema=synth.SEEDS_SCHEMA)
+    politeness = pa.table({
+        "host": hosts,
+        "max_concurrency": [16] * n_hosts,
+        "min_delay_ms": [0] * n_hosts,
+        "robots_disallow": [[] for _ in hosts],
+    }, schema=synth.POLITENESS_SCHEMA)
+
+    t0 = time.time()
+    out = cp.run_iterative_crawl(seeds, politeness, discover,
+                                 num_partitions=8, rounds_per_iter=16)
+    wall = time.time() - t0
+    admitted = out["admissions"].num_rows
+    assert admitted >= 0.95 * n, (
+        f"iterative crawl admitted {admitted}/{n} — discovery broke")
+    return {"sec": round(wall, 3), "urls": int(admitted),
+            "urls_per_sec": round(admitted / wall, 1)}
+
+
 def run_queries():
     from hepcrawl_ray.pipelines.queries import QUERIES
 
@@ -248,6 +304,8 @@ def main():
             for _ in range(max(1, BENCH_CRAWL_REPS))]
     crawl = max(reps, key=lambda r: r["urls_per_sec"])
     load_end = loadavg_1m()
+    iterative = (run_iterative_bench()
+                 if os.environ.get("BENCH_SKIP_ITER") != "1" else None)
     queries = run_queries() if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
     out = {
         "metric": "frontier_crawl_sec",
@@ -264,6 +322,10 @@ def main():
         "loadavg_start": load_start,
         "loadavg_end": load_end,
     }
+    if iterative is not None:
+        out["iterative_sec"] = iterative["sec"]
+        out["iterative_urls"] = iterative["urls"]
+        out["iterative_urls_per_sec"] = iterative["urls_per_sec"]
     print(json.dumps(out))
     ray.shutdown()
 
@@ -299,6 +361,7 @@ def scaling():
         for ncpu in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BENCH_SKIP_QUERIES="1",
+                       BENCH_SKIP_ITER="1",
                        BENCH_SEED_MULT=str(mult),
                        # a small warm-up frontier warms workers/caches
                        # without paying a full-size extra run per child

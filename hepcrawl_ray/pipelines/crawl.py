@@ -270,10 +270,29 @@ def offer_tables(actors, offer_table, num_partitions, salted_hosts=None):
     ray.get(pending)
 
 
+class _DiscoverWorker:
+    """Persistent actor hosting a DiscoverRouteStage across iterative
+    rounds (wrapped with ``ray.remote`` at start; plain class so tests
+    can instantiate it directly)."""
+
+    def __init__(self, discover_fn, actors, num_partitions,
+                 salted_hosts):
+        from hepcrawl_ray.stages import DiscoverRouteStage
+
+        self.stage = DiscoverRouteStage(discover_fn, actors,
+                                        num_partitions, salted_hosts)
+
+    def process(self, table: pa.Table) -> int:
+        # offers are delivered (ray.get inside the stage) before this
+        # returns — the caller's ray.get is the delivery barrier
+        self.stage(table)
+        return table.num_rows
+
+
 def run_iterative_crawl(seeds, politeness, discover_fn, *,
                         num_partitions=4, salted_hosts=None,
                         rounds_per_iter=1, max_iters=100_000,
-                        in_stage=False):
+                        in_stage=True):
     """Crawl with mid-run URL discovery (the frontier LOOP).
 
     ``discover_fn(canonical_url, seq) -> list of seed-like dicts`` —
@@ -282,15 +301,16 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
     ``r+rounds_per_iter`` (spec: sim.simulate_iterative, which this
     must match exactly at rounds_per_iter=1).
 
-    ``in_stage=True`` is the production shape: each iteration's
-    admission table streams through a Dataset whose
+    ``in_stage=True`` (the DEFAULT — the production shape): each
+    iteration's admission table streams through a Dataset whose
     :class:`~hepcrawl_ray.stages.DiscoverRouteStage` actors extract
     links and push them to the frontier partitions directly
     (worker -> actor, delivery awaited in-stage) — the driver only
     runs the per-round seal barrier, never a per-row loop.  Admission
     is decided over a seq-sorted view at seal, so both paths produce
-    the identical schedule (pinned in tests).  The driver-side loop
-    (default) remains the oracle-exact executable spec.
+    the identical schedule (pinned in tests).  ``in_stage=False`` is
+    the driver-side loop kept as the oracle-exact executable spec for
+    the equivalence tests.
     """
     import ray
 
@@ -302,6 +322,19 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
     offer_seeds(actors, seeds, num_partitions, salted_hosts=salted_hosts)
     ray.get([a.seal.remote() for a in actors])
 
+    # PERSISTENT discover workers (created once, reused every
+    # iteration): a fresh map_batches actor pool per iteration pays
+    # ~2 s spin-up per streaming pass (CLAUDE.md lesson 15), which
+    # dominates an iterative crawl's wall clock.  Each worker hosts
+    # the same DiscoverRouteStage the fused fetch pipeline composes;
+    # arrival order is irrelevant because admission is decided over a
+    # seq-sorted view at seal (equivalence pinned in tests).
+    workers = []
+    if in_stage:
+        DW = ray.remote(num_cpus=0.25)(_DiscoverWorker)
+        workers = [DW.remote(discover_fn, actors, num_partitions,
+                             salted_hosts) for _ in range(4)]
+
     admissions = []
     for _ in range(max_iters):
         tables = ray.get([a.drain.remote(rounds_per_iter) for a in actors])
@@ -312,18 +345,16 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
             continue
         admissions.append(t)
         if in_stage:
-            # the per-partition drain refs already live in the object
-            # store; discovery+routing runs in the stage actors and
-            # each batch's offers are delivered before it returns, so
-            # consuming the Dataset IS the delivery barrier
-            refs = [ray.put(tb) for tb in tables if tb.num_rows]
-            (ray.data.from_arrow_refs(refs)
-             .map_batches(DiscoverRouteStage,
-                          fn_constructor_args=(discover_fn, actors,
-                                               num_partitions, salted_hosts),
-                          batch_format="pyarrow", batch_size=4096,
-                          concurrency=(1, 4), num_cpus=0.25)
-             .count())
+            # discovery+routing runs in the PERSISTENT workers; each
+            # chunk's offers are delivered before its call returns, so
+            # the ray.get barrier IS the delivery barrier
+            pending, k = [], 0
+            for tb in tables:
+                for s in range(0, tb.num_rows, 4096):
+                    pending.append(workers[k % len(workers)]
+                                   .process.remote(tb.slice(s, 4096)))
+                    k += 1
+            ray.get(pending)
             ray.get([a.seal.remote() for a in actors])  # no-op if empty
             continue
         # discovery in deterministic admission order
@@ -349,5 +380,7 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
     seen = np.concatenate(ray.get([a.seen_hashes.remote() for a in actors]))
     for a in actors:
         ray.kill(a)
+    for w in workers:
+        ray.kill(w)
     return {"admissions": result, "metrics": metrics,
             "seen": set(seen.tolist())}

@@ -198,8 +198,10 @@ class TestIterativeCrawl:
 
         in_stage = cp.run_iterative_crawl(seeds, politeness, discover,
                                           num_partitions=2, in_stage=True)
+        # the driver-side loop is the oracle-exact executable spec —
+        # explicitly requested now that in_stage is the default
         driver = cp.run_iterative_crawl(seeds, politeness, discover,
-                                        num_partitions=2)
+                                        num_partitions=2, in_stage=False)
         want = [(r, u, s) for (r, _h, u, s, _p, _m) in ref.admissions]
         assert admitted(in_stage) == admitted(driver) == want
         assert in_stage["seen"] == driver["seen"] == ref.seen_hashes
