@@ -14416,6 +14416,258 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# concrete Source definitions, part 2 (sources/definitions2.py): the
+# remaining reference spiders — CDS, Hindawi, Crossref, Elsevier, IOP,
+# PoS, EDP, APS — each through the same generic runner
+# ---------------------------------------------------------------------------
+
+def q_source_cds_harvest(sf_dir: str):
+    """CDS source end-to-end (reference: cds_spider.py:30-62): paged
+    OAI MARCXML harvest -> collection-keyed doctype map."""
+    from hepcrawl_ray.sources.definitions2 import cds_source
+    from hepcrawl_ray.sources.definitions import run_source
+
+    return run_source(cds_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "title", "document_type",
+         "date_published", "doi", "record_id"])
+
+
+def q_source_hindawi_harvest(sf_dir: str):
+    """Hindawi source end-to-end (reference: hindawi_spider.py:34-239):
+    OAI ListRecords feed -> per-record MARC parse with the envelope
+    fields (page_nr 300$a, publisher 260$b, license 540$a)."""
+    from hepcrawl_ray.sources.definitions2 import hindawi_source
+    from hepcrawl_ray.sources.definitions import run_source
+
+    return run_source(hindawi_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "title", "page_nr", "publisher",
+         "license", "doi", "record_id"])
+
+
+def q_source_crossref_harvest(sf_dir: str):
+    """Crossref source end-to-end (reference: crossref_spider.py:23-70):
+    cursor-paged works REST -> parse_crossref (book chapters cite the
+    parent ISBN, so their journal_title is NULL)."""
+    from hepcrawl_ray.sources.definitions2 import crossref_source
+    from hepcrawl_ray.sources.definitions import run_source
+
+    return run_source(crossref_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "doi", "document_type", "material",
+         "journal_title", "year", "n_references", "record_id"])
+
+
+def q_source_elsevier_harvest(sf_dir: str):
+    """Elsevier source end-to-end (reference: elsevier_spider.py +
+    parsers/elsevier.py:686-696): zip listing -> unzip -> parse ->
+    harvest predicate (editorials fail it: doc_id % 3 == 2 dropped)."""
+    from hepcrawl_ray.sources.definitions2 import elsevier_source
+    from hepcrawl_ray.sources.definitions import run_source
+
+    return run_source(elsevier_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "article_type", "title", "doi",
+         "journal_title", "year", "record_id"])
+
+
+def q_source_iop_harvest(sf_dir: str):
+    """IOP source end-to-end (reference: iop_spider.py:110-185): NLM
+    ArticleSet files -> per-Article parse; the pub-status drop is
+    QUARANTINED as ``dropped`` rows rather than silently discarded."""
+    from hepcrawl_ray.sources.definitions2 import iop_source
+    from hepcrawl_ray.sources.definitions import run_source
+
+    return run_source(iop_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "title", "doi", "pub_status",
+         "doctype", "date_published", "page_nr", "dropped",
+         "record_id"])
+
+
+def q_source_pos_harvest(sf_dir: str):
+    """PoS source end-to-end (reference: pos_spider.py:131-345): the
+    two-hop scrape — pex-dc record -> contribution page -> pdf link ->
+    conference-paper item."""
+    from hepcrawl_ray.sources.definitions2 import pos_source
+    from hepcrawl_ray.sources.definitions import run_source
+
+    return run_source(pos_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "journal_title", "journal_volume",
+         "journal_artid", "title", "language", "pdf_key", "record_id"])
+
+
+def q_source_edp_harvest(sf_dir: str):
+    """EDP source end-to-end (reference: edp_spider.py:120-615): tar
+    packages of mixed 'jats'/'rich' members -> format-dispatched
+    author/date/collection parse."""
+    from hepcrawl_ray.sources.definitions2 import edp_source
+    from hepcrawl_ray.sources.definitions import run_source
+
+    return run_source(edp_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "fmt", "n_authors", "date_published",
+         "collections", "record_id"])
+
+
+def q_source_aps_harvest(sf_dir: str):
+    """APS source end-to-end (reference: aps_spider.py:88-134):
+    Link-next paged JSON with a per-DOI fallback for synthetic 404s
+    (doc_id % 11 == 0 uses the fallback: journal is NULL there)."""
+    from hepcrawl_ray.sources.definitions2 import aps_source
+    from hepcrawl_ray.sources.definitions import run_source
+
+    return run_source(aps_source(), sf_dir).select_columns(
+        ["package_id", "doc_id", "doi", "title", "journal", "year",
+         "used_fallback", "record_id"])
+
+
+QUERIES.update({
+    "source_cds_harvest": q_source_cds_harvest,
+    "source_hindawi_harvest": q_source_hindawi_harvest,
+    "source_crossref_harvest": q_source_crossref_harvest,
+    "source_elsevier_harvest": q_source_elsevier_harvest,
+    "source_iop_harvest": q_source_iop_harvest,
+    "source_pos_harvest": q_source_pos_harvest,
+    "source_edp_harvest": q_source_edp_harvest,
+    "source_aps_harvest": q_source_aps_harvest,
+})
+
+ORACLE_SQL.update({
+    "source_cds_harvest": """
+        WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS rn
+            FROM documents WHERE doc_id < 100000)
+        SELECT 'p' || CAST(rn // 50 AS VARCHAR) AS package_id,
+               doc_id,
+               'CDS ' || CAST(doc_id AS VARCHAR) AS title,
+               CASE doc_id % 4 WHEN 0 THEN 'thesis'
+                               WHEN 1 THEN 'conference paper'
+                               WHEN 2 THEN 'article'
+                               ELSE 'book' END AS document_type,
+               CAST(1990 + doc_id % 30 AS VARCHAR) AS date_published,
+               '10.17/cds.' || CAST(doc_id AS VARCHAR) AS doi,
+               'cds' || CAST(doc_id AS VARCHAR) AS record_id
+        FROM r
+    """,
+    "source_hindawi_harvest": """
+        SELECT source AS package_id,
+               doc_id,
+               'Hindawi ' || CAST(doc_id AS VARCHAR) AS title,
+               CAST(doc_id % 40 + 1 AS VARCHAR) AS page_nr,
+               'Hindawi Publishing Corporation' AS publisher,
+               CASE WHEN doc_id % 2 = 0 THEN 'CC-BY-3.0'
+                    ELSE 'CC-BY-4.0' END AS license,
+               '10.1155/synth.' || CAST(doc_id AS VARCHAR) AS doi,
+               '10.1155/synth.' || CAST(doc_id AS VARCHAR) AS record_id
+        FROM documents WHERE doc_id < 100000
+    """,
+    "source_crossref_harvest": """
+        WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS rn
+            FROM documents WHERE doc_id < 100000)
+        SELECT 'p' || CAST(rn // 50 AS VARCHAR) AS package_id,
+               doc_id,
+               '10.99/cx.' || CAST(doc_id AS VARCHAR) AS doi,
+               CASE doc_id % 4 WHEN 0 THEN 'article'
+                               WHEN 1 THEN 'conference paper'
+                               WHEN 2 THEN 'thesis'
+                               ELSE 'book chapter' END AS document_type,
+               CASE WHEN doc_id % 5 = 0 THEN 'erratum'
+                    ELSE 'publication' END AS material,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE 'J.CX.' || CAST(doc_id % 5 AS VARCHAR)
+               END AS journal_title,
+               CAST(2000 + doc_id % 20 AS BIGINT) AS year,
+               CAST(doc_id % 4 AS BIGINT) AS n_references,
+               '10.99/cx.' || CAST(doc_id AS VARCHAR) AS record_id
+        FROM r
+    """,
+    "source_elsevier_harvest": """
+        SELECT source AS package_id,
+               doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'full-length article'
+                    ELSE 'erratum' END AS article_type,
+               'Els ' || CAST(doc_id AS VARCHAR) AS title,
+               '10.1016/els.' || CAST(doc_id AS VARCHAR) AS doi,
+               'J Els' AS journal_title,
+               CAST(2015 + doc_id % 5 AS BIGINT) AS year,
+               '10.1016/els.' || CAST(doc_id AS VARCHAR) AS record_id
+        FROM documents WHERE doc_id < 100000 AND doc_id % 3 < 2
+    """,
+    "source_iop_harvest": """
+        SELECT source AS package_id,
+               doc_id,
+               'IOP ' || CAST(doc_id AS VARCHAR) AS title,
+               '10.88/iop.' || CAST(doc_id AS VARCHAR) AS doi,
+               CASE WHEN doc_id % 6 = 3 THEN 'aheadofprint'
+                    WHEN doc_id % 6 = 5 THEN 'epublish'
+                    ELSE 'ppublish' END AS pub_status,
+               CASE WHEN doc_id % 7 = 0 THEN 'Review'
+                    ELSE 'Journal Article' END AS doctype,
+               CAST(2012 + doc_id % 8 AS VARCHAR) || '-'
+                   || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                   AS date_published,
+               CAST(doc_id % 9 + 1 AS VARCHAR) AS page_nr,
+               doc_id % 6 = 3 AS dropped,
+               '10.88/iop.' || CAST(doc_id AS VARCHAR) AS record_id
+        FROM documents WHERE doc_id < 100000
+    """,
+    "source_pos_harvest": """
+        WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS rn
+            FROM documents WHERE doc_id < 100000)
+        SELECT 'p' || CAST(rn // 50 AS VARCHAR) AS package_id,
+               doc_id,
+               'PoS' AS journal_title,
+               'SYN' || CAST(doc_id % 12 AS VARCHAR) AS journal_volume,
+               lpad(CAST(doc_id % 400 AS VARCHAR), 3, '0')
+                   AS journal_artid,
+               'Talk ' || CAST(doc_id AS VARCHAR) AS title,
+               CASE WHEN doc_id % 3 = 0 THEN 'fr' ELSE NULL END
+                   AS language,
+               'SYN' || CAST(doc_id % 12 AS VARCHAR) || '_'
+                   || lpad(CAST(doc_id % 400 AS VARCHAR), 3, '0')
+                   || '.pdf' AS pdf_key,
+               'PoS(SYN' || CAST(doc_id % 12 AS VARCHAR) || ')'
+                   || lpad(CAST(doc_id % 400 AS VARCHAR), 3, '0')
+                   AS record_id
+        FROM r
+    """,
+    "source_edp_harvest": """
+        SELECT source AS package_id,
+               doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'jats' ELSE 'rich' END
+                   AS fmt,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS n_authors,
+               CASE WHEN doc_id % 2 = 0 THEN NULL
+                    ELSE '2013-' || CAST(doc_id % 12 + 1 AS VARCHAR)
+               END AS date_published,
+               CASE WHEN doc_id % 2 = 1 THEN 'HEP,Published'
+                    WHEN doc_id % 7 = 0 THEN 'HEP,ConferencePaper'
+                    WHEN doc_id % 5 = 0 THEN 'HEP,Review'
+                    ELSE 'HEP,Published' END AS collections,
+               'edp:' || CAST(doc_id AS VARCHAR) AS record_id
+        FROM documents WHERE doc_id < 100000
+    """,
+    "source_aps_harvest": """
+        WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS rn
+            FROM documents WHERE doc_id < 100000)
+        SELECT 'p' || CAST(rn // 50 AS VARCHAR) AS package_id,
+               doc_id,
+               '10.103/aps.' || CAST(doc_id AS VARCHAR) AS doi,
+               'APS ' || CAST(doc_id AS VARCHAR) AS title,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'PRD' END
+                   AS journal,
+               CAST(2005 + doc_id % 15 AS BIGINT) AS year,
+               doc_id % 11 = 0 AS used_fallback,
+               '10.103/aps.' || CAST(doc_id AS VARCHAR) AS record_id
+        FROM r
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 
