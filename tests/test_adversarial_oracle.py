@@ -415,6 +415,14 @@ ADVERSARIAL_QUERIES = [
     # gaps with DECREASING values (negative deltas exercise the
     # truncating-division parity, lesson 16) and single-day users
     "gap_fill_interpolate",
+    # round-4: the part-2 concrete sources over the fixture's tiny
+    # 18-doc table (single partial page, 2-source grouped seeds) —
+    # pins the rn-paging and mod-cycle fixtures off the benign
+    # generator tables
+    "source_cds_harvest", "source_hindawi_harvest",
+    "source_crossref_harvest", "source_elsevier_harvest",
+    "source_iop_harvest", "source_pos_harvest", "source_edp_harvest",
+    "source_aps_harvest",
 ]
 
 
