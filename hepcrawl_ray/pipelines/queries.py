@@ -14668,6 +14668,295 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# pipeline lifecycles end-to-end (SURVEY §3's three traced entry
+# points): source seed -> fetch/expand -> parse -> to_hep -> validate,
+# composed from the same pieces the spiders use
+# ---------------------------------------------------------------------------
+
+def q_lifecycle_arxiv_oai(sf_dir: str):
+    """§3.1 arXiv via OAI-PMH end-to-end (reference:
+    oaipmh_spider.py:121-227 + arxiv_spider.py:58-65 +
+    tohep.py/LiteratureBuilder): resumption-paged harvest -> record
+    parse (hep format) -> acquisition_source attach -> validation.
+    Records whose imprint month lands on 13/14 (doc_id % 14 in
+    {12, 13}) fail ISO validation and become error ROWS."""
+    from hepcrawl_ray.sources.definitions import (
+        Source, _arxiv_record_xml, _arxiv_seed, run_source)
+
+    def parse_to_hep(t: pa.Table) -> pa.Table:
+        from hepcrawl_ray.arxiv import ArxivRecordParser
+        from hepcrawl_ray.tohep import validate_hep_record
+
+        ids = t.column("doc_id").to_pylist()
+        cols = {k: [] for k in ("title", "eprint", "document_type",
+                                "n_pages", "imprint_date", "full_name",
+                                "is_valid", "n_errors", "first_error")}
+        for d in ids:
+            rec = ArxivRecordParser(_arxiv_record_xml(d)).parse()
+            month = d % 14 + 1
+            hep = {
+                "titles": [{"title": rec["title"]}],
+                "document_type": [rec["document_type"]],
+                "arxiv_eprints": [{"value": rec["arxiv_eprint"],
+                                   "categories": rec["arxiv_categories"]}],
+                "number_of_pages": rec["number_of_pages"],
+                "authors": rec["authors"],
+                "imprints": [{"date": f"2024-{month:02d}"}],
+                "acquisition_source": {
+                    "method": "hepcrawl",
+                    "datetime": "2024-01-01T00:00:00",
+                    "source": "arXiv",
+                    "submission_number": f"s{d}"},
+            }
+            errors = validate_hep_record(hep)
+            cols["title"].append(rec["title"])
+            cols["eprint"].append(rec["arxiv_eprint"])
+            cols["document_type"].append(rec["document_type"])
+            cols["n_pages"].append(rec["number_of_pages"])
+            cols["imprint_date"].append(f"2024-{month:02d}")
+            cols["full_name"].append(rec["authors"][0]["full_name"])
+            cols["is_valid"].append(not errors)
+            cols["n_errors"].append(len(errors))
+            cols["first_error"].append(errors[0] if errors else None)
+        return pa.table({
+            "package_id": t.column("package_id"),
+            "doc_id": pa.array(ids, pa.int64()),
+            "title": pa.array(cols["title"], pa.string()),
+            "eprint": pa.array(cols["eprint"], pa.string()),
+            "document_type": pa.array(cols["document_type"], pa.string()),
+            "n_pages": pa.array(cols["n_pages"], pa.int64()),
+            "imprint_date": pa.array(cols["imprint_date"], pa.string()),
+            "full_name": pa.array(cols["full_name"], pa.string()),
+            "is_valid": pa.array(cols["is_valid"], pa.bool_()),
+            "n_errors": pa.array(cols["n_errors"], pa.int64()),
+            "first_error": pa.array(cols["first_error"], pa.string())})
+
+    src = Source(name="arxiv_lifecycle", seed=_arxiv_seed,
+                 stages=(parse_to_hep,))
+    return run_source(src, sf_dir)
+
+
+def q_lifecycle_desy_s3(sf_dir: str):
+    """§3.2 DESY S3 JSONL end-to-end (reference: desy_spider.py:135-287
+    + pipelines.py:62-95 + tohep.py:38-67): JSONL expand with error
+    rows -> hep-format passthrough with the downloaded-file basename
+    join (the FilesPipeline documents patch) -> validation."""
+    from hepcrawl_ray.sources.definitions import (
+        Source, _desy_parse_lines, _desy_seed, run_source)
+
+    def to_hep(t: pa.Table) -> pa.Table:
+        from hepcrawl_ray.tohep import hep_to_hep, validate_hep_record
+
+        cols = {k: [] for k in ("doc_id", "title", "has_error",
+                                "doc_url", "doc_key", "old_url",
+                                "is_valid", "n_errors")}
+        for did, title, err in zip(t.column("doc_id").to_pylist(),
+                                   t.column("title").to_pylist(),
+                                   t.column("error").to_pylist()):
+            if err is not None:
+                cols["doc_id"].append(None)
+                cols["title"].append(None)
+                cols["has_error"].append(True)
+                cols["doc_url"].append(None)
+                cols["doc_key"].append(None)
+                cols["old_url"].append(None)
+                cols["is_valid"].append(False)
+                cols["n_errors"].append(None)
+                continue
+            d = int(did)
+            url = f"http://desy.example.org/files/{d}.pdf"
+            hep = {
+                "titles": [{"title": title}],
+                "document_type": ["article"],
+                "acquisition_source": {
+                    "method": "hepcrawl",
+                    "datetime": "2024-01-01T00:00:00",
+                    "source": "desy",
+                    "submission_number": f"s{d}"},
+                "documents": [{"url": url, "fulltext": True}],
+            }
+            hep = hep_to_hep(hep, [{"name": f"{d}.pdf",
+                                    "path": f"s3://processed/{d}.pdf"}])
+            doc = hep["documents"][0]
+            errors = validate_hep_record(hep)
+            cols["doc_id"].append(d)
+            cols["title"].append(title)
+            cols["has_error"].append(False)
+            cols["doc_url"].append(doc["url"])
+            cols["doc_key"].append(doc.get("key"))
+            cols["old_url"].append(doc.get("old_url"))
+            cols["is_valid"].append(not errors)
+            cols["n_errors"].append(len(errors))
+        return pa.table({
+            "file_id": t.column("file_id"),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "title": pa.array(cols["title"], pa.string()),
+            "has_error": pa.array(cols["has_error"], pa.bool_()),
+            "doc_url": pa.array(cols["doc_url"], pa.string()),
+            "doc_key": pa.array(cols["doc_key"], pa.string()),
+            "old_url": pa.array(cols["old_url"], pa.string()),
+            "is_valid": pa.array(cols["is_valid"], pa.bool_()),
+            "n_errors": pa.array(cols["n_errors"], pa.int64())})
+
+    src = Source(name="desy_lifecycle", seed=_desy_seed,
+                 stages=(_desy_parse_lines, to_hep))
+    return run_source(src, sf_dir)
+
+
+def q_lifecycle_elsevier_consyn(sf_dir: str):
+    """§3.3 Elsevier CONSYN end-to-end (reference:
+    elsevier_spider.py:134-275): zip listing -> unzip -> per-member
+    DOI identifier (the <doi>.xml rename of step 3) -> full parse
+    gated by the harvest predicate -> hepcrawl-format item ->
+    normalize + hepcrawl_to_hep -> validation."""
+    from hepcrawl_ray.sources.definitions import Source, run_source
+    from hepcrawl_ray.sources.definitions2 import _elsevier_seed
+
+    def unzip(t: pa.Table) -> pa.Table:
+        from hepcrawl_ray.sources.expand import expand_zip
+        return expand_zip(t, suffix=".xml")
+
+    def consyn(t: pa.Table) -> pa.Table:
+        from hepcrawl_ray.elsevier import parse_elsevier
+        from hepcrawl_ray.tohep import (
+            hepcrawl_to_hep, normalize_hepcrawl_record,
+            validate_hep_record)
+
+        out = {k: [] for k in ("package_id", "doc_id", "file_key",
+                               "title", "doi", "doi_material",
+                               "journal_title", "year",
+                               "document_type", "is_valid")}
+        for pid, name, data in zip(t.column("package_id").to_pylist(),
+                                   t.column("member_name").to_pylist(),
+                                   t.column("member_bytes").to_pylist()):
+            rec = parse_elsevier(data.decode())
+            if not rec["harvest"]:
+                continue
+            d = int(name[4:-4])
+            item = {
+                "title": rec["title"],
+                "abstract": rec["abstract"] or "",
+                "journal_title": rec["journal_title"],
+                "journal_volume": rec["journal_volume"],
+                "journal_artid": rec["artid"],
+                "journal_year": rec["year"],
+                "date_published": rec["publication_date"],
+                "dois": [{"value": rec["dois"][0]["doi"],
+                          "material": rec["material"]}],
+                "acquisition_source": {
+                    "method": "hepcrawl",
+                    "datetime": "2024-01-01T00:00:00",
+                    "source": "Elsevier",
+                    "submission_number": f"s{d}"},
+            }
+            item = normalize_hepcrawl_record(item, "Elsevier")
+            hep = hepcrawl_to_hep(item)
+            errors = validate_hep_record(hep)
+            pub = hep.get("publication_info", [{}])[0]
+            out["package_id"].append(pid)
+            out["doc_id"].append(d)
+            out["file_key"].append(hep["dois"][0]["value"] + ".xml")
+            out["title"].append(hep["titles"][0]["title"])
+            out["doi"].append(hep["dois"][0]["value"])
+            out["doi_material"].append(hep["dois"][0]["material"])
+            out["journal_title"].append(pub.get("journal_title"))
+            out["year"].append(pub.get("year"))
+            out["document_type"].append(hep["document_type"][0])
+            out["is_valid"].append(not errors)
+        return pa.table({
+            "package_id": pa.array(out["package_id"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "file_key": pa.array(out["file_key"], pa.string()),
+            "title": pa.array(out["title"], pa.string()),
+            "doi": pa.array(out["doi"], pa.string()),
+            "doi_material": pa.array(out["doi_material"], pa.string()),
+            "journal_title": pa.array(out["journal_title"], pa.string()),
+            "year": pa.array(out["year"], pa.int64()),
+            "document_type": pa.array(out["document_type"], pa.string()),
+            "is_valid": pa.array(out["is_valid"], pa.bool_())})
+
+    src = Source(name="elsevier_lifecycle", seed=_elsevier_seed,
+                 stages=(unzip, consyn))
+    return run_source(src, sf_dir)
+
+
+QUERIES.update({
+    "lifecycle_arxiv_oai": q_lifecycle_arxiv_oai,
+    "lifecycle_desy_s3": q_lifecycle_desy_s3,
+    "lifecycle_elsevier_consyn": q_lifecycle_elsevier_consyn,
+})
+
+ORACLE_SQL.update({
+    "lifecycle_arxiv_oai": """
+        WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS rn
+            FROM documents WHERE doc_id < 100000)
+        SELECT 'p' || CAST(rn // 50 AS VARCHAR) AS package_id,
+               doc_id,
+               'ArXiv ' || CAST(doc_id AS VARCHAR) AS title,
+               '2401.' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+                   AS eprint,
+               CASE WHEN doc_id % 10 = 0 THEN 'thesis'
+                    WHEN doc_id % 10 = 5 THEN 'conference paper'
+                    ELSE 'article' END AS document_type,
+               CAST(CASE WHEN doc_id % 10 = 0 THEN 120
+                         WHEN doc_id % 10 = 5 THEN NULL
+                         ELSE doc_id % 40 + 1 END AS BIGINT) AS n_pages,
+               '2024-' || lpad(CAST(doc_id % 14 + 1 AS VARCHAR), 2, '0')
+                   AS imprint_date,
+               'Key' || CAST(doc_id % 9 AS VARCHAR) || ', F.'
+                   AS full_name,
+               doc_id % 14 + 1 <= 12 AS is_valid,
+               CAST(CASE WHEN doc_id % 14 + 1 <= 12 THEN 0 ELSE 1
+                    END AS BIGINT) AS n_errors,
+               CASE WHEN doc_id % 14 + 1 <= 12 THEN NULL
+                    ELSE 'imprints[0].date: not an ISO date: ''2024-'
+                         || CAST(doc_id % 14 + 1 AS VARCHAR) || ''''
+               END AS first_error
+        FROM r
+    """,
+    "lifecycle_desy_s3": """
+        SELECT source AS file_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END
+                   AS doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE 'DESY ' || CAST(doc_id AS VARCHAR) END AS title,
+               doc_id % 7 = 0 AS has_error,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE 's3://processed/' || CAST(doc_id AS VARCHAR)
+                         || '.pdf' END AS doc_url,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE CAST(doc_id AS VARCHAR) || '.pdf' END
+                   AS doc_key,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE 'http://desy.example.org/files/'
+                         || CAST(doc_id AS VARCHAR) || '.pdf' END
+                   AS old_url,
+               doc_id % 7 <> 0 AS is_valid,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 0
+                    END AS BIGINT) AS n_errors
+        FROM documents WHERE doc_id < 100000
+    """,
+    "lifecycle_elsevier_consyn": """
+        SELECT source AS package_id,
+               doc_id,
+               '10.1016/els.' || CAST(doc_id AS VARCHAR) || '.xml'
+                   AS file_key,
+               'Els ' || CAST(doc_id AS VARCHAR) AS title,
+               '10.1016/els.' || CAST(doc_id AS VARCHAR) AS doi,
+               CASE WHEN doc_id % 3 = 0 THEN 'publication'
+                    ELSE 'erratum' END AS doi_material,
+               'J Els' AS journal_title,
+               CAST(2015 + doc_id % 5 AS BIGINT) AS year,
+               'article' AS document_type,
+               TRUE AS is_valid
+        FROM documents WHERE doc_id < 100000 AND doc_id % 3 < 2
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

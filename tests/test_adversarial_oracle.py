@@ -423,6 +423,9 @@ ADVERSARIAL_QUERIES = [
     "source_crossref_harvest", "source_elsevier_harvest",
     "source_iop_harvest", "source_pos_harvest", "source_edp_harvest",
     "source_aps_harvest",
+    # round-4: the §3 lifecycle compositions over the same tiny table
+    "lifecycle_arxiv_oai", "lifecycle_desy_s3",
+    "lifecycle_elsevier_consyn",
 ]
 
 
