@@ -276,11 +276,12 @@ class _DiscoverWorker:
     can instantiate it directly)."""
 
     def __init__(self, discover_fn, actors, num_partitions,
-                 salted_hosts):
+                 salted_hosts, discover_batch_fn=None):
         from hepcrawl_ray.stages import DiscoverRouteStage
 
-        self.stage = DiscoverRouteStage(discover_fn, actors,
-                                        num_partitions, salted_hosts)
+        self.stage = DiscoverRouteStage(
+            discover_fn, actors, num_partitions, salted_hosts,
+            discover_batch_fn=discover_batch_fn)
 
     def process(self, table: pa.Table) -> int:
         # offers are delivered (ray.get inside the stage) before this
@@ -292,7 +293,8 @@ class _DiscoverWorker:
 def run_iterative_crawl(seeds, politeness, discover_fn, *,
                         num_partitions=4, salted_hosts=None,
                         rounds_per_iter=1, max_iters=100_000,
-                        in_stage=True):
+                        in_stage=True, n_discover_workers=4,
+                        discover_batch_fn=None):
     """Crawl with mid-run URL discovery (the frontier LOOP).
 
     ``discover_fn(canonical_url, seq) -> list of seed-like dicts`` —
@@ -300,6 +302,15 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
     admissions of virtual round ``r`` become eligible from round
     ``r+rounds_per_iter`` (spec: sim.simulate_iterative, which this
     must match exactly at rounds_per_iter=1).
+
+    ``discover_batch_fn(urls, seqs) -> (offer_table, per_row_counts)``
+    (optional): the VECTORIZED form of the same contract — one call
+    per admitted batch returning an Arrow table with
+    url/priority/seq/mtime/set_id columns.  Use it when link
+    extraction is expressible over columns (it usually is: production
+    extraction runs over parsed batches); the per-row ``discover_fn``
+    stays the executable spec and the two are equivalence-pinned in
+    tests/test_sources_iterative.py.
 
     ``in_stage=True`` (the DEFAULT — the production shape): each
     iteration's admission table streams through a Dataset whose
@@ -333,7 +344,8 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
     if in_stage:
         DW = ray.remote(num_cpus=0.25)(_DiscoverWorker)
         workers = [DW.remote(discover_fn, actors, num_partitions,
-                             salted_hosts) for _ in range(4)]
+                             salted_hosts, discover_batch_fn)
+                   for _ in range(n_discover_workers)]
 
     admissions = []
     for _ in range(max_iters):

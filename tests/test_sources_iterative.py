@@ -206,6 +206,94 @@ class TestIterativeCrawl:
         assert admitted(in_stage) == admitted(driver) == want
         assert in_stage["seen"] == driver["seen"] == ref.seen_hashes
 
+    def test_batch_discover_matches_per_row_and_sim(self, ray_session):
+        """The vectorized discover_batch_fn contract (one call per
+        admitted batch -> offer table + per-row counts) produces the
+        EXACT schedule and seen set of the per-row spec callback and
+        the simulator."""
+        from hepcrawl_ray.pipelines import crawl as cp
+        from hepcrawl_ray.sim import simulate_iterative
+
+        n = 40
+        host = "host1.example.org"
+        seeds = pa.table({
+            "url": [f"http://{host}/seed/img{i:07d}" for i in range(3)],
+            "host": [host] * 3,
+            "set_id": ["seed"] * 3,
+            "priority": [0.0] * 3,
+            "seq": [0, 1, 2],
+            "mtime": [1000] * 3,
+            "dup_of": [None] * 3,
+        }, schema=synth.SEEDS_SCHEMA)
+        politeness = pa.table({
+            "host": [host], "max_concurrency": [2], "min_delay_ms": [0],
+            "robots_disallow": [[]],
+        }, schema=synth.POLITENESS_SCHEMA)
+        discover = make_tree_discover(n, host=host)
+
+        def discover_batch(urls, seqs):
+            rows, counts = [], []
+            for url, seq in zip(urls.to_pylist(), seqs.to_pylist()):
+                found = discover(url, seq)
+                counts.append(len(found))
+                rows.extend(found)
+            raw = pa.table({
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "priority": pa.array([r["priority"] for r in rows],
+                                     pa.float64()),
+                "seq": pa.array([r["seq"] for r in rows], pa.int64()),
+                "mtime": pa.array([r["mtime"] for r in rows], pa.int64()),
+                "set_id": pa.array([r["set_id"] for r in rows],
+                                   pa.string()),
+            })
+            return raw, counts
+
+        ref = simulate_iterative(seeds.to_pylist(), politeness.to_pylist(),
+                                 discover)
+
+        def admitted(out):
+            t = out["admissions"].sort_by(
+                [("round", "ascending"), ("host", "ascending"),
+                 ("pop_idx", "ascending")])
+            return list(zip(t.column("round").to_pylist(),
+                            t.column("url").to_pylist(),
+                            t.column("seq").to_pylist()))
+
+        batch = cp.run_iterative_crawl(seeds, politeness, discover,
+                                       num_partitions=2,
+                                       discover_batch_fn=discover_batch)
+        per_row = cp.run_iterative_crawl(seeds, politeness, discover,
+                                         num_partitions=2)
+        want = [(r, u, s) for (r, _h, u, s, _p, _m) in ref.admissions]
+        assert admitted(batch) == admitted(per_row) == want
+        assert batch["seen"] == per_row["seen"] == ref.seen_hashes
+
+    def test_bench_batch_discover_matches_per_row(self, ray_session):
+        """bench.py's vectorized overlapping-tree discover_batch is
+        admission-for-admission identical to its per-row twin (the
+        official iterative metric measures the batch path)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_mod", "/root/repo/bench.py")
+        bench_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench_mod)
+
+        def schedule(res):
+            t = res["admissions"].sort_by(
+                [("round", "ascending"), ("host", "ascending"),
+                 ("pop_idx", "ascending")])
+            return list(zip(t.column("round").to_pylist(),
+                            t.column("url").to_pylist(),
+                            t.column("seq").to_pylist()))
+
+        a = bench_mod.run_iterative_bench(n_urls=3000, use_batch=True,
+                                          return_admissions=True)
+        b = bench_mod.run_iterative_bench(n_urls=3000, use_batch=False,
+                                          return_admissions=True)
+        assert a["urls"] == b["urls"] == 3000
+        assert schedule(a) == schedule(b)
+
     def test_in_stage_dedups_cross_batch(self, ray_session):
         """Two parents in different partitions discovering the same
         child through separate stage batches: crawled once."""
