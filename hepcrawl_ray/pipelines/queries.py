@@ -14957,6 +14957,271 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-3 batch: retrieval fusion, curriculum ordering, and
+# the small-file compaction lifecycle.  Fusion/curriculum are integer
+# fixed-point with DuckDB twins; compaction is rows-only (filesystem
+# layout is engine-defined; content equality and crash-safety are
+# pinned in tests/test_resumable_output.py).
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard reciprocal-rank-fusion constant
+_RRF_VEC_QUERY = 0   # vector-side query = embedding of vec_id 0
+
+
+def q_hybrid_rrf_retrieval(sf_dir: str):
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion —
+    the standard RAG-corpus fusion step: the BM25 top-10 list
+    (q_bm25_topk's integer fixed-point scorer) fused with the cosine
+    kNN top-10 of query vector ``vec_id = 0`` by
+    ``sum(1_000_000 // (60 + rank))``.  Ranks are integers and the
+    fusion is pure integer division, so both engines compute
+    bit-identical scores; the float cosine only ever ORDERS the
+    vector list (the knn_bruteforce contract — rank-boundary margins
+    pinned by tests/test_band_margins.py).
+
+    Scale shape: each list is an existing streaming partial-top-k
+    plan (BM25: two corpus passes with per-batch local top-10; kNN:
+    one pass with per-block local top-10); the fusion itself is a
+    <= 2k-row driver combine — k is a constant, never the corpus.
+    """
+    lex_top = q_bm25_topk(sf_dir)
+    lex = pd.DataFrame({
+        "doc_id": lex_top["doc_id"].astype("int64"),
+        "lex_rank": np.arange(1, len(lex_top) + 1, dtype=np.int64)})
+    vec_ds = K.knn_bruteforce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        (_RRF_VEC_QUERY,), k=10)
+    vdf = vec_ds.to_pandas()
+    if len(vdf) == 0 or "neighbor_id" not in vdf.columns:
+        vdf = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                            "vec_rank": pd.array([], dtype="int64")})
+    else:
+        vdf = pd.DataFrame({
+            "doc_id": vdf["neighbor_id"].astype("int64"),
+            "vec_rank": vdf["rank"].astype("int64")})
+    fused = lex.merge(vdf, on="doc_id", how="outer")
+    for c in ("lex_rank", "vec_rank"):
+        # outer-merge nulls degrade int64 -> float64 (lesson 13)
+        fused[c] = fused[c].fillna(0).astype("int64")
+    lr = fused["lex_rank"].to_numpy(np.int64)
+    vr = fused["vec_rank"].to_numpy(np.int64)
+    fused["rrf_micro"] = (
+        np.where(lr > 0, 1_000_000 // (_RRF_K + lr), 0)
+        + np.where(vr > 0, 1_000_000 // (_RRF_K + vr), 0)
+    ).astype(np.int64)
+    fused["doc_id"] = fused["doc_id"].astype("int64")
+    out = (fused.sort_values(["rrf_micro", "doc_id"],
+                             ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    return out[["doc_id", "lex_rank", "vec_rank", "rrf_micro"]]
+
+
+def q_curriculum_order(sf_dir: str):
+    """Length-based training curriculum: documents tiered by size
+    (n_chars < 200 -> 0, < 400 -> 1, else 2 — short-to-long is the
+    classic curriculum), deterministically shuffled WITHIN each tier
+    by the portable Knuth multiplicative hash (seed 11, the
+    epoch-shuffle convention), and assigned their global curriculum
+    position — the order a trainer streams epochs in.
+
+    Scale shape: the bucket-offset two-pass global rank (the
+    q_global_rank_sample plan) — pass 1 streams per-(tier, key-range)
+    COUNTS and the driver cumsums <= 768 integers into start offsets;
+    pass 2 moves rows ONCE keyed by that bucket and lifts local sorted
+    ranks by the broadcast offsets.  No global row sort, one keyed
+    exchange."""
+    seed = 11
+
+    def key(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("doc_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nc = pc.cast(t.column("n_chars"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tier = np.where(nc < 200, 0,
+                        np.where(nc < 400, 1, 2)).astype(np.int64)
+        sk = ((d + seed) * 2654435761) % 4294967296
+        return pa.table({
+            "doc_id": pa.array(d),
+            "tier": pa.array(tier),
+            "sk": pa.array(sk.astype(np.int64)),
+            "bucket": pa.array((tier * 256 + (sk >> 24))
+                               .astype(np.int64))})
+
+    def keyed(): return (_read(sf_dir, "documents",
+                               ["doc_id", "n_chars"])
+                         .map_batches(key, batch_format="pyarrow"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        vals, cnt = np.unique(
+            t.column("bucket").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"bucket": pa.array(vals.astype(np.int64)),
+                         "p_n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (keyed().map_batches(counts, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("p_n", alias_name="n"))
+            .sort("bucket").take_all())
+    buckets = [int(r["bucket"]) for r in hist]
+    ns = [int(r["n"]) for r in hist]
+    offsets = dict(zip(buckets, np.concatenate(
+        [[0], np.cumsum(ns)[:-1]]).astype(np.int64))) if hist else {}
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        for c in ("doc_id", "tier", "sk", "bucket"):
+            g[c] = g[c].astype("int64")
+        g = g.sort_values(["bucket", "sk", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+        local = g.groupby("bucket").cumcount().to_numpy()
+        base = g["bucket"].map(offsets).to_numpy(dtype=np.int64)
+        g["curriculum_pos"] = (base + local).astype("int64")
+        return g[["doc_id", "tier", "curriculum_pos"]]
+
+    return (keyed().groupby("bucket")
+            .map_groups(rank, batch_format="pandas"))
+
+
+def q_compact_crawl_output(sf_dir: str):
+    """Small-file compaction lifecycle over the resumable crawl sink
+    (the post-job maintenance step every 100 TB partitioned writer
+    needs — at scale a 4096-partition output whose stages emitted one
+    file per Ray block is millions of KB-sized files).  Runs the
+    flagship crawl into the partitioned parquet sink, compacts with
+    the manifest-committed parallel merge (pipelines/sink.py
+    compact_output: the driver bin-packs file SIZES and commits;
+    every bin merge is a Ray task, so row bytes never transit the
+    driver), and returns per-partition file counts plus row
+    conservation.  Rows-only: the filesystem layout is
+    engine-defined; content equality, idempotence and crash-orphan
+    sweeping are pinned in tests/test_resumable_output.py."""
+    import tempfile
+
+    from hepcrawl_ray.pipelines import sink
+
+    images, _, seeds, politeness = _crawl_tables(sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        out_dir = os.path.join(d, "out")
+        ckpt_dir = os.path.join(d, "ckpt")
+        manifest = sink.run_resumable_crawl(
+            images, seeds, politeness, output_dir=out_dir,
+            checkpoint_dir=ckpt_dir, num_partitions=4,
+            fetch_concurrency=2, parse_concurrency=2,
+            max_rows_per_file=32)   # force the small-file state
+        before = {pid: len(sink._partition_files(out_dir, pid, m))
+                  for pid, m in manifest["partitions"].items()}
+        sink.compact_output(out_dir, target_bytes=1 << 30)
+        manifest2 = sink.read_manifest(out_dir)
+        after = {pid: len(sink._partition_files(out_dir, pid, m))
+                 for pid, m in manifest2["partitions"].items()}
+        ds = sink.read_output(out_dir)
+        rows_after = int(ds.count()) if ds is not None else 0
+    rows_written = {pid: int(m["rows"])
+                    for pid, m in manifest["partitions"].items()}
+    pids = sorted(rows_written, key=int)
+    total = sum(rows_written.values())
+    return pd.DataFrame({
+        "partition": pd.array([int(p) for p in pids], dtype="int64"),
+        "rows": pd.array([rows_written[p] for p in pids],
+                         dtype="int64"),
+        "files_before": pd.array([before[p] for p in pids],
+                                 dtype="int64"),
+        "files_after": pd.array([after[p] for p in pids],
+                                dtype="int64"),
+        "rows_preserved": pd.array(
+            [int(rows_after == total)] * len(pids), dtype="int64")})
+
+
+QUERIES.update({
+    "hybrid_rrf_retrieval": q_hybrid_rrf_retrieval,
+    "curriculum_order": q_curriculum_order,
+    "compact_crawl_output": q_compact_crawl_output,
+})
+
+ORACLE_SQL.update({
+    "hybrid_rrf_retrieval": """
+        WITH tok AS (
+            SELECT doc_id, t
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text),
+                                                      '\\s+')) AS t
+                  FROM documents)
+            WHERE t <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY doc_id),
+        sc AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                          AS n_docs,
+                      CAST(count(*) AS BIGINT) AS total_toks
+               FROM tok),
+        df AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM tok WHERE t IN ('join', 'merge', 'window')
+               GROUP BY t),
+        tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE t IN ('join', 'merge', 'window')
+               GROUP BY doc_id, t),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum(((2 * (sc.n_docs - df.df) + 1) * 1000
+                        // (2 * df.df + 1))
+                       * ((tf.tf * 2200 * 1000)
+                          // (tf.tf * 1000
+                              + (1200 * (250
+                                 + (750 * (dl.dl * 1000000
+                                    // (sc.total_toks * 1000
+                                        // sc.n_docs))) // 1000))
+                                // 1000))
+                       // 1000) AS score_milli
+            FROM tf, df, dl, sc
+            WHERE tf.t = df.t AND dl.doc_id = tf.doc_id
+            GROUP BY tf.doc_id),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY score_milli DESC,
+                                          doc_id) AS lex_rank
+                FROM scored QUALIFY lex_rank <= 10),
+        qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings
+               WHERE vec_id = 0 AND embedding IS NOT NULL),
+        sim AS (SELECT v.vec_id AS doc_id,
+                       list_cosine_similarity(
+                           qv.e, CAST(v.embedding AS DOUBLE[])) AS sim
+                FROM qv CROSS JOIN embeddings v
+                WHERE v.vec_id <> 0 AND v.embedding IS NOT NULL),
+        vecr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY sim DESC,
+                                           doc_id) AS vec_rank
+                 FROM sim QUALIFY vec_rank <= 10)
+        SELECT CAST(COALESCE(lex.doc_id, vecr.doc_id) AS BIGINT)
+                   AS doc_id,
+               CAST(COALESCE(lex.lex_rank, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(vecr.vec_rank, 0) AS BIGINT) AS vec_rank,
+               CAST(CASE WHEN lex.lex_rank IS NULL THEN 0
+                         ELSE 1000000 // (60 + lex.lex_rank) END
+                    + CASE WHEN vecr.vec_rank IS NULL THEN 0
+                           ELSE 1000000 // (60 + vecr.vec_rank) END
+                    AS BIGINT) AS rrf_micro
+        FROM lex FULL OUTER JOIN vecr ON lex.doc_id = vecr.doc_id
+        ORDER BY rrf_micro DESC, doc_id
+        LIMIT 10
+    """,
+    "curriculum_order": """
+        WITH k AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 400 THEN 1
+                        ELSE 2 END AS tier,
+                   CAST(((doc_id + 11) * 2654435761) % 4294967296
+                        AS BIGINT) AS sk
+            FROM documents)
+        SELECT doc_id,
+               CAST(tier AS BIGINT) AS tier,
+               CAST(row_number() OVER (ORDER BY tier, sk, doc_id) - 1
+                    AS BIGINT) AS curriculum_pos
+        FROM k
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

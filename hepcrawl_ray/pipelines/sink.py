@@ -49,12 +49,16 @@ def run_resumable_crawl(images, seeds, politeness, *, output_dir: str,
                         checkpoint_dir: str, num_partitions: int = 4,
                         salted_hosts=None, batch_size: int = 1024,
                         fetch_concurrency: int = 4, parse_concurrency: int = 4,
-                        fail_after_partitions: int | None = None):
+                        fail_after_partitions: int | None = None,
+                        max_rows_per_file: int | None = None):
     """Crawl with per-partition resumable output.
 
     ``fail_after_partitions`` injects a crash after N partitions are
-    written (test hook).  Returns the manifest; call again with the
-    same dirs to resume — finished partitions are skipped untouched.
+    written (test hook).  ``max_rows_per_file`` caps output file size
+    (passed through to ``write_parquet``; compact_output is the
+    matching post-job merge).  Returns the manifest; call again with
+    the same dirs to resume — finished partitions are skipped
+    untouched.
     """
     import ray
 
@@ -95,7 +99,11 @@ def run_resumable_crawl(images, seeds, politeness, *, output_dir: str,
             records = cp.fetch_and_parse(
                 ds, images, fetch_concurrency=fetch_concurrency,
                 parse_concurrency=parse_concurrency, batch_size=batch_size)
-            records.write_parquet(part_dir)
+            if max_rows_per_file is not None:
+                records.write_parquet(part_dir,
+                                      max_rows_per_file=max_rows_per_file)
+            else:
+                records.write_parquet(part_dir)
         else:
             os.makedirs(part_dir, exist_ok=True)
         return n
@@ -224,13 +232,24 @@ def compact_output(output_dir: str,
     are left untouched.  Idempotent: a second run finds nothing to do.
     Returns {"partitions_compacted": n, "files_before": b,
     "files_after": a}.
+
+    Scale shape: the driver only bin-packs FILE SIZES (parquet
+    directory metadata) and commits manifests; every group merge is a
+    Ray task reading and writing its own bin worker-side, so no row
+    bytes ever transit the driver and all partitions' merges run
+    concurrently.  Commits stay ordered per partition AFTER that
+    partition's writes complete, preserving the crash-safety argument
+    above.
     """
     import glob
 
-    import pyarrow.parquet as pq
+    import ray
 
     manifest = read_manifest(output_dir)
     n_parts = files_before = files_after = 0
+    merge_task = ray.remote(num_cpus=1)(_compact_group)
+    # phase 1 — plan on metadata + submit every group merge
+    pending = {}          # pid -> (meta, files, new_names, refs)
     for pid, meta in sorted(manifest["partitions"].items()):
         part_dir = os.path.join(output_dir, f"part={pid}")
         comp_dir = os.path.join(part_dir, "_compact")
@@ -267,16 +286,18 @@ def compact_output(output_dir: str,
             files_after += len(files)
             continue
         os.makedirs(comp_dir, exist_ok=True)
-        new_names = []
+        new_names, refs = [], []
         for gi, group in enumerate(groups):
             name = os.path.join("_compact", f"c{gi:05d}.parquet")
-            out_path = os.path.join(part_dir, name)
-            if len(group) == 1:
-                shutil.copyfile(group[0], out_path)
-            else:
-                tables = [pq.read_table(f) for f in group]
-                pq.write_table(pa.concat_tables(tables), out_path)
+            refs.append(merge_task.remote(
+                group, os.path.join(part_dir, name)))
             new_names.append(name)
+        pending[pid] = (meta, files, new_names, refs)
+    # phase 2 — commit each partition once ITS writes are durable
+    for pid in sorted(pending):
+        meta, files, new_names, refs = pending[pid]
+        part_dir = os.path.join(output_dir, f"part={pid}")
+        ray.get(refs)
         # commit: readers atomically switch to the compacted set
         meta = dict(meta)
         meta["files"] = new_names
@@ -290,3 +311,17 @@ def compact_output(output_dir: str,
         files_after += len(new_names)
     return {"partitions_compacted": n_parts,
             "files_before": files_before, "files_after": files_after}
+
+
+def _compact_group(files: list, out_path: str) -> int:
+    """Merge one size-bounded bin of parquet files into a single file
+    (runs as a Ray task: the bin's bytes are read and written entirely
+    worker-side).  Single-file bins are byte-copied unchanged."""
+    import pyarrow.parquet as pq
+
+    if len(files) == 1:
+        shutil.copyfile(files[0], out_path)
+        return 1
+    pq.write_table(pa.concat_tables([pq.read_table(f) for f in files]),
+                   out_path)
+    return len(files)

@@ -426,6 +426,13 @@ ADVERSARIAL_QUERIES = [
     # round-4: the §3 lifecycle compositions over the same tiny table
     "lifecycle_arxiv_oai", "lifecycle_desy_s3",
     "lifecycle_elsevier_consyn",
+    # round-4 session 3: curriculum tiers over the fixture's n_chars
+    # extremes (0-length null-text doc -> tier 0; every doc < 200
+    # chars) — the tier CASE and the two-pass rank must agree with
+    # row_number on a single-tier corpus.  hybrid_rrf_retrieval is
+    # excluded like knn_bruteforce: its vector list ranks by raw float
+    # similarity, tie-unsafe on the planted duplicate vectors.
+    "curriculum_order",
 ]
 
 
