@@ -72,6 +72,9 @@ QUERY_NAMES = [
     # SCD2 history build, global value-rank stats)
     "knn_pq", "contrastive_negatives", "scd2_user_status",
     "percent_rank_prices", "snapshot_diff_orders",
+    # round-4 session-3 additions (retrieval fusion, curriculum /
+    # budget selection over the documents corpus)
+    "hybrid_rrf_retrieval", "curriculum_order", "token_budget_select",
     # session-8 batch 2 (warehouse + audit ops)
     "upsert_orders", "gap_fill_interpolate", "table_profile_orders",
     "corpus_drift_chi2",

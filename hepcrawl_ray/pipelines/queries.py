@@ -15133,10 +15133,196 @@ def q_compact_crawl_output(sf_dir: str):
             [int(rows_after == total)] * len(pids), dtype="int64")})
 
 
+def q_dedup_tokens_in_doc(sf_dir: str):
+    """Order-preserving WITHIN-document token dedup: each document
+    keeps the first occurrence of every token, in original order —
+    the reference's ``dedupe_list`` list-processor semantics
+    (reference: hepcrawl/utils.py dedupe_list, applied by the
+    HEPLoader output processors) lifted to a corpus-wide transform
+    (the same shape de-boilerplates repeated lines at 100 TB).
+
+    Scale shape: each doc lives in exactly one batch, so the whole
+    transform is per-batch vectorized C (Arrow RE2 split, lexsort
+    first-occurrence mask, pandas C-level join) — ZERO shuffles.
+    Docs with no tokens (empty/NULL text) drop, matching SQL unnest.
+    """
+    def f(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        if len(parent) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "text_dedup": pa.array([], pa.string()),
+                "n_tokens_before": pa.array([], pa.int64()),
+                "n_tokens_after": pa.array([], pa.int64())})
+        docs = pc.cast(t.column("doc_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[parent]
+        toks = flat.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(parent), dtype=np.int64)  # global order
+        # first occurrence of (doc, token): stable sort by (doc, tok)
+        # puts duplicates adjacent in position order; keep run heads
+        order = np.lexsort((pos, toks, docs))
+        d_s, t_s = docs[order], toks[order]
+        head = np.ones(len(order), bool)
+        head[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        keep = np.zeros(len(order), bool)
+        keep[order[head]] = True
+        df = pd.DataFrame({"doc_id": docs[keep], "t": toks[keep]})
+        out = df.groupby("doc_id", sort=True).agg(
+            text_dedup=("t", " ".join),
+            n_tokens_after=("t", "size")).reset_index()
+        before = pd.Series(np.bincount(
+            np.searchsorted(out["doc_id"].to_numpy(np.int64),
+                            docs),
+            minlength=len(out)))
+        out["n_tokens_before"] = before.astype("int64")
+        out["n_tokens_after"] = out["n_tokens_after"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["doc_id", "text_dedup", "n_tokens_before",
+                 "n_tokens_after"]], preserve_index=False)
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(f, batch_format="pyarrow"))
+
+
+_TOKEN_BUDGET_DIVISOR = 2   # budget = total corpus tokens // 2
+
+
+def q_token_budget_select(sf_dir: str):
+    """Greedy corpus selection under a global TOKEN BUDGET: rank every
+    document by an integer quality prior (stopword ratio in milli —
+    the classic natural-language signal) and keep the best documents
+    whose running token total stays within budget = total_tokens // 2
+    (ties broken by doc_id).  This is the data-mixing step a training
+    pipeline runs last: "fill N tokens with the highest-quality text".
+
+    Scale shape — NO global row sort.  Three streaming passes with
+    dimension-sized driver state:
+      1. per-batch (score -> token sum) partials over the BOUNDED
+         score domain (0..1000): the driver cumsums <= 1001 ints in
+         score-desc order to find the cut score s* and the budget
+         remainder entering it;
+      2. docs AT s* only: a 256-range doc_id histogram of token sums
+         finds the cut range (driver state: 256 ints);
+      3. only the cut RANGE's rows (corpus/256k) are gathered to
+         resolve the exact boundary doc; the final emit is a streamed
+         FILTER against (s*, cut range, boundary id) — three ints.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = T.token_stats_arrow(t.column("text"))
+        n_tok = s["n_tokens"]
+        score = np.where(n_tok > 0, 1000 * s["n_stopwords"]
+                         // np.maximum(n_tok, 1), 0).astype(np.int64)
+        d = pc.cast(t.column("doc_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = n_tok > 0           # empty/NULL text is unselectable
+        return pa.table({"doc_id": pa.array(d[keep]),
+                         "n_tokens": pa.array(n_tok[keep]),
+                         "score_milli": pa.array(score[keep])})
+
+    def hist(t: pa.Table) -> pa.Table:
+        sc = t.column("score_milli").to_numpy(zero_copy_only=False)
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        mx = int(t.column("doc_id").to_numpy(
+            zero_copy_only=False).max()) if t.num_rows else 0
+        return pa.table({
+            "score": pa.array(np.arange(1001, dtype=np.int64)),
+            "toks": pa.array(np.bincount(sc, weights=tok,
+                                         minlength=1001)
+                             .astype(np.int64)),
+            "max_id": pa.array(np.full(1001, mx, np.int64))})
+
+    # the stats table is a 3-int-column REDUCTION of the corpus
+    # (~24 B/doc); materialize it once so the histogram, tie and emit
+    # passes don't each re-tokenize the full text column
+    st = docs.map_batches(stats, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Max, Sum
+
+    h = (st.map_batches(hist, batch_format="pyarrow")
+         .groupby("score")
+         .aggregate(Sum("toks", alias_name="toks"),
+                    Max("max_id", alias_name="max_id"))
+         .to_pandas())
+    empty = pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "n_tokens": pd.array([], dtype="int64"),
+        "score_milli": pd.array([], dtype="int64")})
+    if len(h) == 0 or int(h["toks"].sum()) == 0:
+        return empty
+    h = h.sort_values("score", ascending=False).reset_index(drop=True)
+    budget = int(h["toks"].sum()) // _TOKEN_BUDGET_DIVISOR
+    cum = h["toks"].cumsum()
+    over = cum > budget
+    if not over.any():                  # everything fits
+        return st
+    cut_i = int(over.idxmax())
+    cut_score = int(h.loc[cut_i, "score"])
+    remaining = budget - (int(cum[cut_i - 1]) if cut_i else 0)
+    max_id = int(h["max_id"].max())
+    width = max(1, max_id // 256 + 1)
+
+    def tie_hist(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("score_milli"), cut_score) \
+            .to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)[m]
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "rng": pa.array(np.arange(256, dtype=np.int64)),
+            "toks": pa.array(np.bincount(d // width, weights=tok,
+                                         minlength=256)
+                             .astype(np.int64))})
+
+    th = (st.map_batches(tie_hist, batch_format="pyarrow")
+          .groupby("rng").aggregate(Sum("toks", alias_name="toks"))
+          .to_pandas().sort_values("rng").reset_index(drop=True))
+    tcum = th["toks"].cumsum()
+    tover = tcum > remaining
+    if not tover.any():
+        cut_rng, rng_remaining = 256, 0      # whole tie bucket fits
+    else:
+        cut_rng = int(tover.idxmax())
+        rng_remaining = remaining - (int(tcum[cut_rng - 1])
+                                     if cut_rng else 0)
+    # pass 3: exact boundary inside the one cut range (tiny gather)
+    boundary_ids: set = set()
+    if cut_rng < 256 and rng_remaining > 0:
+        rows = (st.map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.equal(t.column("score_milli"), cut_score),
+                pc.equal(pc.cast(pc.divide(t.column("doc_id"), width),
+                                 pa.int64()), cut_rng))),
+            batch_format="pyarrow").take_all())
+        rows.sort(key=lambda r: r["doc_id"])
+        acc = 0
+        for r in rows:
+            if acc + int(r["n_tokens"]) > rng_remaining:
+                break
+            acc += int(r["n_tokens"])
+            boundary_ids.add(int(r["doc_id"]))
+    bid = pa.array(sorted(boundary_ids), pa.int64())
+
+    def emit(t: pa.Table) -> pa.Table:
+        sc = t.column("score_milli")
+        d = t.column("doc_id")
+        in_rng = pc.less(pc.cast(pc.divide(d, width), pa.int64()),
+                         cut_rng)
+        at_cut = pc.equal(sc, cut_score)
+        sel = pc.or_(pc.greater(sc, cut_score),
+                     pc.and_(at_cut,
+                             pc.or_(in_rng,
+                                    pc.is_in(d, value_set=bid))))
+        return t.filter(sel)
+
+    return st.map_batches(emit, batch_format="pyarrow")
+
+
 QUERIES.update({
     "hybrid_rrf_retrieval": q_hybrid_rrf_retrieval,
     "curriculum_order": q_curriculum_order,
     "compact_crawl_output": q_compact_crawl_output,
+    "dedup_tokens_in_doc": q_dedup_tokens_in_doc,
+    "token_budget_select": q_token_budget_select,
 })
 
 ORACLE_SQL.update({
@@ -15218,6 +15404,58 @@ ORACLE_SQL.update({
                CAST(row_number() OVER (ORDER BY tier, sk, doc_id) - 1
                     AS BIGINT) AS curriculum_pos
         FROM k
+    """,
+    "dedup_tokens_in_doc": """
+        WITH tok AS (
+            SELECT doc_id, t, pos
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text),
+                                                      '\\s+')) AS t,
+                         unnest(range(1,
+                             len(regexp_split_to_array(trim(text),
+                                                       '\\s+')) + 1))
+                             AS pos
+                  FROM documents)
+            WHERE t <> ''),
+        cnt AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens_before
+                FROM tok GROUP BY doc_id),
+        first AS (SELECT doc_id, t, pos FROM tok
+                  QUALIFY row_number() OVER (PARTITION BY doc_id, t
+                                             ORDER BY pos) = 1)
+        SELECT f.doc_id,
+               string_agg(f.t, ' ' ORDER BY f.pos) AS text_dedup,
+               CAST(max(c.n_tokens_before) AS BIGINT)
+                   AS n_tokens_before,
+               CAST(count(*) AS BIGINT) AS n_tokens_after
+        FROM first f JOIN cnt c USING (doc_id)
+        GROUP BY f.doc_id
+    """,
+    "token_budget_select": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                   END AS n_tokens,
+                   len(list_filter(
+                       regexp_split_to_array(lower(trim(text)),
+                                             '\\s+'),
+                       x -> x IN ('{_STOP_SQL}'))) AS n_stop
+            FROM documents WHERE text IS NOT NULL),
+        s2 AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                      CAST(1000 * n_stop // n_tokens AS BIGINT)
+                          AS score_milli
+               FROM s WHERE n_tokens > 0),
+        b AS (SELECT sum(n_tokens) // 2 AS budget FROM s2),
+        c AS (SELECT doc_id, n_tokens, score_milli,
+                     sum(n_tokens) OVER (ORDER BY score_milli DESC,
+                                         doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                         AS cum
+              FROM s2)
+        SELECT doc_id, n_tokens, score_milli
+        FROM c, b WHERE c.cum <= b.budget
     """,
 })
 

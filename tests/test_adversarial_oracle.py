@@ -433,6 +433,11 @@ ADVERSARIAL_QUERIES = [
     # excluded like knn_bruteforce: its vector list ranks by raw float
     # similarity, tie-unsafe on the planted duplicate vectors.
     "curriculum_order",
+    # within-doc token dedup over the fixture's planted exact dup,
+    # repetitive w1w2w3 doc, empty-text and NULL-text rows (both must
+    # drop from the token stream on both sides); token-budget select
+    # over heavy score ties (stopword-free filler docs all score 0)
+    "dedup_tokens_in_doc", "token_budget_select",
 ]
 
 
