@@ -15317,12 +15317,60 @@ def q_token_budget_select(sf_dir: str):
     return st.map_batches(emit, batch_format="pyarrow")
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Exact-duplicate RATE per source — the corpus-health metric a
+    crawl operator watches per feed (a source whose dup rate spikes is
+    re-crawling or mirroring): per source, total docs, docs whose full
+    text occurs more than once ANYWHERE in the corpus, and the rate in
+    milli.
+
+    Scale shape: per-batch (source, text) rows ride ONE text-hash
+    bucket shuffle (a text's occurrences land in one bucket regardless
+    of source); inside the bucket pandas groups by FULL text (exact —
+    the hash only routes) and collapses to per-(bucket, source)
+    partials; the driver combine is |sources| x |buckets| rows."""
+    n_buckets = 64
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        h = T.content_hash64(t.column("text").to_pylist())
+        return pa.table({
+            "source": t.column("source"),
+            "text": t.column("text"),
+            "_b": pa.array((h % n_buckets).astype(np.int64))})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        n_tot = g.groupby("text")["source"].transform("size")
+        g = g.assign(dup=(n_tot > 1).astype("int64"))
+        return (g.groupby("source", as_index=False)
+                .agg(n_docs=("dup", "size"), n_dup=("dup", "sum")))
+
+    part = (_read(sf_dir, "documents", ["source", "text"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_b").map_groups(bucket_stats,
+                                      batch_format="pandas")
+            .to_pandas())
+    if len(part) == 0 or "source" not in part.columns:
+        return pd.DataFrame({
+            "source": pd.array([], dtype="str"),
+            "n_docs": pd.array([], dtype="int64"),
+            "n_dup": pd.array([], dtype="int64"),
+            "dup_milli": pd.array([], dtype="int64")})
+    out = (part.groupby("source", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), n_dup=("n_dup", "sum")))
+    out["dup_milli"] = 1000 * out["n_dup"] // out["n_docs"]
+    for c in ("n_docs", "n_dup", "dup_milli"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 QUERIES.update({
     "hybrid_rrf_retrieval": q_hybrid_rrf_retrieval,
     "curriculum_order": q_curriculum_order,
     "compact_crawl_output": q_compact_crawl_output,
     "dedup_tokens_in_doc": q_dedup_tokens_in_doc,
     "token_budget_select": q_token_budget_select,
+    "dup_rate_by_source": q_dup_rate_by_source,
 })
 
 ORACLE_SQL.update({
@@ -15456,6 +15504,19 @@ ORACLE_SQL.update({
               FROM s2)
         SELECT doc_id, n_tokens, score_milli
         FROM c, b WHERE c.cum <= b.budget
+    """,
+    "dup_rate_by_source": """
+        WITH d AS (SELECT source, text FROM documents
+                   WHERE text IS NOT NULL),
+        g AS (SELECT text, count(*) AS n_tot FROM d GROUP BY text),
+        s AS (SELECT d.source, count(*) AS n_docs,
+                     sum(CASE WHEN g.n_tot > 1 THEN 1 ELSE 0 END)
+                         AS n_dup
+              FROM d JOIN g USING (text) GROUP BY d.source)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               CAST(1000 * n_dup // n_docs AS BIGINT) AS dup_milli
+        FROM s
     """,
 })
 

@@ -438,6 +438,9 @@ ADVERSARIAL_QUERIES = [
     # drop from the token stream on both sides); token-budget select
     # over heavy score ties (stopword-free filler docs all score 0)
     "dedup_tokens_in_doc", "token_budget_select",
+    # dup-rate per source over the planted exact dup (both copies in
+    # s1) and the NULL-text row (excluded on both sides)
+    "dup_rate_by_source",
 ]
 
 

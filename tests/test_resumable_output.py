@@ -132,6 +132,41 @@ def test_compact_output_preserves_rows(ray_session, corpus, tmp_path):
     assert _collect(out).equals(before)
 
 
+def test_compact_output_multi_bin(ray_session, corpus, tmp_path):
+    """Small-file state with a TINY size target: each partition packs
+    into several output bins (exercising the parallel per-bin Ray
+    merge tasks, not just the one-file collapse), content is
+    byte-identical and every bin respects the greedy target except
+    single oversized files."""
+    images, seeds, politeness = corpus
+    out = str(tmp_path / "multibin")
+    sink.run_resumable_crawl(
+        images, seeds, politeness, output_dir=out,
+        checkpoint_dir=str(tmp_path / "multibin_ckpt"),
+        num_partitions=2, fetch_concurrency=2, parse_concurrency=2,
+        max_rows_per_file=8)   # many small files per partition
+    before = _collect(out)
+    m0 = sink.read_manifest(out)
+    sizes = {pid: [os.path.getsize(f) for f in
+                   sink._partition_files(out, pid, meta)]
+             for pid, meta in m0["partitions"].items()}
+    target = 3 * max(max(s) for s in sizes.values() if s)
+    stats = sink.compact_output(out, target_bytes=target)
+    assert stats["partitions_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    # at least one compacted partition holds MULTIPLE bins
+    m = sink.read_manifest(out)
+    n_bins = [len(meta["files"]) for meta in m["partitions"].values()
+              if "files" in meta]
+    assert any(n > 1 for n in n_bins), n_bins
+    assert _collect(out).equals(before)
+    # greedy bound: no bin may exceed the target unless it is a
+    # single source file (none is here — sources are 8-row files)
+    for pid, meta in m["partitions"].items():
+        for f in sink._partition_files(out, pid, meta):
+            assert os.path.getsize(f) <= 2 * target
+
+
 def test_compact_output_crash_orphans_ignored(ray_session, corpus,
                                               tmp_path):
     import os
