@@ -15521,6 +15521,466 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# crawl-scheduler ops: robots gating, politeness audit, budget apportionment,
+# link prediction; image-training batch assembly
+# (reference analog: the crawl-policy layer every spider rides —
+#  hepcrawl/spiders/common/lastrunstore_spider.py governs WHEN to fetch;
+#  these govern WHAT and HOW FAST, the knobs a web-scale frontier needs)
+# ---------------------------------------------------------------------------
+
+# (host_class, path_prefix, allow) — longest matching prefix wins, allow
+# wins prefix-length ties (the robots.txt evaluation order Google's REP
+# RFC 9309 §2.4.2 specifies); no matching rule -> allow.
+_ROBOTS_RULES = (
+    (0, "/click", 0), (0, "/click/4", 1),
+    (1, "/view", 0), (1, "/", 1),
+    (2, "/purchase", 0), (2, "/purchase/1", 1),
+    (3, "/error", 0), (3, "/signup", 0),
+)
+
+
+def q_robots_prefix_gate(sf_dir: str):
+    """robots.txt-style URL gating: each event is a fetch candidate
+    (host class = user_id % 4, path = /<event_type>/<event_id % 1000>);
+    the fixed rule table applies with RFC 9309 longest-prefix-wins /
+    allow-wins-ties semantics; count candidates per (host_class,
+    verdict).
+
+    Scale shape: the rule table is a broadcast constant (robots rules
+    are per-host and tiny); each batch does one vectorized
+    starts_with per rule (constant rule count) and emits an 8-row
+    count partial — no shuffle at all, driver folds 8-row partials."""
+    rules = [(hc, p, a, len(p)) for hc, p, a in _ROBOTS_RULES]
+
+    def gate(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hc = (t.column("user_id").to_numpy(zero_copy_only=False)
+              .astype(np.int64) % 4)
+        path = pc.binary_join_element_wise(
+            pa.scalar(""), t.column("event_type"),
+            pc.cast(pa.array(eid % 1000), pa.string()), pa.scalar("/"))
+        # default: allow via a zero-length virtual rule
+        best_len = np.zeros(len(eid), dtype=np.int64)
+        best_allow = np.ones(len(eid), dtype=np.int64)
+        for rhc, prefix, allow, plen in rules:
+            m = pc.starts_with(path, pattern="/" + prefix.lstrip("/")) \
+                if prefix != "/" else pc.starts_with(path, pattern="/")
+            m = m.to_numpy(zero_copy_only=False) & (hc == rhc)
+            upd = m & ((plen > best_len)
+                       | ((plen == best_len) & (allow > best_allow)))
+            best_len[upd] = plen
+            best_allow[upd] = allow
+        n = np.bincount(hc * 2 + best_allow, minlength=8)
+        return pa.table({
+            "host_class": pa.array(np.arange(8, dtype=np.int64) // 2),
+            "allow": pa.array(np.arange(8, dtype=np.int64) % 2),
+            "n": pa.array(n.astype(np.int64))})
+
+    p = _pdf(_read(sf_dir, "events",
+                   ["event_id", "user_id", "event_type"])
+             .map_batches(gate, batch_format="pyarrow"),
+             ["host_class", "allow", "n"])
+    h = (p.groupby(["host_class", "allow"], as_index=False)["n"].sum())
+    h = h[h["n"] > 0]
+    out = pd.DataFrame({
+        "host_class": h["host_class"].astype("int64"),
+        "verdict": np.where(h["allow"].to_numpy() == 1,
+                            "allow", "deny"),
+        "n_urls": h["n"].astype("int64")})
+    return out.sort_values(["host_class", "verdict"]) \
+        .reset_index(drop=True)
+
+
+def q_politeness_violations(sf_dir: str):
+    """Per-host politeness audit over the fetch log: with each host's
+    required delay = (host % 4 + 1) seconds, count requests whose gap
+    to the previous request on the same host (ordered by ts, event_id)
+    undercuts the delay — the compliance check a crawl scheduler runs
+    against its own output.  min_gap_us = -1 sentinel for single-event
+    hosts (both sides).
+
+    Scale shape: per-batch projection to (host, ts_us, event_id), ONE
+    host-bucket shuffle, per-bucket pandas sort+diff in C (the
+    sessionize house pattern); output is host-sized."""
+    n_buckets = 64
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "host": pa.array(u),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+            "_bucket": pa.array(u % n_buckets)})
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "ts_us", "event_id"])
+        gap = g.groupby("host")["ts_us"].diff()
+        delay = (g["host"] % 4 + 1) * 1_000_000
+        viol = (gap.notna() & (gap < delay)).astype("int64")
+        out = pd.DataFrame({"host": g["host"], "gap": gap,
+                            "viol": viol})
+        r = out.groupby("host", as_index=False).agg(
+            n_requests=("host", "count"),
+            n_violations=("viol", "sum"),
+            min_gap_us=("gap", "min"))
+        r["min_gap_us"] = r["min_gap_us"].fillna(-1)
+        return r.astype({"host": "int64", "n_requests": "int64",
+                         "n_violations": "int64",
+                         "min_gap_us": "int64"})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(audit, batch_format="pandas"))
+
+
+def q_host_budget_allocate(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of a global crawl
+    budget across hosts: budget B = total_pending // 10 fetch slots,
+    host i gets floor(B*n_i/total) plus one extra slot for the
+    `B - sum(floor)` largest remainders (ties -> smaller host id) —
+    how a frontier divides the next cycle's politeness-bounded slots
+    proportionally without starving small hosts.  Integer-exact.
+
+    Scale shape: per-batch (host, n) partials -> ONE host-bucket
+    shuffle for exact totals; the apportionment itself runs on the
+    per-host table, which IS the query's output (host-cardinality
+    rows).  At web scale the remainder rank would use the
+    bucket-offset two-pass of q_global_rank_sample; the driver fold
+    here is output-sized by contract."""
+    n_buckets = 64
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = (pd.DataFrame({"host": u})
+             .groupby("host", as_index=False).agg(n=("host", "count")))
+        d["_bucket"] = d["host"].to_numpy() % n_buckets
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def totals(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("host", as_index=False)["n"].sum()
+        return r.astype({"host": "int64", "n": "int64"})
+
+    p = _pdf(_read(sf_dir, "events", ["user_id"])
+             .map_batches(part, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(totals, batch_format="pandas"),
+             ["host", "n"])
+    if len(p) == 0:
+        return pd.DataFrame({"host": pd.array([], dtype="int64"),
+                             "n_pending": pd.array([], dtype="int64"),
+                             "alloc": pd.array([], dtype="int64")})
+    host = p["host"].to_numpy(dtype=np.int64)
+    n = p["n"].to_numpy(dtype=np.int64)
+    tot = int(n.sum())
+    budget = tot // 10
+    base = budget * n // tot
+    rem = (budget * n) % tot
+    leftover = int(budget - base.sum())
+    order = np.lexsort((host, -rem))   # rem DESC, host ASC
+    alloc = base.copy()
+    alloc[order[:leftover]] += 1
+    out = pd.DataFrame({"host": host, "n_pending": n, "alloc": alloc})
+    return out.sort_values("host").reset_index(drop=True).astype(
+        {"host": "int64", "n_pending": "int64", "alloc": "int64"})
+
+
+def q_graph_common_neighbors(sf_dir: str):
+    """Link prediction by common-neighbor count over the deterministic
+    256-node quadratic doc graph (same construction as
+    q_graph_triangles): for every NON-adjacent pair (u < v), the
+    number of shared neighbors; top-50 by (n_common DESC, u, v) — the
+    \"which links to crawl next\" candidate ranking.
+
+    Scale shape: edge derivation streams over docs; the deduped edge
+    set is hash-space-bounded (<= 3*256 rows) so it broadcasts in the
+    closure; wedge pairs are emitted per node-bucket and pair counts
+    combine in ONE pair-keyed shuffle with per-bucket top-50 prune
+    before the driver's 50-row fold."""
+    n_buckets = 32
+
+    def und_edges(t: pa.Table) -> pa.Table:
+        # identical constants to q_graph_triangles (shared graph)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = ids % 256
+        srcs, dsts = [], []
+        for m, c in ((37, 17), (101, 59), (151, 227)):
+            srcs.append(s)
+            dsts.append((s * s + m * s + c) % 256)
+        a = np.concatenate(srcs)
+        b = np.concatenate(dsts)
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        return (pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
+                .group_by(["lo", "hi"]).aggregate([]))
+
+    def ededup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["lo", "hi"]].drop_duplicates().astype(
+            {"lo": "int64", "hi": "int64"})
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    edges = _pdf(
+        docs.map_batches(und_edges, batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "_b", pc.cast(pc.bit_wise_and(t.column("lo"),
+                                          n_buckets - 1), pa.int64())),
+            batch_format="pyarrow")
+        .groupby("_b").map_groups(ededup, batch_format="pandas"),
+        ["lo", "hi"])
+    edge_set = frozenset((int(a) << 9) | int(b)
+                         for a, b in zip(edges["lo"], edges["hi"]))
+    import ray
+
+    adj = ray.data.from_pandas([
+        pd.DataFrame({
+            "node": pd.concat([edges["lo"], edges["hi"]],
+                              ignore_index=True).astype("int64"),
+            "nbr": pd.concat([edges["hi"], edges["lo"]],
+                             ignore_index=True).astype("int64")})]) \
+        .map_batches(lambda t: t.append_column(
+            "_bn", pc.cast(pc.bit_wise_and(t.column("node"),
+                                           n_buckets - 1), pa.int64())),
+            batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy(dtype=np.int64)
+        nbr = g["nbr"].to_numpy(dtype=np.int64)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        us, vs = [], []
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        ends = np.r_[starts[1:], len(node)]
+        for s0, e0 in zip(starts, ends):
+            nb = nbr[s0:e0]
+            k = len(nb)
+            if k < 2:
+                continue
+            iu, iv = np.triu_indices(k, 1)
+            us.append(nb[iu])
+            vs.append(nb[iv])
+        if not us:
+            return pd.DataFrame({"u": pd.array([], dtype="int64"),
+                                 "v": pd.array([], dtype="int64"),
+                                 "c": pd.array([], dtype="int64"),
+                                 "_pb": pd.array([], dtype="int64")})
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        d = (pd.DataFrame({"u": u, "v": v})
+             .groupby(["u", "v"], as_index=False).agg(c=("u", "count")))
+        d["_pb"] = d["u"].to_numpy() % n_buckets
+        return d.astype({"u": "int64", "v": "int64", "c": "int64",
+                         "_pb": "int64"})
+
+    def pair_topk(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["u", "v"], as_index=False)["c"].sum()
+        key = (d["u"].to_numpy(dtype=np.int64) << 9) \
+            | d["v"].to_numpy(dtype=np.int64)
+        d = d[~pd.Series(key).isin(edge_set).to_numpy()]
+        d = d.rename(columns={"c": "n_common"})
+        return (d.sort_values(["n_common", "u", "v"],
+                              ascending=[False, True, True])
+                .head(50).astype({"u": "int64", "v": "int64",
+                                  "n_common": "int64"}))
+
+    part = _pdf(adj.groupby("_bn")
+                .map_groups(wedges, batch_format="pandas")
+                .groupby("_pb")
+                .map_groups(pair_topk, batch_format="pandas"),
+                ["u", "v", "n_common"])
+    out = (part.sort_values(["n_common", "u", "v"],
+                            ascending=[False, True, True])
+           .head(50).reset_index(drop=True))
+    return out[["u", "v", "n_common"]].astype(
+        {"u": "int64", "v": "int64", "n_common": "int64"})
+
+
+_TRAIN_BATCH = 32  # images per training batch (partial batch dropped)
+
+
+def q_image_train_batches(sf_dir: str):
+    """Aspect-ratio-bucketed training-batch assembly (the SDXL-style
+    bucketing step after q_image_aspect_buckets): within each AR
+    bucket, rank images by image_id, cut into fixed batches of
+    _TRAIN_BATCH, drop the final partial batch, and emit the batch
+    manifest (bucket, batch_id, n_images, min_id, max_id).
+
+    Scale shape: rank-within-bucket uses the bucket-offset two-pass
+    (coarse image_id ranges -> driver cumsums coarse-domain-sized
+    offsets -> per-(bucket, coarse) local sort adds its offset), never
+    a global row sort; the manifest combine is one (bucket, batch_id)
+    keyed shuffle.  Rows-only: image metadata lives outside the SQL
+    view set — invariants pinned by tests/test_train_batches.py."""
+    coarse = 64
+
+    def classify(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        a = np.maximum(w, h) * 1000 // np.maximum(np.minimum(w, h), 1)
+        names = np.empty(len(a), dtype=object)
+        done = np.zeros(len(a), dtype=bool)
+        for lim, name in _ASPECT_BUCKETS:
+            sel = (~done) & (a <= lim)
+            names[sel] = name
+            done |= sel
+        # image_id is a zero-padded string ("img0000123") — the numeric
+        # suffix gives the ordered coarse range key; string order ==
+        # numeric order thanks to the padding
+        idnum = pc.cast(pc.utf8_slice_codeunits(
+            t.column("image_id"), 3, 32), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(names.tolist(), pa.string()),
+            "image_id": t.column("image_id"),
+            "_coarse": pa.array(idnum // coarse)})
+
+    classified = _images_ds(sf_dir, ["image_id", "w", "h"]) \
+        .map_batches(classify, batch_format="pyarrow")
+
+    # pass 1: counts per (bucket, coarse id range) -> rank offsets
+    def counts(t: pa.Table) -> pa.Table:
+        d = (pa.table({"bucket": t.column("bucket"),
+                       "_coarse": t.column("_coarse"),
+                       "one": pa.array(
+                           np.ones(t.num_rows, np.int64))})
+             .group_by(["bucket", "_coarse"])
+             .aggregate([("one", "sum")]))
+        return d.rename_columns(["bucket", "_coarse", "n"])
+
+    cnt = _pdf(classified.map_batches(counts, batch_format="pyarrow"),
+               ["bucket", "_coarse", "n"])
+    cnt = (cnt.groupby(["bucket", "_coarse"], as_index=False)["n"]
+           .sum().sort_values(["bucket", "_coarse"]))
+    cnt["offset"] = (cnt.groupby("bucket")["n"].cumsum()
+                     - cnt["n"]).astype("int64")
+    offsets = {(b, int(c)): int(o) for b, c, o in
+               zip(cnt["bucket"], cnt["_coarse"], cnt["offset"])}
+
+    # pass 2: local sort within each (bucket, coarse) group + offset
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id").reset_index(drop=True)
+        off = offsets[(g["bucket"].iloc[0], int(g["_coarse"].iloc[0]))]
+        rank = off + np.arange(len(g), dtype=np.int64)
+        out = pd.DataFrame({"bucket": g["bucket"],
+                            "image_id": g["image_id"],
+                            "batch_id": rank // _TRAIN_BATCH})
+        return out.astype({"batch_id": "int64"})
+
+    def manifest(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(["bucket", "batch_id"], as_index=False).agg(
+            n_images=("image_id", "count"),
+            min_id=("image_id", "min"),
+            max_id=("image_id", "max"))
+        r = r[r["n_images"] == _TRAIN_BATCH]   # drop partial batches
+        return r.astype({"batch_id": "int64", "n_images": "int64"})
+
+    return (classified
+            .groupby(["bucket", "_coarse"])
+            .map_groups(assign, batch_format="pandas")
+            .groupby(["bucket", "batch_id"])
+            .map_groups(manifest, batch_format="pandas"))
+
+
+QUERIES.update({
+    "robots_prefix_gate": q_robots_prefix_gate,
+    "politeness_violations": q_politeness_violations,
+    "host_budget_allocate": q_host_budget_allocate,
+    "graph_common_neighbors": q_graph_common_neighbors,
+    "image_train_batches": q_image_train_batches,
+})
+
+_ROBOTS_SQL_VALUES = ", ".join(
+    f"({hc}, '{p}', {a})" for hc, p, a in _ROBOTS_RULES)
+
+ORACLE_SQL.update({
+    "robots_prefix_gate": f"""
+        WITH u AS (SELECT event_id, user_id % 4 AS hc,
+                          '/' || event_type || '/' ||
+                          CAST(event_id % 1000 AS VARCHAR) AS path
+                   FROM events),
+        r(hc, prefix, allow) AS (VALUES {_ROBOTS_SQL_VALUES}),
+        m AS (SELECT u.event_id, r.allow
+              FROM u JOIN r ON u.hc = r.hc
+                 AND substr(u.path, 1, len(r.prefix)) = r.prefix
+              QUALIFY row_number() OVER (
+                  PARTITION BY u.event_id
+                  ORDER BY len(r.prefix) DESC, r.allow DESC) = 1),
+        v AS (SELECT u.hc, coalesce(m.allow, 1) AS allow
+              FROM u LEFT JOIN m USING (event_id))
+        SELECT CAST(hc AS BIGINT) AS host_class,
+               CASE WHEN allow = 1 THEN 'allow' ELSE 'deny' END
+                   AS verdict,
+               CAST(count(*) AS BIGINT) AS n_urls
+        FROM v GROUP BY hc, allow
+    """,
+    "politeness_violations": """
+        WITH e AS (SELECT user_id AS host, epoch_us(ts) AS ts_us,
+                          event_id
+                   FROM events),
+        g AS (SELECT host,
+                     ts_us - lag(ts_us) OVER (
+                         PARTITION BY host
+                         ORDER BY ts_us, event_id) AS gap
+              FROM e)
+        SELECT CAST(host AS BIGINT) AS host,
+               CAST(count(*) AS BIGINT) AS n_requests,
+               CAST(sum(CASE WHEN gap IS NOT NULL
+                              AND gap < (host % 4 + 1) * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+               CAST(coalesce(min(gap), -1) AS BIGINT) AS min_gap_us
+        FROM g GROUP BY host
+    """,
+    "host_budget_allocate": """
+        WITH c AS (SELECT user_id AS host,
+                          CAST(count(*) AS BIGINT) AS n_pending
+                   FROM events GROUP BY user_id),
+        t AS (SELECT sum(n_pending) AS tot,
+                     sum(n_pending) // 10 AS b
+              FROM c),
+        q AS (SELECT host, n_pending,
+                     (b * n_pending) // tot AS base,
+                     (b * n_pending) % tot AS rem
+              FROM c, t),
+        l AS (SELECT (SELECT b FROM t) - sum(base) AS leftover FROM q)
+        SELECT CAST(host AS BIGINT) AS host,
+               CAST(n_pending AS BIGINT) AS n_pending,
+               CAST(base + CASE WHEN row_number() OVER (
+                        ORDER BY rem DESC, host) <= leftover
+                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM q, l
+    """,
+    "graph_common_neighbors": """
+        WITH s AS (SELECT DISTINCT doc_id % 256 AS v FROM documents),
+        e0 AS (SELECT v AS a, (v*v + 37*v + 17) % 256 AS b FROM s
+               UNION ALL
+               SELECT v, (v*v + 101*v + 59) % 256 FROM s
+               UNION ALL
+               SELECT v, (v*v + 151*v + 227) % 256 FROM s),
+        e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+              FROM e0 WHERE a <> b),
+        adj AS (SELECT lo AS node, hi AS nbr FROM e
+                UNION ALL SELECT hi, lo FROM e),
+        w AS (SELECT a1.nbr AS u, a2.nbr AS v,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM adj a1 JOIN adj a2
+                ON a1.node = a2.node AND a1.nbr < a2.nbr
+              GROUP BY a1.nbr, a2.nbr),
+        ne AS (SELECT w.u, w.v, w.n_common FROM w
+               LEFT JOIN e ON w.u = e.lo AND w.v = e.hi
+               WHERE e.lo IS NULL)
+        SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+               n_common
+        FROM ne ORDER BY n_common DESC, u, v LIMIT 50
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 
