@@ -15886,12 +15886,327 @@ def q_image_train_batches(sf_dir: str):
             .map_groups(manifest, batch_format="pandas"))
 
 
+def _build_raw_urls(t: pa.Table):
+    """Deterministic mixed-case URL fixture shared by engine and
+    oracle: scheme/host case flips on even event_ids, every 3rd URL
+    carries a utm_ tracking param, every 11th a utm-only query, every
+    7th a real param, every 5th a fragment."""
+    eid = t.column("event_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    hc = (t.column("user_id").to_numpy(zero_copy_only=False)
+          .astype(np.int64) % 8)
+    hcs = pc.cast(pa.array(hc), pa.string())
+    upper = pc.binary_join_element_wise(
+        pa.scalar("HTTP://Host"), hcs, pa.scalar(".Example.COM"),
+        pa.scalar(""))
+    lower = pc.binary_join_element_wise(
+        pa.scalar("http://host"), hcs, pa.scalar(".example.com"),
+        pa.scalar(""))
+    auth = pc.if_else(pa.array(eid % 2 == 0), upper, lower)
+    path = pc.binary_join_element_wise(
+        pa.scalar("/p/"), pc.cast(pa.array(eid % 400), pa.string()),
+        pa.scalar(""))
+    id7 = pc.cast(pa.array(eid % 7), pa.string())
+    q_utm = pc.binary_join_element_wise(
+        pa.scalar("?utm_source=feed&id="), id7, pa.scalar(""))
+    q_id = pc.binary_join_element_wise(
+        pa.scalar("?id="), id7, pa.scalar(""))
+    # CASE-order precedence: %3 wins over %11 wins over %7
+    q = pc.if_else(
+        pa.array(eid % 3 == 0), q_utm,
+        pc.if_else(pa.array(eid % 11 == 0),
+                   pa.array(["?utm_campaign=x"] * len(eid),
+                            pa.string()),
+                   pc.if_else(pa.array(eid % 7 == 0), q_id,
+                              pa.array([""] * len(eid), pa.string()))))
+    frag = pc.if_else(
+        pa.array(eid % 5 == 0),
+        pc.binary_join_element_wise(
+            pa.scalar("#sec"), pc.cast(pa.array(eid % 4), pa.string()),
+            pa.scalar("")),
+        pa.array([""] * len(eid), pa.string()))
+    raw = pc.binary_join_element_wise(auth, path, q, frag,
+                                      pa.scalar(""))
+    return hc, raw
+
+
+def _canonicalize_urls(raw):
+    """Vectorized URL canonicalization (the crawl-frontier dedup key):
+    strip fragment, strip utm_* tracking params (fixing dangling
+    '?&' / trailing separators), case-fold scheme+authority only —
+    all Arrow RE2 kernels; the DuckDB twin uses the same RE2 regexes."""
+    x = pc.replace_substring_regex(raw, pattern=r"#.*$", replacement="")
+    x = pc.replace_substring_regex(
+        x, pattern=r"utm_[a-z_]*=[^&#]*&?", replacement="")
+    x = pc.replace_substring_regex(x, pattern=r"\?&", replacement="?")
+    x = pc.replace_substring_regex(x, pattern=r"[?&]$", replacement="")
+    ex = pc.extract_regex(x, pattern=r"^(?P<pre>[^/]*//[^/]*)(?P<rest>/.*)$")
+    return pc.binary_join_element_wise(
+        pc.utf8_lower(pc.struct_field(ex, "pre")),
+        pc.struct_field(ex, "rest"), pa.scalar(""))
+
+
+def q_url_canonical_dedup(sf_dir: str):
+    """Frontier URL canonicalization + dedup accounting: how many raw
+    URL variants collapse per host class once fragments, utm_ params
+    and authority case are normalized — the crawl-once keyspace
+    reduction every frontier performs before seen-set admission
+    (urlkit.py holds the full canonicalizer; this is its oracled
+    distributed twin over a SQL-reproducible fixture).
+
+    Scale shape: URL build + canonicalization are Arrow RE2 kernels
+    per batch; distinct counts ride ONE content-hash bucket shuffle
+    (strings never sort-shuffle, lesson: exact_dedup) with per-batch
+    pre-dedup; totals fold 8-row partials on the driver."""
+    from hepcrawl_ray.ops.text import content_hash64
+
+    n_buckets = 64
+
+    def rows(t: pa.Table) -> pa.Table:
+        hc, raw = _build_raw_urls(t)
+        canon = _canonicalize_urls(raw)
+        n = len(hc)
+        d = (pd.DataFrame({
+            "hc": np.concatenate([hc, hc]),
+            "kind": np.concatenate([np.zeros(n, np.int64),
+                                    np.ones(n, np.int64)]),
+            "key": np.concatenate([raw.to_numpy(zero_copy_only=False),
+                                   canon.to_numpy(
+                                       zero_copy_only=False)])})
+             .drop_duplicates())   # per-batch pre-dedup before shuffle
+        h = content_hash64(d["key"].tolist())
+        d["_bucket"] = (h % n_buckets).astype(np.int64)
+        # count partials ride along as kind=2 rows (key = "")
+        cnt = (pd.DataFrame({"hc": hc})
+               .groupby("hc", as_index=False).agg(n=("hc", "count")))
+        c = pd.DataFrame({"hc": cnt["hc"], "kind": 2,
+                          "key": cnt["n"].astype(str),
+                          "_bucket": cnt["hc"].to_numpy() % n_buckets})
+        out = pd.concat([d, c], ignore_index=True)
+        return pa.Table.from_pandas(out.astype(
+            {"hc": "int64", "kind": "int64", "_bucket": "int64"}),
+            preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[g["kind"] < 2].drop_duplicates(["hc", "kind", "key"])
+        dist = (k.groupby(["hc", "kind"], as_index=False)
+                .agg(n=("key", "count")))
+        cnt = g[g["kind"] == 2].copy()
+        cnt["n"] = cnt["key"].astype(np.int64)
+        cnt = cnt.groupby("hc", as_index=False)["n"].sum()
+        cnt["kind"] = 2
+        out = pd.concat([dist, cnt[["hc", "kind", "n"]]],
+                        ignore_index=True)
+        return out.astype({"hc": "int64", "kind": "int64",
+                           "n": "int64"})
+
+    p = _pdf(_read(sf_dir, "events", ["event_id", "user_id"])
+             .map_batches(rows, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(fold, batch_format="pandas"),
+             ["hc", "kind", "n"])
+    p = p.groupby(["hc", "kind"], as_index=False)["n"].sum()
+    piv = p.pivot(index="hc", columns="kind", values="n") \
+        .rename_axis(None, axis=1).reset_index()
+    out = pd.DataFrame({
+        "host_class": piv["hc"].astype("int64"),
+        "n_urls": piv[2].astype("int64"),
+        "n_raw": piv[0].astype("int64"),
+        "n_canonical": piv[1].astype("int64")})
+    out["collapse_milli"] = (1000 * (out["n_raw"] - out["n_canonical"])
+                             // out["n_raw"]).astype("int64")
+    return out.sort_values("host_class").reset_index(drop=True)
+
+
+def q_host_backoff_schedule(sf_dir: str):
+    """Error-driven exponential backoff schedule: per host, errors in
+    the RECENT half of the observation window set backoff_level =
+    min(n_err, 6) and next_delay_ms = 500 << level — the adaptive
+    politeness a crawler applies to hosts that started failing.
+    Hosts with no recent errors stay at level 0.  Integer-exact.
+
+    Scale shape: window midpoint is one streaming min/max aggregate;
+    the per-host error count is a per-batch partial -> ONE host-bucket
+    shuffle; the schedule math runs per bucket in C."""
+    from ray.data.aggregate import Max, Min
+
+    n_buckets = 64
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        return pa.table({"ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    src = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    mm = src.map_batches(ts_us, batch_format="pyarrow") \
+        .aggregate(Min("ts_us"), Max("ts_us"))
+    if mm.get("min(ts_us)") is None:
+        return pd.DataFrame({
+            "host": pd.array([], dtype="int64"),
+            "n_err_recent": pd.array([], dtype="int64"),
+            "backoff_level": pd.array([], dtype="int64"),
+            "next_delay_ms": pd.array([], dtype="int64")})
+    mid = (int(mm["min(ts_us)"]) + int(mm["max(ts_us)"])) // 2
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        err = (pc.equal(t.column("event_type"), "error")
+               .to_numpy(zero_copy_only=False) & (ts >= mid)) \
+            .astype(np.int64)
+        d = (pd.DataFrame({"host": u, "e": err})
+             .groupby("host", as_index=False)["e"].sum())
+        d["_bucket"] = d["host"].to_numpy() % n_buckets
+        return pa.Table.from_pandas(
+            d.astype({"host": "int64", "e": "int64"}),
+            preserve_index=False)
+
+    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("host", as_index=False)["e"].sum()
+        n = r["e"].to_numpy(dtype=np.int64)
+        lvl = np.minimum(n, 6)
+        return pd.DataFrame({
+            "host": r["host"].astype("int64"),
+            "n_err_recent": n,
+            "backoff_level": lvl,
+            "next_delay_ms": (500 * (1 << lvl)).astype(np.int64)})
+
+    return (src.map_batches(part, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(schedule, batch_format="pandas"))
+
+
+_TILE_PROBE_OFFSET = 5 * 10 ** 8   # quadrant-defaced planted copies
+
+
+def _tile_phash_rows(t: pa.Table) -> pa.Table:
+    """Per-batch hot loop of q_dedup_phash_tiles: decode luma once,
+    phash the full plane + its 4 quadrants (codecs batching keeps the
+    fixed-overhead tail vectorized), plant the quadrant-defaced probe
+    for every 25th image.  Module-level so tests pin its bits against
+    direct codecs computation."""
+    from hepcrawl_ray import codecs as CZ
+
+    ids = t.column("image_id").to_pylist()
+    blobs = t.column("bytes").to_pylist()
+    fmts = t.column("fmt").to_pylist()
+    nums, grays = [], []
+    for iid, blob, fmt in zip(ids, blobs, fmts):
+        try:
+            gray, _, _ = CZ.decode_luma(blob, fmt)
+        except Exception:
+            continue
+        num = int(iid[3:])
+        nums.append(num)
+        grays.append(gray.astype(np.float32))
+        if num % 25 == 0:
+            g2 = gray.astype(np.float32).copy()
+            g2[:g2.shape[0] // 2, :g2.shape[1] // 2] = 0.0
+            nums.append(num + _TILE_PROBE_OFFSET)
+            grays.append(g2)
+    if not nums:
+        return pa.table({"img": pa.array([], pa.int64()),
+                         "tile": pa.array([], pa.int64()),
+                         "tile_ph": pa.array([], pa.int64()),
+                         "full_ph": pa.array([], pa.int64())})
+    full = CZ.phash64_many_from_luma(grays)
+    quads = []
+    for g in grays:
+        h2, w2 = g.shape[0] // 2, g.shape[1] // 2
+        quads.extend([g[:h2, :w2], g[:h2, w2:],
+                      g[h2:, :w2], g[h2:, w2:]])
+    tph = CZ.phash64_many_from_luma(quads)
+    n = len(nums)
+    img = np.repeat(np.asarray(nums, dtype=np.int64), 4)
+    tile = np.tile(np.arange(4, dtype=np.int64), n)
+    return pa.table({"img": pa.array(img),
+                     "tile": pa.array(tile),
+                     "tile_ph": pa.array(tph.astype(np.int64)),
+                     "full_ph": pa.array(
+                         np.repeat(full.astype(np.int64), 4))})
+
+
+def q_dedup_phash_tiles(sf_dir: str):
+    """Tile-phash (2x2 quadrant) image near-dup over REAL payloads:
+    catches locally-edited copies (logo overlays, watermarks, corner
+    banners) whose FULL-image phash drifts past a strict threshold
+    while >=1 quadrant hash still matches EXACTLY.  Every 25th image
+    plants a probe: its top-left quadrant zeroed (a worst-case 25%
+    overlay), id + 5e8 — the pipeline must pair each probe with its
+    original on the 3 untouched quadrants (tests/test_tile_phash.py).
+
+    Scale shape: decode + 5 phashes (4 quadrants + full) fuse into the
+    per-batch hot loop (codecs.phash64_many_from_luma — payload bytes
+    never leave stage 1); candidates ride ONE (tile, tile_phash) keyed
+    shuffle with the full hash carried for inline verify; distinct
+    pairs fold by pair bucket.  Exact-match groups are capped at 256
+    members (hamming_neardup_pairs' documented hot-key guard)."""
+    from hepcrawl_ray.ops.text import hamming64
+
+    n_buckets = 64
+    max_group = 256
+    tile_rows = _tile_phash_rows
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("tile_ph").to_numpy().view(np.uint64) * np.uint64(31)
+             + t.column("tile").to_numpy().view(np.int64).astype(np.uint64)) \
+            % np.uint64(n_buckets)
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "tile": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+            "_pb": pd.Series([], dtype="int64")})
+        sizes = g.groupby(["tile", "tile_ph"])["img"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_group)]
+        if not len(g):
+            return empty
+        m = g.merge(g, on=["tile", "tile_ph"])
+        m = m[m["img_x"] < m["img_y"]]
+        if not len(m):
+            return empty
+        dist = hamming64(m["full_ph_x"].to_numpy(),
+                         m["full_ph_y"].to_numpy())
+        out = pd.DataFrame({"a": m["img_x"].astype("int64"),
+                            "b": m["img_y"].astype("int64"),
+                            "tile": m["tile"].astype("int64"),
+                            "hamming": dist.astype("int64")})
+        out["_pb"] = ((out["a"] * 1_000_003 + out["b"]) % 64) \
+            .astype("int64")
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(["a", "b"], as_index=False).agg(
+            n_tiles=("tile", "nunique"), hamming=("hamming", "min"))
+        # verify rule: a locally-edited copy keeps >=2 quadrants
+        # intact; a single shared quadrant (e.g. two images with the
+        # same flat region) must ALSO look globally similar to count
+        r = r[(r["n_tiles"] >= 2) | (r["hamming"] <= 12)]
+        return r.astype({"a": "int64", "b": "int64",
+                         "n_tiles": "int64", "hamming": "int64"})
+
+    return (_images_ds(sf_dir, ["image_id", "bytes", "fmt"])
+            .map_batches(tile_rows, batch_format="pyarrow",
+                         batch_size=64)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(pairs, batch_format="pandas")
+            .groupby("_pb")
+            .map_groups(fold, batch_format="pandas"))
+
+
 QUERIES.update({
     "robots_prefix_gate": q_robots_prefix_gate,
     "politeness_violations": q_politeness_violations,
     "host_budget_allocate": q_host_budget_allocate,
     "graph_common_neighbors": q_graph_common_neighbors,
     "image_train_batches": q_image_train_batches,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "host_backoff_schedule": q_host_backoff_schedule,
+    "dedup_phash_tiles": q_dedup_phash_tiles,
 })
 
 _ROBOTS_SQL_VALUES = ", ".join(
@@ -15954,6 +16269,63 @@ ORACLE_SQL.update({
                         ORDER BY rem DESC, host) <= leftover
                     THEN 1 ELSE 0 END AS BIGINT) AS alloc
         FROM q, l
+    """,
+    "url_canonical_dedup": """
+        WITH u AS (
+          SELECT event_id, user_id % 8 AS hc,
+            CASE WHEN event_id % 2 = 0
+                 THEN 'HTTP://Host' || CAST(user_id % 8 AS VARCHAR)
+                      || '.Example.COM'
+                 ELSE 'http://host' || CAST(user_id % 8 AS VARCHAR)
+                      || '.example.com' END
+            || '/p/' || CAST(event_id % 400 AS VARCHAR)
+            || CASE WHEN event_id % 3 = 0
+                    THEN '?utm_source=feed&id='
+                         || CAST(event_id % 7 AS VARCHAR)
+                    WHEN event_id % 11 = 0 THEN '?utm_campaign=x'
+                    WHEN event_id % 7 = 0
+                    THEN '?id=' || CAST(event_id % 7 AS VARCHAR)
+                    ELSE '' END
+            || CASE WHEN event_id % 5 = 0
+                    THEN '#sec' || CAST(event_id % 4 AS VARCHAR)
+                    ELSE '' END AS raw
+          FROM events),
+        c AS (SELECT hc, raw,
+            regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(raw, '#.*$', ''),
+                'utm_[a-z_]*=[^&#]*&?', '', 'g'),
+                '\\?&', '?'), '[?&]$', '') AS strip
+          FROM u),
+        k AS (SELECT hc, raw,
+            lower(regexp_extract(strip, '^([^/]*//[^/]*)', 1))
+            || regexp_extract(strip, '^[^/]*//[^/]*(/.*)$', 1) AS canon
+          FROM c)
+        SELECT CAST(hc AS BIGINT) AS host_class,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+               CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+               CAST(1000 * (count(DISTINCT raw)
+                            - count(DISTINCT canon))
+                    // count(DISTINCT raw) AS BIGINT) AS collapse_milli
+        FROM k GROUP BY hc
+    """,
+    "host_backoff_schedule": """
+        WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                       AS mid
+                   FROM events),
+        h AS (SELECT DISTINCT user_id AS host FROM events),
+        e AS (SELECT user_id AS host, count(*) AS n_err
+              FROM events, b
+              WHERE event_type = 'error' AND epoch_us(ts) >= b.mid
+              GROUP BY user_id),
+        j AS (SELECT h.host, coalesce(e.n_err, 0) AS n_err
+              FROM h LEFT JOIN e USING (host))
+        SELECT CAST(host AS BIGINT) AS host,
+               CAST(n_err AS BIGINT) AS n_err_recent,
+               CAST(least(n_err, 6) AS BIGINT) AS backoff_level,
+               CAST(500 * (1 << least(n_err, 6)) AS BIGINT)
+                   AS next_delay_ms
+        FROM j
     """,
     "graph_common_neighbors": """
         WITH s AS (SELECT DISTINCT doc_id % 256 AS v FROM documents),
