@@ -16006,6 +16006,10 @@ def q_url_canonical_dedup(sf_dir: str):
              .map_groups(fold, batch_format="pandas"),
              ["hc", "kind", "n"])
     p = p.groupby(["hc", "kind"], as_index=False)["n"].sum()
+    if len(p) == 0:   # empty shard: typed empty, same schema as SQL
+        return pd.DataFrame({c: pd.array([], dtype="int64")
+                             for c in ("host_class", "n_urls", "n_raw",
+                                       "n_canonical", "collapse_milli")})
     piv = p.pivot(index="hc", columns="kind", values="n") \
         .rename_axis(None, axis=1).reset_index()
     out = pd.DataFrame({

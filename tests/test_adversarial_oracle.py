@@ -441,6 +441,18 @@ ADVERSARIAL_QUERIES = [
     # dup-rate per source over the planted exact dup (both copies in
     # s1) and the NULL-text row (excluded on both sides)
     "dup_rate_by_source",
+    # round-4 session 4 crawl-policy batch: politeness over the
+    # fixture's IDENTICAL-timestamp bursts (gap 0 < every delay;
+    # event_id tiebreak orders the diff) and single-event users
+    # (min_gap sentinel); backoff over events exactly AT the window
+    # midpoint (>= mid inclusivity); Hamilton apportionment over the
+    # tiny skewed counts (remainder ties -> smaller host wins); the
+    # robots/url fixtures over handcrafted event_ids hitting the CASE
+    # moduli in a different mix than the generator's uniform ids;
+    # common neighbors over the fixture's tiny doc-id node set
+    "politeness_violations", "host_backoff_schedule",
+    "host_budget_allocate", "robots_prefix_gate",
+    "url_canonical_dedup", "graph_common_neighbors",
 ]
 
 
