@@ -15637,6 +15637,22 @@ def q_politeness_violations(sf_dir: str):
             .map_groups(audit, batch_format="pandas"))
 
 
+def _hamilton_alloc(n: np.ndarray, host: np.ndarray,
+                    budget: int) -> np.ndarray:
+    """Exact largest-remainder (Hamilton) apportionment: floor quotas,
+    then one extra slot to the `budget - sum(floor)` largest
+    remainders, ties broken by smaller host id.  Pure integer numpy —
+    property-pinned in tests/test_crawl_policy_ops.py."""
+    tot = int(n.sum())
+    base = budget * n // tot
+    rem = (budget * n) % tot
+    leftover = int(budget - base.sum())
+    order = np.lexsort((host, -rem))   # rem DESC, host ASC
+    alloc = base.copy()
+    alloc[order[:leftover]] += 1
+    return alloc
+
+
 def q_host_budget_allocate(sf_dir: str):
     """Largest-remainder (Hamilton) apportionment of a global crawl
     budget across hosts: budget B = total_pending // 10 fetch slots,
@@ -15676,14 +15692,8 @@ def q_host_budget_allocate(sf_dir: str):
                              "alloc": pd.array([], dtype="int64")})
     host = p["host"].to_numpy(dtype=np.int64)
     n = p["n"].to_numpy(dtype=np.int64)
-    tot = int(n.sum())
-    budget = tot // 10
-    base = budget * n // tot
-    rem = (budget * n) % tot
-    leftover = int(budget - base.sum())
-    order = np.lexsort((host, -rem))   # rem DESC, host ASC
-    alloc = base.copy()
-    alloc[order[:leftover]] += 1
+    budget = int(n.sum()) // 10
+    alloc = _hamilton_alloc(n, host, budget)
     out = pd.DataFrame({"host": host, "n_pending": n, "alloc": alloc})
     return out.sort_values("host").reset_index(drop=True).astype(
         {"host": "int64", "n_pending": "int64", "alloc": "int64"})
@@ -15814,9 +15824,22 @@ def q_image_train_batches(sf_dir: str):
     (coarse image_id ranges -> driver cumsums coarse-domain-sized
     offsets -> per-(bucket, coarse) local sort adds its offset), never
     a global row sort; the manifest combine is one (bucket, batch_id)
-    keyed shuffle.  Rows-only: image metadata lives outside the SQL
-    view set — invariants pinned by tests/test_train_batches.py."""
-    coarse = 64
+    keyed shuffle.  The coarse width ADAPTS to the id span (one tiny
+    max-id aggregate) so the driver offsets table stays <= ~4096 rows
+    per AR bucket at ANY corpus size.  Rows-only: image metadata lives
+    outside the SQL view set — invariants pinned by
+    tests/test_tile_phash.py's sibling suite."""
+    from ray.data.aggregate import Max
+
+    def idnum_col(t: pa.Table) -> pa.Table:
+        return pa.table({"idnum": pc.cast(pc.utf8_slice_codeunits(
+            t.column("image_id"), 3, 32), pa.int64())})
+
+    mx = _images_ds(sf_dir, ["image_id"]) \
+        .map_batches(idnum_col, batch_format="pyarrow") \
+        .aggregate(Max("idnum"))
+    max_id = int(mx["max(idnum)"] or 0)
+    coarse = max(64, (max_id + 4096) // 4096)
 
     def classify(t: pa.Table) -> pa.Table:
         w = t.column("w").to_numpy().astype(np.int64)

@@ -168,6 +168,37 @@ def test_image_train_batches_matches_bruteforce(ray_session):
         assert got_batches.get(b, 0) == n // B
 
 
+def test_hamilton_properties():
+    """Pure-function property test: for random pending counts and
+    budgets, the allocation exhausts the budget exactly, satisfies
+    quota (floor <= alloc <= floor+1), and matches a brute-force
+    sort-by-remainder reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=10 ** 6),
+                    min_size=1, max_size=50),
+           st.integers(min_value=0, max_value=10 ** 6))
+    def run(counts, budget):
+        n = np.asarray(counts, dtype=np.int64)
+        host = np.arange(len(n), dtype=np.int64)
+        alloc = Q._hamilton_alloc(n, host, budget)
+        tot = int(n.sum())
+        base = budget * n // tot
+        assert int(alloc.sum()) == budget
+        assert ((alloc == base) | (alloc == base + 1)).all()
+        # brute-force reference: stable sort by (-rem, host)
+        rem = (budget * n) % tot
+        ref = base.copy()
+        for i in sorted(range(len(n)), key=lambda i: (-rem[i], i))[
+                :budget - int(base.sum())]:
+            ref[i] += 1
+        assert (alloc == ref).all()
+
+    run()
+
+
 def test_host_budget_empty_events(ray_session, tmp_path):
     """Empty-shard edge: zero events -> typed empty frame, no division
     by zero (empty shards are routine at 100 TB)."""
