@@ -16225,6 +16225,266 @@ def q_dedup_phash_tiles(sf_dir: str):
             .map_groups(fold, batch_format="pandas"))
 
 
+def q_graph_resource_allocation(sf_dir: str):
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009:
+    RA(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1/deg(w)) over the shared 256-node
+    doc graph, integer-exact as Σ 1_000_000 // deg(w) — RA weights
+    low-degree shared neighbors above hubs, the standard upgrade over
+    raw common-neighbor counts.  Top-50 non-adjacent pairs by
+    (ra_micro DESC, u, v).
+
+    Scale shape identical to q_graph_common_neighbors — and the apex's
+    degree is FREE inside the wedge stage (it IS the group size), so
+    the weighting costs no extra pass or join on the engine side."""
+    n_buckets = 32
+
+    def und_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = ids % 256
+        srcs, dsts = [], []
+        for m, c in ((37, 17), (101, 59), (151, 227)):
+            srcs.append(s)
+            dsts.append((s * s + m * s + c) % 256)
+        a = np.concatenate(srcs)
+        b = np.concatenate(dsts)
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        return (pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
+                .group_by(["lo", "hi"]).aggregate([]))
+
+    def ededup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["lo", "hi"]].drop_duplicates().astype(
+            {"lo": "int64", "hi": "int64"})
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    edges = _pdf(
+        docs.map_batches(und_edges, batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "_b", pc.cast(pc.bit_wise_and(t.column("lo"),
+                                          n_buckets - 1), pa.int64())),
+            batch_format="pyarrow")
+        .groupby("_b").map_groups(ededup, batch_format="pandas"),
+        ["lo", "hi"])
+    edge_set = frozenset((int(a) << 9) | int(b)
+                         for a, b in zip(edges["lo"], edges["hi"]))
+    import ray
+
+    adj = ray.data.from_pandas([
+        pd.DataFrame({
+            "node": pd.concat([edges["lo"], edges["hi"]],
+                              ignore_index=True).astype("int64"),
+            "nbr": pd.concat([edges["hi"], edges["lo"]],
+                             ignore_index=True).astype("int64")})]) \
+        .map_batches(lambda t: t.append_column(
+            "_bn", pc.cast(pc.bit_wise_and(t.column("node"),
+                                           n_buckets - 1), pa.int64())),
+            batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy(dtype=np.int64)
+        nbr = g["nbr"].to_numpy(dtype=np.int64)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        us, vs, ws = [], [], []
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        ends = np.r_[starts[1:], len(node)]
+        for s0, e0 in zip(starts, ends):
+            nb = nbr[s0:e0]
+            k = len(nb)
+            if k < 2:
+                continue
+            iu, iv = np.triu_indices(k, 1)
+            us.append(nb[iu])
+            vs.append(nb[iv])
+            # deg(apex) == its adjacency-group size: weight is local
+            ws.append(np.full(len(iu), 1_000_000 // k, dtype=np.int64))
+        if not us:
+            return pd.DataFrame({"u": pd.array([], dtype="int64"),
+                                 "v": pd.array([], dtype="int64"),
+                                 "w": pd.array([], dtype="int64"),
+                                 "_pb": pd.array([], dtype="int64")})
+        d = (pd.DataFrame({"u": np.concatenate(us),
+                           "v": np.concatenate(vs),
+                           "w": np.concatenate(ws)})
+             .groupby(["u", "v"], as_index=False)["w"].sum())
+        d["_pb"] = d["u"].to_numpy() % n_buckets
+        return d.astype({"u": "int64", "v": "int64", "w": "int64",
+                         "_pb": "int64"})
+
+    def pair_topk(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["u", "v"], as_index=False)["w"].sum()
+        key = (d["u"].to_numpy(dtype=np.int64) << 9) \
+            | d["v"].to_numpy(dtype=np.int64)
+        d = d[~pd.Series(key).isin(edge_set).to_numpy()]
+        d = d.rename(columns={"w": "ra_micro"})
+        return (d.sort_values(["ra_micro", "u", "v"],
+                              ascending=[False, True, True])
+                .head(50).astype({"u": "int64", "v": "int64",
+                                  "ra_micro": "int64"}))
+
+    part = _pdf(adj.groupby("_bn")
+                .map_groups(wedges, batch_format="pandas")
+                .groupby("_pb")
+                .map_groups(pair_topk, batch_format="pandas"),
+                ["u", "v", "ra_micro"])
+    out = (part.sort_values(["ra_micro", "u", "v"],
+                            ascending=[False, True, True])
+           .head(50).reset_index(drop=True))
+    return out[["u", "v", "ra_micro"]].astype(
+        {"u": "int64", "v": "int64", "ra_micro": "int64"})
+
+
+def q_host_rate_cap_audit(sf_dir: str):
+    """Token-bucket feasibility audit: a host whose politeness delay
+    is d seconds can serve at most span // d + 1 requests over its
+    observed span — hosts exceeding that were over-fetched REGARDLESS
+    of how the gaps were arranged (the aggregate complement of the
+    pairwise q_politeness_violations check).  Integer-exact.
+
+    Scale shape: per-batch (host, n, min_ts, max_ts) partials -> ONE
+    host-bucket shuffle -> per-bucket closed-form audit in C."""
+    n_buckets = 64
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = (pd.DataFrame({"host": u, "ts": ts})
+             .groupby("host", as_index=False)
+             .agg(n=("ts", "count"), lo=("ts", "min"),
+                  hi=("ts", "max")))
+        d["_bucket"] = d["host"].to_numpy() % n_buckets
+        return pa.Table.from_pandas(d.astype(
+            {"host": "int64", "n": "int64", "lo": "int64",
+             "hi": "int64"}), preserve_index=False)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("host", as_index=False).agg(
+            n_requests=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+        host = r["host"].to_numpy(dtype=np.int64)
+        delay = (host % 4 + 1) * 1_000_000
+        span = r["hi"].to_numpy(dtype=np.int64) \
+            - r["lo"].to_numpy(dtype=np.int64)
+        feasible = span // delay + 1
+        return pd.DataFrame({
+            "host": host,
+            "n_requests": r["n_requests"].astype("int64"),
+            "feasible": feasible.astype(np.int64),
+            "over_rate": (r["n_requests"].to_numpy(dtype=np.int64)
+                          > feasible).astype(np.int64)})
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(audit, batch_format="pandas"))
+
+
+def q_image_batch_padding(sf_dir: str):
+    """Padding-waste audit of the AR-bucketed training batches (the
+    metric aspect bucketing exists to minimize): batching to each
+    batch's max (w, h) pads every member to max_w x max_h; waste_milli
+    = 1000 * (B*maxW*maxH - Σ w*h) // (B*maxW*maxH) per batch.
+    Quantifies what the bucketing buys vs naive global batching.
+
+    Scale shape: identical to q_image_train_batches (the dims ride the
+    same two-pass rank rows); the per-batch max/sum fold is the same
+    (bucket, batch_id) keyed shuffle.  Rows-only: image metadata lives
+    outside the SQL view set — brute-force-mirrored in
+    tests/test_crawl_policy_ops.py."""
+    from ray.data.aggregate import Max
+
+    def idnum_col(t: pa.Table) -> pa.Table:
+        return pa.table({"idnum": pc.cast(pc.utf8_slice_codeunits(
+            t.column("image_id"), 3, 32), pa.int64())})
+
+    mx = _images_ds(sf_dir, ["image_id"]) \
+        .map_batches(idnum_col, batch_format="pyarrow") \
+        .aggregate(Max("idnum"))
+    max_id = int(mx["max(idnum)"] or 0)
+    coarse = max(64, (max_id + 4096) // 4096)
+
+    def classify(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        a = np.maximum(w, h) * 1000 // np.maximum(np.minimum(w, h), 1)
+        names = np.empty(len(a), dtype=object)
+        done = np.zeros(len(a), dtype=bool)
+        for lim, name in _ASPECT_BUCKETS:
+            sel = (~done) & (a <= lim)
+            names[sel] = name
+            done |= sel
+        idnum = pc.cast(pc.utf8_slice_codeunits(
+            t.column("image_id"), 3, 32), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(names.tolist(), pa.string()),
+            "image_id": t.column("image_id"),
+            "w": pa.array(w), "h": pa.array(h),
+            "_coarse": pa.array(idnum // coarse)})
+
+    classified = _images_ds(sf_dir, ["image_id", "w", "h"]) \
+        .map_batches(classify, batch_format="pyarrow")
+
+    def counts(t: pa.Table) -> pa.Table:
+        d = (pa.table({"bucket": t.column("bucket"),
+                       "_coarse": t.column("_coarse"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["bucket", "_coarse"])
+             .aggregate([("one", "sum")]))
+        return d.rename_columns(["bucket", "_coarse", "n"])
+
+    cnt = _pdf(classified.map_batches(counts, batch_format="pyarrow"),
+               ["bucket", "_coarse", "n"])
+    cnt = (cnt.groupby(["bucket", "_coarse"], as_index=False)["n"]
+           .sum().sort_values(["bucket", "_coarse"]))
+    cnt["offset"] = (cnt.groupby("bucket")["n"].cumsum()
+                     - cnt["n"]).astype("int64")
+    offsets = {(b, int(c)): int(o) for b, c, o in
+               zip(cnt["bucket"], cnt["_coarse"], cnt["offset"])}
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id").reset_index(drop=True)
+        off = offsets[(g["bucket"].iloc[0], int(g["_coarse"].iloc[0]))]
+        rank = off + np.arange(len(g), dtype=np.int64)
+        out = pd.DataFrame({"bucket": g["bucket"],
+                            "w": g["w"], "h": g["h"],
+                            "batch_id": rank // _TRAIN_BATCH})
+        return out.astype({"w": "int64", "h": "int64",
+                           "batch_id": "int64"})
+
+    def waste(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(["bucket", "batch_id"], as_index=False).agg(
+            n_images=("w", "count"), max_w=("w", "max"),
+            max_h=("h", "max"))
+        r = r[r["n_images"] == _TRAIN_BATCH]
+        if not len(r):
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="object"),
+                "batch_id": pd.Series([], dtype="int64"),
+                "max_w": pd.Series([], dtype="int64"),
+                "max_h": pd.Series([], dtype="int64"),
+                "waste_milli": pd.Series([], dtype="int64")})
+        area = (g.assign(a=g["w"] * g["h"])
+                .groupby(["bucket", "batch_id"], as_index=False)["a"]
+                .sum())
+        r = r.merge(area, on=["bucket", "batch_id"])
+        padded = _TRAIN_BATCH * r["max_w"] * r["max_h"]
+        r["waste_milli"] = (1000 * (padded - r["a"]) // padded)
+        return r[["bucket", "batch_id", "max_w", "max_h",
+                  "waste_milli"]].astype(
+            {"batch_id": "int64", "max_w": "int64", "max_h": "int64",
+             "waste_milli": "int64"})
+
+    return (classified
+            .groupby(["bucket", "_coarse"])
+            .map_groups(assign, batch_format="pandas")
+            .groupby(["bucket", "batch_id"])
+            .map_groups(waste, batch_format="pandas"))
+
+
 QUERIES.update({
     "robots_prefix_gate": q_robots_prefix_gate,
     "politeness_violations": q_politeness_violations,
@@ -16234,6 +16494,9 @@ QUERIES.update({
     "url_canonical_dedup": q_url_canonical_dedup,
     "host_backoff_schedule": q_host_backoff_schedule,
     "dedup_phash_tiles": q_dedup_phash_tiles,
+    "graph_resource_allocation": q_graph_resource_allocation,
+    "host_rate_cap_audit": q_host_rate_cap_audit,
+    "image_batch_padding": q_image_batch_padding,
 })
 
 _ROBOTS_SQL_VALUES = ", ".join(
@@ -16353,6 +16616,46 @@ ORACLE_SQL.update({
                CAST(500 * (1 << least(n_err, 6)) AS BIGINT)
                    AS next_delay_ms
         FROM j
+    """,
+    "graph_resource_allocation": """
+        WITH s AS (SELECT DISTINCT doc_id % 256 AS v FROM documents),
+        e0 AS (SELECT v AS a, (v*v + 37*v + 17) % 256 AS b FROM s
+               UNION ALL
+               SELECT v, (v*v + 101*v + 59) % 256 FROM s
+               UNION ALL
+               SELECT v, (v*v + 151*v + 227) % 256 FROM s),
+        e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+              FROM e0 WHERE a <> b),
+        adj AS (SELECT lo AS node, hi AS nbr FROM e
+                UNION ALL SELECT hi, lo FROM e),
+        deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+        w AS (SELECT a1.nbr AS u, a2.nbr AS v,
+                     CAST(sum(1000000 // d.d) AS BIGINT) AS ra_micro
+              FROM adj a1
+              JOIN adj a2 ON a1.node = a2.node AND a1.nbr < a2.nbr
+              JOIN deg d ON d.node = a1.node
+              GROUP BY a1.nbr, a2.nbr),
+        ne AS (SELECT w.u, w.v, w.ra_micro FROM w
+               LEFT JOIN e ON w.u = e.lo AND w.v = e.hi
+               WHERE e.lo IS NULL)
+        SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+               ra_micro
+        FROM ne ORDER BY ra_micro DESC, u, v LIMIT 50
+    """,
+    "host_rate_cap_audit": """
+        WITH h AS (SELECT user_id AS host,
+                          count(*) AS n_requests,
+                          max(epoch_us(ts)) - min(epoch_us(ts)) AS span
+                   FROM events GROUP BY user_id),
+        f AS (SELECT host, n_requests,
+                     span // ((host % 4 + 1) * 1000000) + 1 AS feasible
+              FROM h)
+        SELECT CAST(host AS BIGINT) AS host,
+               CAST(n_requests AS BIGINT) AS n_requests,
+               CAST(feasible AS BIGINT) AS feasible,
+               CAST(CASE WHEN n_requests > feasible THEN 1 ELSE 0 END
+                    AS BIGINT) AS over_rate
+        FROM f
     """,
     "graph_common_neighbors": """
         WITH s AS (SELECT DISTINCT doc_id % 256 AS v FROM documents),

@@ -453,6 +453,11 @@ ADVERSARIAL_QUERIES = [
     "politeness_violations", "host_backoff_schedule",
     "host_budget_allocate", "robots_prefix_gate",
     "url_canonical_dedup", "graph_common_neighbors",
+    # batch 3: RA weighting over the tiny node set (integer 1e6//deg
+    # must agree); rate-cap over single-event hosts (span 0 ->
+    # feasible 1) and the identical-ts bursts (span 0 with n > 1 ->
+    # over_rate on both sides)
+    "graph_resource_allocation", "host_rate_cap_audit",
 ]
 
 

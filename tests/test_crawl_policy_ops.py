@@ -168,6 +168,94 @@ def test_image_train_batches_matches_bruteforce(ray_session):
         assert got_batches.get(b, 0) == n // B
 
 
+def test_resource_allocation_matches_bruteforce(ray_session):
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    s = np.unique(docs["doc_id"].to_numpy(dtype=np.int64) % 256)
+    edges = set()
+    for m, c in ((37, 17), (101, 59), (151, 227)):
+        for v in s:
+            b = (v * v + m * v + c) % 256
+            if b != v:
+                edges.add((min(int(v), int(b)), max(int(v), int(b))))
+    nbrs: dict[int, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    from collections import Counter
+
+    ra = Counter()
+    for w, ns in nbrs.items():
+        wgt = 1_000_000 // len(ns)
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                ra[(ns[i], ns[j])] += wgt
+    rows = [{"u": u, "v": v, "ra_micro": x}
+            for (u, v), x in ra.items() if (u, v) not in edges]
+    expect = (pd.DataFrame(rows)
+              .sort_values(["ra_micro", "u", "v"],
+                           ascending=[False, True, True])
+              .head(50).reset_index(drop=True))
+    got = _to_df(Q.q_graph_resource_allocation(SF))
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in got.columns}),
+        expect.astype({c: "int64" for c in expect.columns}))
+
+
+def test_rate_cap_matches_scalar_reference(ray_session):
+    ev = _events()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    rows = []
+    for host, g in ev.groupby("user_id"):
+        span = int(g["ts_us"].max() - g["ts_us"].min())
+        feasible = span // ((int(host) % 4 + 1) * 1_000_000) + 1
+        rows.append({"host": int(host), "n_requests": len(g),
+                     "feasible": feasible,
+                     "over_rate": int(len(g) > feasible)})
+    expect = pd.DataFrame(rows)
+    got = _to_df(Q.q_host_rate_cap_audit(SF))
+    pd.testing.assert_frame_equal(
+        _norm(got.astype({c: "int64" for c in got.columns})),
+        _norm(expect.astype({c: "int64" for c in expect.columns})))
+
+
+def test_image_batch_padding_matches_bruteforce(ray_session):
+    images, _, _, _ = Q._crawl_tables(SF)
+    df = images.select(["image_id", "w", "h"]).to_pandas()
+    w = df["w"].to_numpy(dtype=np.int64)
+    h = df["h"].to_numpy(dtype=np.int64)
+    a = np.maximum(w, h) * 1000 // np.maximum(np.minimum(w, h), 1)
+    names = np.empty(len(a), dtype=object)
+    done = np.zeros(len(a), dtype=bool)
+    for lim, name in Q._ASPECT_BUCKETS:
+        sel = (~done) & (a <= lim)
+        names[sel] = name
+        done |= sel
+    df["bucket"] = names
+    B = Q._TRAIN_BATCH
+    rows = []
+    for b, g in df.groupby("bucket"):
+        g = g.sort_values("image_id").reset_index(drop=True)
+        for k in range(len(g) // B):
+            ch = g.iloc[k * B:(k + 1) * B]
+            mw, mh = int(ch["w"].max()), int(ch["h"].max())
+            padded = B * mw * mh
+            area = int((ch["w"] * ch["h"]).sum())
+            rows.append({"bucket": b, "batch_id": k, "max_w": mw,
+                         "max_h": mh,
+                         "waste_milli": 1000 * (padded - area)
+                         // padded})
+    expect = _norm(pd.DataFrame(rows).astype(
+        {"batch_id": "int64", "max_w": "int64", "max_h": "int64",
+         "waste_milli": "int64"}))
+    got = _norm(_to_df(Q.q_image_batch_padding(SF)))
+    pd.testing.assert_frame_equal(got, expect)
+    # waste is a valid fraction; AR bucketing bounds aspect, not size,
+    # so the corpus's 2x size range legitimately pads up to ~60%
+    assert ((got["waste_milli"] >= 0) & (got["waste_milli"] < 1000)).all()
+
+
 def test_hamilton_properties():
     """Pure-function property test: for random pending counts and
     budgets, the allocation exhausts the budget exactly, satisfies
