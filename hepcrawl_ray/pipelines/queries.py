@@ -16485,6 +16485,52 @@ def q_image_batch_padding(sf_dir: str):
             .map_groups(waste, batch_format="pandas"))
 
 
+def q_shingle_df_spectrum(sf_dir: str):
+    """Document-frequency SPECTRUM of 3-token shingles: how many
+    distinct shingles occur in exactly df documents — the blocking-key
+    audit run before committing to a max_shingle_df / LSH band cap
+    (a heavy high-df tail is what blows up candidate generation in
+    the ngram/minhash dedup paths; ops.dedup.ngram_jaccard_pairs'
+    max_shingle_df=256 default was eyeballed — this measures it).
+
+    Scale shape: the q_top_ngrams partial-distinct + content-hash
+    bucket shuffle, but each bucket folds to its df HISTOGRAM, so the
+    driver combine is spectrum-sized (distinct df values), never
+    shingle-sized."""
+    def explode_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            if not txt:
+                continue
+            for s in set(T.shingles(txt, 3)):
+                counts[s] = counts.get(s, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({"shingle": ks,
+                         "p_df": pa.array([counts[k] for k in ks],
+                                          pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = T.content_hash64(t.column("shingle").to_pylist())
+        return t.append_column("bucket",
+                               pa.array((h % 64).astype(np.int64)))
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_per = g.groupby("shingle")["p_df"].sum()
+        h = df_per.value_counts().rename_axis("df") \
+            .rename("n_shingles").reset_index()
+        return h.astype({"df": "int64", "n_shingles": "int64"})
+
+    p = _pdf(_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(explode_partial, batch_format="pyarrow")
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(hist_bucket, batch_format="pandas"),
+             ["df", "n_shingles"])
+    out = (p.groupby("df", as_index=False)["n_shingles"].sum()
+           .sort_values("df").reset_index(drop=True))
+    return out.astype({"df": "int64", "n_shingles": "int64"})
+
+
 QUERIES.update({
     "robots_prefix_gate": q_robots_prefix_gate,
     "politeness_violations": q_politeness_violations,
@@ -16497,6 +16543,7 @@ QUERIES.update({
     "graph_resource_allocation": q_graph_resource_allocation,
     "host_rate_cap_audit": q_host_rate_cap_audit,
     "image_batch_padding": q_image_batch_padding,
+    "shingle_df_spectrum": q_shingle_df_spectrum,
 })
 
 _ROBOTS_SQL_VALUES = ", ".join(
@@ -16641,6 +16688,20 @@ ORACLE_SQL.update({
         SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
                ra_micro
         FROM ne ORDER BY ra_micro DESC, u, v LIMIT 50
+    """,
+    "shingle_df_spectrum": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                       AS t
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+        d AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        SELECT CAST(df AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS n_shingles
+        FROM d GROUP BY df
     """,
     "host_rate_cap_audit": """
         WITH h AS (SELECT user_id AS host,

@@ -458,6 +458,11 @@ ADVERSARIAL_QUERIES = [
     # feasible 1) and the identical-ts bursts (span 0 with n > 1 ->
     # over_rate on both sides)
     "graph_resource_allocation", "host_rate_cap_audit",
+    # df spectrum over the fixture's planted exact dup (its shingles
+    # land at df=2), the empty/NULL-text docs (no shingle rows on
+    # either side) and the repetitive w1w2w3 doc (within-doc DISTINCT
+    # collapses the repeats before counting)
+    "shingle_df_spectrum",
 ]
 
 
