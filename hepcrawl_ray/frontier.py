@@ -143,18 +143,23 @@ def route_partition_ids(hosts, url_hashes, num_partitions: int,
     return parts
 
 
-def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[str, ...]:
-    """Extract Disallow path prefixes from a robots.txt body.
+def parse_robots_rules(text: str, user_agent: str = "*") \
+        -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Extract (Disallow, Allow) path patterns from a robots.txt body.
 
-    Minimal, deterministic subset of the robots exclusion protocol:
-    the rule group whose ``User-agent`` matches (exact or ``*``)
-    contributes its ``Disallow:`` prefixes; empty Disallow means
-    allow-all.  The reference delegates this to Scrapy's
-    RobotsTxtMiddleware (self-identifying USER_AGENT,
-    reference: hepcrawl/settings.py:33); here the parsed prefixes feed
-    each partition's robots cache (HostBudget.disallow).
+    RFC 9309 subset: the rule group whose ``User-agent`` matches
+    (exact or ``*``) contributes its ``Disallow:`` / ``Allow:``
+    patterns; an empty Disallow value means allow-all.  Patterns may
+    contain ``*`` (any char sequence) and a trailing ``$`` (end-of-
+    path anchor) per RFC 9309 §2.2.3 — evaluated longest-pattern-wins
+    with Allow winning length ties (§2.2.2), see
+    :func:`robots_blocked_mask`.  The reference delegates all of this
+    to Scrapy's RobotsTxtMiddleware (self-identifying USER_AGENT,
+    reference: hepcrawl/settings.py:33); here the parsed rules feed
+    each partition's robots cache (HostBudget.disallow/.allow).
     """
     disallow: list[str] = []
+    allow: list[str] = []
     applies = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -166,17 +171,79 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[str, ...]:
             applies = val == "*" or val.lower() == user_agent.lower()
         elif key == "disallow" and applies and val:
             disallow.append(val)
-    return tuple(disallow)
+        elif key == "allow" and applies and val:
+            allow.append(val)
+    return tuple(disallow), tuple(allow)
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> tuple[str, ...]:
+    """Disallow patterns only (back-compat wrapper over
+    :func:`parse_robots_rules`)."""
+    return parse_robots_rules(text, user_agent)[0]
+
+
+def robots_pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored RE2 regex string.
+
+    ``*`` matches any character sequence; a TRAILING ``$`` anchors the
+    end of the path; everything else is literal.  The same translation
+    feeds Arrow's ``match_substring_regex`` and the DuckDB oracle's
+    ``regexp_matches`` (both RE2), so engine and oracle execute the
+    identical pattern."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in core)
+    return "^" + rx + ("$" if anchored else "")
+
+
+def robots_pattern_match(path_col, pattern: str) -> np.ndarray:
+    """Vectorized match of one robots rule pattern over an Arrow path
+    column -> bool numpy mask.  Plain prefixes take the zero-copy
+    ``starts_with`` fast path; patterns with ``*`` / trailing ``$``
+    run one RE2 kernel."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        m = pc.starts_with(path_col, pattern=pattern)
+    else:
+        m = pc.match_substring_regex(
+            path_col, pattern=robots_pattern_to_regex(pattern))
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    return m.to_numpy(zero_copy_only=False)
+
+
+def robots_blocked_mask(path_col, disallow, allow=()) -> np.ndarray:
+    """RFC 9309 verdict over a batch of paths: for each path the
+    matching rule with the LONGEST pattern wins, Allow wins length
+    ties, no match -> allowed.  Returns a bool mask of BLOCKED rows.
+    With prefix-only Disallow rules (the pre-RFC subset) this reduces
+    to "blocked iff any prefix matches" — bit-identical to the old
+    behavior.  Scalar spec twin: ``sim.robots_blocked`` (equivalence
+    pinned in tests/test_frontier.py)."""
+    n = len(path_col)
+    best_len = np.full(n, -1, dtype=np.int64)
+    best_allow = np.ones(n, dtype=np.int64)
+    for rules, flag in ((disallow, 0), (allow, 1)):
+        for pat in rules:
+            m = robots_pattern_match(path_col, pat)
+            plen = len(pat)
+            upd = m & ((plen > best_len)
+                       | ((plen == best_len) & (flag > best_allow)))
+            best_len[upd] = plen
+            best_allow[upd] = flag
+    return best_allow == 0
 
 
 class HostBudget:
-    __slots__ = ("concurrency", "delay_rounds", "disallow")
+    __slots__ = ("concurrency", "delay_rounds", "disallow", "allow")
 
     def __init__(self, concurrency: int, delay_ms: int, disallow: tuple[str, ...],
-                 tick_ms: int):
+                 tick_ms: int, allow: tuple[str, ...] = ()):
         self.concurrency = max(1, int(concurrency))
         self.delay_rounds = max(1, math.ceil(int(delay_ms) / tick_ms))
         self.disallow = tuple(disallow)
+        self.allow = tuple(allow)
 
 
 class FrontierPartition:
@@ -199,11 +266,13 @@ class FrontierPartition:
         self.budgets: dict[str, HostBudget] = {}
         for row in politeness_rows or []:
             disallow = tuple(row.get("robots_disallow") or ())
+            allow = tuple(row.get("robots_allow") or ())
             if row.get("robots_txt"):  # raw robots.txt body -> parse + cache
-                disallow = disallow + parse_robots_txt(row["robots_txt"])
+                d2, a2 = parse_robots_rules(row["robots_txt"])
+                disallow, allow = disallow + d2, allow + a2
             self.budgets[row["host"]] = HostBudget(
                 row["max_concurrency"], row["min_delay_ms"],
-                disallow, tick_ms)
+                disallow, tick_ms, allow=allow)
         self.salted_hosts = dict(salted_hosts or {})
         self.seen = SeenSet(capacity=capacity)
         self._buffer: list[pa.Table] = []
@@ -264,22 +333,22 @@ class FrontierPartition:
         self.metrics["offered"] += t.num_rows
         self.metrics["seal_batches"] += 1
 
-        # robots filter (Arrow kernels; one pass per (host, prefix) rule)
+        # robots filter (Arrow kernels; one pass per (host, rule) —
+        # RFC 9309 longest-match with Allow overrides, wildcard/anchor
+        # patterns included, see robots_blocked_mask)
         host_col = t.column("host")
         path_col = t.column("path")
         distinct_hosts = pc.unique(host_col).to_pylist()
         keep = np.ones(t.num_rows, dtype=bool)
         for host in distinct_hosts:
-            dis = self._budget_for(host).disallow
-            if not dis:
+            bud = self._budget_for(host)
+            if not bud.disallow and not bud.allow:
                 continue
             m = pc.equal(host_col, host)
-            blocked = None
-            for pref in dis:
-                b = pc.starts_with(path_col, pattern=pref)
-                blocked = b if blocked is None else pc.or_(blocked, b)
-            drop = pc.and_(m, blocked)
-            keep &= ~drop.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            blocked = robots_blocked_mask(path_col, bud.disallow, bud.allow)
+            keep &= ~(m.to_numpy(zero_copy_only=False) & blocked)
         self.metrics["dropped_robots"] += int((~keep).sum())
         if not keep.all():
             t = t.filter(pa.array(keep))
@@ -475,7 +544,8 @@ class FrontierPartition:
             "num_partitions": self.num_partitions,
             "tick_ms": self.tick_ms,
             "default_budget": self.default_budget,
-            "budgets": {h: (b.concurrency, b.delay_rounds, b.disallow)
+            "budgets": {h: (b.concurrency, b.delay_rounds, b.disallow,
+                            b.allow)
                         for h, b in self.budgets.items()},
             "salted_hosts": self.salted_hosts,
             "seen": self.seen.to_bytes(),
@@ -510,9 +580,10 @@ class FrontierPartition:
         self.tick_ms = state["tick_ms"]
         self.default_budget = tuple(state["default_budget"])
         self.budgets = {}
-        for h, (c, dr, dis) in state["budgets"].items():
+        for h, (c, dr, dis, alw) in state["budgets"].items():
             b = HostBudget.__new__(HostBudget)
-            b.concurrency, b.delay_rounds, b.disallow = c, dr, tuple(dis)
+            b.concurrency, b.delay_rounds = c, dr
+            b.disallow, b.allow = tuple(dis), tuple(alw)
             self.budgets[h] = b
         self.salted_hosts = state["salted_hosts"]
         self.seen = SeenSet.from_bytes(state["seen"])

@@ -425,16 +425,19 @@ def ngram_jaccard_pairs(ds, *, k_shingle=3, threshold=0.5,
     no corpus broadcast, no join, no second corpus pass.
     """
     def explode(batch: pa.Table) -> pa.Table:
-        ids, vals, nshs = [], [], []
-        for i, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            ss = set(T.shingles(t, k_shingle))
-            for s in ss:
-                ids.append(i)
-                vals.append(s)
-                nshs.append(len(ss))
-        return pa.table({"doc_id": ids, "shingle": vals,
-                         "nsh": pa.array(nshs, pa.int64())})
+        # vectorized shingle explosion (T.shingle_explode: Arrow split
+        # + one windowed join kernel) + C-level per-doc distinct —
+        # replaces the per-doc `set(shingles(t))` Python loop
+        di, sh = T.shingle_explode(batch.column(text_col), k_shingle)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[di]
+        df = pd.DataFrame({"doc_id": ids,
+                           "shingle": sh.to_numpy(zero_copy_only=False)
+                           }).drop_duplicates()
+        nsh = df.groupby("doc_id")["shingle"].transform("size")
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64()),
+                         "shingle": pa.array(df["shingle"], pa.string()),
+                         "nsh": pa.array(nsh.to_numpy(), pa.int64())})
 
     n_buckets = 64
 

@@ -371,6 +371,66 @@ def minhash_batch(texts, a: np.ndarray, b: np.ndarray, k: int = 3):
     return doc_idx, sig
 
 
+def shingle_explode(texts, k: int = 3):
+    """All valid k-token shingle STRINGS for a whole batch with no
+    per-document Python (the round-5 vectorization of the
+    ``for txt: set(shingles(txt))`` hot loops): Arrow regex split ->
+    flat cross-document token array -> ONE windowed
+    ``binary_join_element_wise`` (k shifted zero-copy slices joined
+    with spaces) -> numpy gather of the windows that live entirely
+    inside one document (same layout math as :func:`minhash_batch`).
+
+    Returns ``(doc_idx, shingle)``: int64 indices into ``texts`` (one
+    per shingle occurrence, in document order, duplicates included)
+    and the matching StringArray — exactly the strings
+    :func:`shingles` yields per doc (equivalence pinned in tests).
+    Callers needing per-doc DISTINCT shingles dedup with one C-level
+    ``pandas.drop_duplicates`` over (doc_idx, shingle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = (np.zeros(0, np.int64), pa.array([], pa.string()))
+    if len(texts) == 0:
+        return empty
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    col = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(col, pattern=r"\s+")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # flat-layout offsets use the RAW split counts; a trimmed-empty
+    # text splits to [''] (one flat slot) but has zero tokens
+    eff = counts.copy()
+    emptym = pc.equal(pc.utf8_length(col), 0) \
+        .to_numpy(zero_copy_only=False)
+    eff[emptym] = 0
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) < k:
+        return empty
+    m = len(flat) - k + 1
+    # windowed join: row i of the output is flat[i] + " " + ... +
+    # flat[i+k-1] — every window, including cross-document straddles,
+    # in one C kernel; the straddles are dropped by the gather below
+    sh = pc.binary_join_element_wise(
+        *[flat.slice(j, m) for j in range(k)], " ")
+    tok_start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    n_sh = np.maximum(eff - k + 1, 0)
+    has = n_sh > 0
+    if not has.any():
+        return empty
+    starts = tok_start[has]
+    lens = n_sh[has]
+    out_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = (np.arange(int(lens.sum()), dtype=np.int64)
+           - np.repeat(out_starts, lens) + np.repeat(starts, lens))
+    doc_idx = np.repeat(np.nonzero(has)[0].astype(np.int64), lens)
+    return doc_idx, sh.take(pa.array(pos))
+
+
 def band_digests(sig: np.ndarray, bands: int) -> np.ndarray:
     """(n, num_perm) signature matrix -> (n, bands) int64 digests, one
     mixing chain per band (equality-only use; vectorized across the

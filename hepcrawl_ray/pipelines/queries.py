@@ -1847,6 +1847,20 @@ def q_corpus_clean_pipeline(sf_dir: str):
             .map_groups(dedup_bucket, batch_format="pandas"))
 
 
+def _shingle_df_partial(t: pa.Table) -> pa.Table:
+    """Per-batch document-frequency partial over 3-token shingles,
+    fully vectorized (T.shingle_explode: Arrow split + one windowed
+    join kernel; per-doc distinct + df count in C via pandas) —
+    shared by q_top_ngrams and q_shingle_df_spectrum."""
+    di, sh = T.shingle_explode(t.column("text"), 3)
+    df = (pd.DataFrame({"d": di,
+                        "s": sh.to_numpy(zero_copy_only=False)})
+          .drop_duplicates())
+    c = df.groupby("s", sort=False).size()
+    return pa.table({"shingle": pa.array(c.index, pa.string()),
+                     "p_df": pa.array(c.to_numpy(), pa.int64())})
+
+
 def q_top_ngrams(sf_dir: str):
     """Corpus-wide top-20 3-token shingles by document frequency
     (ties by shingle text asc) — the n-gram statistics sweep.  Partial
@@ -1854,15 +1868,7 @@ def q_top_ngrams(sf_dir: str):
     a tiny global sort."""
     from ray.data.aggregate import Sum
 
-    def explode_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            for s in set(T.shingles(txt, 3)):
-                counts[s] = counts.get(s, 0) + 1
-        ks = list(counts.keys())
-        return pa.table({"shingle": ks,
-                         "p_df": pa.array([counts[k] for k in ks],
-                                          pa.int64())})
+    explode_partial = _shingle_df_partial
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = T.content_hash64(t.column("shingle").to_pylist())
@@ -4310,10 +4316,9 @@ def q_contamination_check(sf_dir: str):
     def bench_sh(t: pa.Table) -> pa.Table:
         mask = (t.column("doc_id").to_numpy() % 20) == 0
         t = t.filter(pa.array(mask))
-        ss: set = set()
-        for txt in t.column("text").to_pylist():
-            ss.update(T.shingles(txt, 5))
-        return pa.table({"s": pa.array(sorted(ss), pa.string())})
+        _, sh = T.shingle_explode(t.column("text"), 5)
+        uniq = np.unique(sh.to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array(uniq, pa.string())})
 
     bench_set = frozenset(
         r["s"] for r in
@@ -4324,10 +4329,15 @@ def q_contamination_check(sf_dir: str):
         mask = (t.column("doc_id").to_numpy() % 20) != 0
         t = t.filter(pa.array(mask))
         bs = _ray.get(ref)
-        hits = np.fromiter(
-            (len(set(T.shingles(txt, 5)) & bs)
-             for txt in t.column("text").to_pylist()),
-            dtype=np.int64, count=t.num_rows)
+        # vectorized: exploded (doc, shingle) distinct rows, one
+        # C-level isin probe against the broadcast benchmark set
+        di, sh = T.shingle_explode(t.column("text"), 5)
+        df = (pd.DataFrame({"d": di,
+                            "s": sh.to_numpy(zero_copy_only=False)})
+              .drop_duplicates())
+        hit = df["s"].isin(bs).to_numpy()
+        hits = np.zeros(t.num_rows, np.int64)
+        np.add.at(hits, df["d"].to_numpy()[hit], 1)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_hits": pa.array(hits, pa.int64()),
@@ -15529,28 +15539,39 @@ ORACLE_SQL.update({
 #  these govern WHAT and HOW FAST, the knobs a web-scale frontier needs)
 # ---------------------------------------------------------------------------
 
-# (host_class, path_prefix, allow) — longest matching prefix wins, allow
-# wins prefix-length ties (the robots.txt evaluation order Google's REP
-# RFC 9309 §2.4.2 specifies); no matching rule -> allow.
+# (host_class, path_pattern, allow) — RFC 9309 §2.2.2 evaluation: the
+# matching rule with the LONGEST pattern wins, allow wins length ties,
+# no matching rule -> allow.  Patterns may use `*` (any sequence) and
+# a trailing `$` (end-of-path anchor) per §2.2.3 — matched by the same
+# frontier.robots_pattern_match kernel the crawl frontier uses.
 _ROBOTS_RULES = (
     (0, "/click", 0), (0, "/click/4", 1),
     (1, "/view", 0), (1, "/", 1),
     (2, "/purchase", 0), (2, "/purchase/1", 1),
     (3, "/error", 0), (3, "/signup", 0),
+    # wildcard / end-anchor rules (round-5, RFC 9309 full matcher):
+    (0, "/view/*7", 0),        # any class-0 view path ending in 7
+    (1, "/view/1*", 1),        # re-allows /view/1xx over the /view deny
+    (2, "/purchase/10$", 0),   # exactly /purchase/10 — /purchase/100 stays
+    (3, "/error/*2$", 1),      # error paths ending in 2 re-allowed
 )
 
 
 def q_robots_prefix_gate(sf_dir: str):
     """robots.txt-style URL gating: each event is a fetch candidate
     (host class = user_id % 4, path = /<event_type>/<event_id % 1000>);
-    the fixed rule table applies with RFC 9309 longest-prefix-wins /
-    allow-wins-ties semantics; count candidates per (host_class,
+    the fixed rule table applies with RFC 9309 longest-pattern-wins /
+    allow-wins-ties semantics, including `*` wildcards and trailing
+    `$` end anchors (§2.2.3); count candidates per (host_class,
     verdict).
 
     Scale shape: the rule table is a broadcast constant (robots rules
     are per-host and tiny); each batch does one vectorized
-    starts_with per rule (constant rule count) and emits an 8-row
-    count partial — no shuffle at all, driver folds 8-row partials."""
+    starts_with / RE2 kernel per rule (constant rule count) and emits
+    an 8-row count partial — no shuffle at all, driver folds 8-row
+    partials."""
+    from hepcrawl_ray.frontier import robots_pattern_match
+
     rules = [(hc, p, a, len(p)) for hc, p, a in _ROBOTS_RULES]
 
     def gate(t: pa.Table) -> pa.Table:
@@ -15564,10 +15585,8 @@ def q_robots_prefix_gate(sf_dir: str):
         # default: allow via a zero-length virtual rule
         best_len = np.zeros(len(eid), dtype=np.int64)
         best_allow = np.ones(len(eid), dtype=np.int64)
-        for rhc, prefix, allow, plen in rules:
-            m = pc.starts_with(path, pattern="/" + prefix.lstrip("/")) \
-                if prefix != "/" else pc.starts_with(path, pattern="/")
-            m = m.to_numpy(zero_copy_only=False) & (hc == rhc)
+        for rhc, pattern, allow, plen in rules:
+            m = robots_pattern_match(path, pattern) & (hc == rhc)
             upd = m & ((plen > best_len)
                        | ((plen == best_len) & (allow > best_allow)))
             best_len[upd] = plen
@@ -15616,17 +15635,29 @@ def q_politeness_violations(sf_dir: str):
             "_bucket": pa.array(u % n_buckets)})
 
     def audit(g: pd.DataFrame) -> pd.DataFrame:
+        # gaps via integer shift/subtract per host segment: pandas
+        # .diff() converts int64 -> float64, exact only below 2^53
+        # (the lesson-13 precision class); epoch-us timestamps stay
+        # int64 end-to-end here
         g = g.sort_values(["host", "ts_us", "event_id"])
-        gap = g.groupby("host")["ts_us"].diff()
-        delay = (g["host"] % 4 + 1) * 1_000_000
-        viol = (gap.notna() & (gap < delay)).astype("int64")
-        out = pd.DataFrame({"host": g["host"], "gap": gap,
-                            "viol": viol})
-        r = out.groupby("host", as_index=False).agg(
-            n_requests=("host", "count"),
-            n_violations=("viol", "sum"),
-            min_gap_us=("gap", "min"))
-        r["min_gap_us"] = r["min_gap_us"].fillna(-1)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        host = g["host"].to_numpy(dtype=np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = host[1:] == host[:-1]
+        big = np.iinfo(np.int64).max
+        gap = np.full(len(g), big, dtype=np.int64)
+        idx = np.nonzero(same)[0]
+        gap[idx] = ts[idx] - ts[idx - 1]
+        delay = (host % 4 + 1) * 1_000_000
+        viol = (same & (gap < delay)).astype(np.int64)
+        r = (pd.DataFrame({"host": host, "gap": gap, "viol": viol})
+             .groupby("host", as_index=False)
+             .agg(n_requests=("host", "count"),
+                  n_violations=("viol", "sum"),
+                  min_gap_us=("gap", "min")))
+        # single-event hosts have no gap rows -> -1 sentinel
+        r["min_gap_us"] = r["min_gap_us"].where(r["min_gap_us"] != big,
+                                                -1)
         return r.astype({"host": "int64", "n_requests": "int64",
                          "n_violations": "int64",
                          "min_gap_us": "int64"})
@@ -15699,27 +15730,31 @@ def q_host_budget_allocate(sf_dir: str):
         {"host": "int64", "n_pending": "int64", "alloc": "int64"})
 
 
-def q_graph_common_neighbors(sf_dir: str):
-    """Link prediction by common-neighbor count over the deterministic
-    256-node quadratic doc graph (same construction as
-    q_graph_triangles): for every NON-adjacent pair (u < v), the
-    number of shared neighbors; top-50 by (n_common DESC, u, v) — the
-    \"which links to crawl next\" candidate ranking.
+# the deterministic 256-node quadratic doc graph shared by the
+# link-prediction queries (and, historically, q_graph_triangles): ONE
+# constant source for both the Python edge derivation and the SQL
+# oracles' VALUES (ADVICE r4 — the constants previously lived in four
+# places and could silently desynchronize)
+_GRAPH_MODS = ((37, 17), (101, 59), (151, 227))
 
-    Scale shape: edge derivation streams over docs; the deduped edge
-    set is hash-space-bounded (<= 3*256 rows) so it broadcasts in the
-    closure; wedge pairs are emitted per node-bucket and pair counts
-    combine in ONE pair-keyed shuffle with per-bucket top-50 prune
-    before the driver's 50-row fold."""
-    n_buckets = 32
+_GRAPH_SQL_E0 = " UNION ALL ".join(
+    [f"SELECT v AS a, (v*v + {_GRAPH_MODS[0][0]}*v + "
+     f"{_GRAPH_MODS[0][1]}) % 256 AS b FROM s"]
+    + [f"SELECT v, (v*v + {m}*v + {c}) % 256 FROM s"
+       for m, c in _GRAPH_MODS[1:]])
 
+
+def _doc_graph_adj(sf_dir: str, n_buckets: int):
+    """Shared quadratic-graph derivation for the link-prediction
+    queries: stream doc_ids -> deduped undirected edge set
+    (hash-space-bounded, <= 3*256 rows, so it broadcasts in the
+    closure) -> (edge_set lookup, node-bucketed adjacency Dataset)."""
     def und_edges(t: pa.Table) -> pa.Table:
-        # identical constants to q_graph_triangles (shared graph)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         s = ids % 256
         srcs, dsts = [], []
-        for m, c in ((37, 17), (101, 59), (151, 227)):
+        for m, c in _GRAPH_MODS:
             srcs.append(s)
             dsts.append((s * s + m * s + c) % 256)
         a = np.concatenate(srcs)
@@ -15757,6 +15792,23 @@ def q_graph_common_neighbors(sf_dir: str):
             "_bn", pc.cast(pc.bit_wise_and(t.column("node"),
                                            n_buckets - 1), pa.int64())),
             batch_format="pyarrow")
+    return edge_set, adj
+
+
+def q_graph_common_neighbors(sf_dir: str):
+    """Link prediction by common-neighbor count over the deterministic
+    256-node quadratic doc graph (same construction as
+    q_graph_triangles): for every NON-adjacent pair (u < v), the
+    number of shared neighbors; top-50 by (n_common DESC, u, v) — the
+    \"which links to crawl next\" candidate ranking.
+
+    Scale shape: edge derivation streams over docs; the deduped edge
+    set is hash-space-bounded (<= 3*256 rows) so it broadcasts in the
+    closure; wedge pairs are emitted per node-bucket and pair counts
+    combine in ONE pair-keyed shuffle with per-bucket top-50 prune
+    before the driver's 50-row fold."""
+    n_buckets = 32
+    edge_set, adj = _doc_graph_adj(sf_dir, n_buckets)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         node = g["node"].to_numpy(dtype=np.int64)
@@ -16124,6 +16176,10 @@ def _tile_phash_rows(t: pa.Table) -> pa.Table:
         except Exception:
             continue
         num = int(iid[3:])
+        # probes live at num + offset: a corpus with ids >= the offset
+        # would alias probes onto real images and corrupt pair output
+        assert num < _TILE_PROBE_OFFSET, \
+            f"image id {num} >= probe offset {_TILE_PROBE_OFFSET}"
         nums.append(num)
         grays.append(gray.astype(np.float32))
         if num % 25 == 0:
@@ -16233,54 +16289,12 @@ def q_graph_resource_allocation(sf_dir: str):
     raw common-neighbor counts.  Top-50 non-adjacent pairs by
     (ra_micro DESC, u, v).
 
-    Scale shape identical to q_graph_common_neighbors — and the apex's
-    degree is FREE inside the wedge stage (it IS the group size), so
-    the weighting costs no extra pass or join on the engine side."""
+    Scale shape identical to q_graph_common_neighbors (same
+    _doc_graph_adj construction) — and the apex's degree is FREE
+    inside the wedge stage (it IS the group size), so the weighting
+    costs no extra pass or join on the engine side."""
     n_buckets = 32
-
-    def und_edges(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        s = ids % 256
-        srcs, dsts = [], []
-        for m, c in ((37, 17), (101, 59), (151, 227)):
-            srcs.append(s)
-            dsts.append((s * s + m * s + c) % 256)
-        a = np.concatenate(srcs)
-        b = np.concatenate(dsts)
-        keep = a != b
-        lo = np.minimum(a[keep], b[keep])
-        hi = np.maximum(a[keep], b[keep])
-        return (pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
-                .group_by(["lo", "hi"]).aggregate([]))
-
-    def ededup(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["lo", "hi"]].drop_duplicates().astype(
-            {"lo": "int64", "hi": "int64"})
-
-    docs = _read(sf_dir, "documents", ["doc_id"])
-    edges = _pdf(
-        docs.map_batches(und_edges, batch_format="pyarrow")
-        .map_batches(lambda t: t.append_column(
-            "_b", pc.cast(pc.bit_wise_and(t.column("lo"),
-                                          n_buckets - 1), pa.int64())),
-            batch_format="pyarrow")
-        .groupby("_b").map_groups(ededup, batch_format="pandas"),
-        ["lo", "hi"])
-    edge_set = frozenset((int(a) << 9) | int(b)
-                         for a, b in zip(edges["lo"], edges["hi"]))
-    import ray
-
-    adj = ray.data.from_pandas([
-        pd.DataFrame({
-            "node": pd.concat([edges["lo"], edges["hi"]],
-                              ignore_index=True).astype("int64"),
-            "nbr": pd.concat([edges["hi"], edges["lo"]],
-                             ignore_index=True).astype("int64")})]) \
-        .map_batches(lambda t: t.append_column(
-            "_bn", pc.cast(pc.bit_wise_and(t.column("node"),
-                                           n_buckets - 1), pa.int64())),
-            batch_format="pyarrow")
+    edge_set, adj = _doc_graph_adj(sf_dir, n_buckets)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         node = g["node"].to_numpy(dtype=np.int64)
@@ -16494,20 +16508,10 @@ def q_shingle_df_spectrum(sf_dir: str):
     max_shingle_df=256 default was eyeballed — this measures it).
 
     Scale shape: the q_top_ngrams partial-distinct + content-hash
-    bucket shuffle, but each bucket folds to its df HISTOGRAM, so the
-    driver combine is spectrum-sized (distinct df values), never
-    shingle-sized."""
-    def explode_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            if not txt:
-                continue
-            for s in set(T.shingles(txt, 3)):
-                counts[s] = counts.get(s, 0) + 1
-        ks = list(counts.keys())
-        return pa.table({"shingle": ks,
-                         "p_df": pa.array([counts[k] for k in ks],
-                                          pa.int64())})
+    bucket shuffle (same vectorized _shingle_df_partial), but each
+    bucket folds to its df HISTOGRAM, so the driver combine is
+    spectrum-sized (distinct df values), never shingle-sized."""
+    explode_partial = _shingle_df_partial
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = T.content_hash64(t.column("shingle").to_pylist())
@@ -16546,8 +16550,20 @@ QUERIES.update({
     "shingle_df_spectrum": q_shingle_df_spectrum,
 })
 
-_ROBOTS_SQL_VALUES = ", ".join(
-    f"({hc}, '{p}', {a})" for hc, p, a in _ROBOTS_RULES)
+# one source of truth: the SQL rule table derives from _ROBOTS_RULES,
+# the pattern -> RE2 translation is the SAME function the engine's
+# Arrow kernel uses (frontier.robots_pattern_to_regex), and pattern
+# specificity (len of the RAW pattern) rides along as plen — so both
+# sides execute identical regexes with identical precedence
+def _robots_sql_values():
+    from hepcrawl_ray.frontier import robots_pattern_to_regex
+
+    return ", ".join(
+        f"({hc}, '{robots_pattern_to_regex(p)}', {len(p)}, {a})"
+        for hc, p, a in _ROBOTS_RULES)
+
+
+_ROBOTS_SQL_VALUES = _robots_sql_values()
 
 ORACLE_SQL.update({
     "robots_prefix_gate": f"""
@@ -16555,13 +16571,13 @@ ORACLE_SQL.update({
                           '/' || event_type || '/' ||
                           CAST(event_id % 1000 AS VARCHAR) AS path
                    FROM events),
-        r(hc, prefix, allow) AS (VALUES {_ROBOTS_SQL_VALUES}),
+        r(hc, rx, plen, allow) AS (VALUES {_ROBOTS_SQL_VALUES}),
         m AS (SELECT u.event_id, r.allow
               FROM u JOIN r ON u.hc = r.hc
-                 AND substr(u.path, 1, len(r.prefix)) = r.prefix
+                 AND regexp_matches(u.path, r.rx)
               QUALIFY row_number() OVER (
                   PARTITION BY u.event_id
-                  ORDER BY len(r.prefix) DESC, r.allow DESC) = 1),
+                  ORDER BY r.plen DESC, r.allow DESC) = 1),
         v AS (SELECT u.hc, coalesce(m.allow, 1) AS allow
               FROM u LEFT JOIN m USING (event_id))
         SELECT CAST(hc AS BIGINT) AS host_class,
@@ -16664,13 +16680,9 @@ ORACLE_SQL.update({
                    AS next_delay_ms
         FROM j
     """,
-    "graph_resource_allocation": """
+    "graph_resource_allocation": f"""
         WITH s AS (SELECT DISTINCT doc_id % 256 AS v FROM documents),
-        e0 AS (SELECT v AS a, (v*v + 37*v + 17) % 256 AS b FROM s
-               UNION ALL
-               SELECT v, (v*v + 101*v + 59) % 256 FROM s
-               UNION ALL
-               SELECT v, (v*v + 151*v + 227) % 256 FROM s),
+        e0 AS ({_GRAPH_SQL_E0}),
         e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
               FROM e0 WHERE a <> b),
         adj AS (SELECT lo AS node, hi AS nbr FROM e
@@ -16718,13 +16730,9 @@ ORACLE_SQL.update({
                     AS BIGINT) AS over_rate
         FROM f
     """,
-    "graph_common_neighbors": """
+    "graph_common_neighbors": f"""
         WITH s AS (SELECT DISTINCT doc_id % 256 AS v FROM documents),
-        e0 AS (SELECT v AS a, (v*v + 37*v + 17) % 256 AS b FROM s
-               UNION ALL
-               SELECT v, (v*v + 101*v + 59) % 256 FROM s
-               UNION ALL
-               SELECT v, (v*v + 151*v + 227) % 256 FROM s),
+        e0 AS ({_GRAPH_SQL_E0}),
         e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
               FROM e0 WHERE a <> b),
         adj AS (SELECT lo AS node, hi AS nbr FROM e

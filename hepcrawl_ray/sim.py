@@ -55,6 +55,47 @@ def _path_of(canonical_url: str) -> str:
     return rest[slash:] if slash >= 0 else "/"
 
 
+def _rule_matches(path: str, pattern: str) -> bool:
+    """Scalar RFC 9309 pattern match: ``*`` spans any char sequence,
+    a trailing ``$`` anchors the path end, everything else literal.
+    Implemented as a greedy left-to-right segment scan — deliberately
+    NOT the regex translation the engine uses
+    (frontier.robots_pattern_to_regex), so the equivalence test
+    cross-checks two independent implementations."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    segs = core.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    if len(segs) == 1:
+        return path == core if anchored else True
+    pos = len(segs[0])
+    for seg in segs[1:-1]:
+        hit = path.find(seg, pos)
+        if hit < 0:
+            return False
+        pos = hit + len(seg)
+    last = segs[-1]
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
+
+
+def robots_blocked(path: str, disallow, allow=()) -> bool:
+    """Scalar RFC 9309 verdict (the executable spec of
+    frontier.robots_blocked_mask): the matching rule with the LONGEST
+    pattern wins, Allow wins length ties, no match -> allowed."""
+    best_len, best_allow = -1, 1
+    for rules, flag in ((disallow, 0), (allow, 1)):
+        for pat in rules:
+            if not _rule_matches(path, pat):
+                continue
+            plen = len(pat)
+            if plen > best_len or (plen == best_len and flag > best_allow):
+                best_len, best_allow = plen, flag
+    return best_allow == 0
+
+
 def simulate_iterative(seeds_rows: list[dict], politeness_rows: list[dict],
                        discover_fn, tick_ms: int = DEFAULT_TICK_MS,
                        default_concurrency: int = 2,
@@ -69,7 +110,8 @@ def simulate_iterative(seeds_rows: list[dict], politeness_rows: list[dict],
     """
     budget = {
         p["host"]: (int(p["max_concurrency"]), int(p["min_delay_ms"]),
-                    tuple(p.get("robots_disallow") or ()))
+                    tuple(p.get("robots_disallow") or ()),
+                    tuple(p.get("robots_allow") or ()))
         for p in politeness_rows
     }
     seen: dict[int, int] = {}
@@ -81,9 +123,9 @@ def simulate_iterative(seeds_rows: list[dict], politeness_rows: list[dict],
         for row in rows:
             canon = urlkit.canonicalize_url(row["url"])
             host = urlkit.host_of(canon)
-            _, _, disallow = budget.get(
-                host, (default_concurrency, default_delay_ms, ()))
-            if any(_path_of(canon).startswith(p) for p in disallow):
+            _, _, disallow, allow = budget.get(
+                host, (default_concurrency, default_delay_ms, (), ()))
+            if robots_blocked(_path_of(canon), disallow, allow):
                 dropped_robots += 1
                 continue
             h = urlkit.url_hash64(canon)
@@ -107,8 +149,8 @@ def simulate_iterative(seeds_rows: list[dict], politeness_rows: list[dict],
             heap = heaps[host]
             if not heap or rnd < next_round.get(host, 0):
                 continue
-            conc, delay, _ = budget.get(
-                host, (default_concurrency, default_delay_ms, ()))
+            conc, delay = budget.get(
+                host, (default_concurrency, default_delay_ms, (), ()))[:2]
             for _ in range(conc):
                 if not heap:
                     break
@@ -137,7 +179,8 @@ def simulate(seeds_rows: list[dict], politeness_rows: list[dict],
     """
     budget = {
         p["host"]: (int(p["max_concurrency"]), int(p["min_delay_ms"]),
-                    tuple(p.get("robots_disallow") or ()))
+                    tuple(p.get("robots_disallow") or ()),
+                    tuple(p.get("robots_allow") or ()))
         for p in politeness_rows
     }
 
@@ -148,10 +191,10 @@ def simulate(seeds_rows: list[dict], politeness_rows: list[dict],
     for row in seeds_rows:  # offer phase, strictly in stream order
         canon = urlkit.canonicalize_url(row["url"])
         host = urlkit.host_of(canon)
-        conc, delay, disallow = budget.get(
-            host, (default_concurrency, default_delay_ms, ()))
+        conc, delay, disallow, allow = budget.get(
+            host, (default_concurrency, default_delay_ms, (), ()))
         path = _path_of(canon)
-        if any(path.startswith(pref) for pref in disallow):
+        if robots_blocked(path, disallow, allow):
             dropped_robots += 1
             continue
         h = urlkit.url_hash64(canon)
@@ -174,8 +217,8 @@ def simulate(seeds_rows: list[dict], politeness_rows: list[dict],
             heap = heaps[host]
             if not heap or rnd < next_round[host]:
                 continue
-            conc, delay, _ = budget.get(
-                host, (default_concurrency, default_delay_ms, ()))
+            conc, delay = budget.get(
+                host, (default_concurrency, default_delay_ms, (), ()))[:2]
             for _ in range(conc):
                 if not heap:
                     break

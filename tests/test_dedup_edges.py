@@ -90,6 +90,30 @@ def test_minhash_batch_matches_reference():
     assert np.array_equal(bd[0], bd[3])
 
 
+def test_shingle_explode_matches_reference():
+    """The vectorized batch explode (Arrow split + windowed join)
+    must yield exactly the strings the per-doc reference produces,
+    in document order, across empty / NULL / short / padded texts
+    and for several k."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", None, "one two", "alpha beta gamma",
+        "  padded   tokens \t with   odd whitespace  runs here ",
+        "w1 w2 w3 w1 w2 w3",
+    ]
+    for k in (1, 2, 3, 5):
+        di, sh = T.shingle_explode(texts, k)
+        got: dict[int, list] = {}
+        for d, s in zip(di.tolist(), sh.to_pylist()):
+            got.setdefault(d, []).append(s)
+        for i, t in enumerate(texts):
+            want = T.shingles(t, k) if t is not None else []
+            assert got.get(i, []) == want, (k, i)
+    # empty batch keeps its types
+    di, sh = T.shingle_explode([], 3)
+    assert len(di) == 0 and sh.type == pa.string()
+
+
 def test_canonical_per_component_tiebreaks():
     """Highest score wins; score ties break to MIN id; singleton
     components keep themselves."""

@@ -21,7 +21,8 @@ def run_engine(seeds: pa.Table, politeness: pa.Table, num_partitions: int,
                checkpoint_dir=None):
     """Drive FrontierPartition objects directly (no Ray — the actor layer
     adds no semantics; crawl_pipeline tests cover the Ray path)."""
-    pol_rows = politeness.to_pylist()
+    pol_rows = politeness.to_pylist() \
+        if isinstance(politeness, pa.Table) else list(politeness)
     parts = [FrontierPartition(i, num_partitions, pol_rows,
                                salted_hosts=salted_hosts)
              for i in range(num_partitions)]
@@ -280,6 +281,81 @@ Disallow: /
         out = p.drain()
         assert out.column("url").to_pylist() == ["http://h.org/a/x"]
         assert p.metrics["dropped_robots"] == 1
+
+
+class TestRobotsRFC9309:
+    """RFC 9309 wildcard / end-anchor / Allow longest-match support
+    (round-5): the vectorized engine matcher, the scalar sim spec and
+    the DuckDB regex translation must agree on every verdict, and the
+    full engine==sim equivalence must hold with wildcard rules in the
+    politeness table."""
+
+    PATTERNS = ["/a", "/a/b", "/*.pdf$", "/*.pdf", "/fish*", "/*7",
+                "/a$", "/", "/*/b", "/a*b*c$", "/set1/img00001*",
+                "/private/*0$", "*", "/fish*.php"]
+    PATHS = ["/", "/a", "/a/b", "/a/b/c", "/ab", "/a.pdf", "/x/a.pdf",
+             "/pdfa", "/a/b7", "/set1/img0000017", "/private/set0/x0",
+             "/fishheads", "/fish.php?id=2", "/fish/salmon.html",
+             "/abc", "/axbyc", "/axbycd"]
+
+    def test_parse_allow_rules(self):
+        from hepcrawl_ray.frontier import parse_robots_rules
+
+        body = ("User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/pub*\nDisallow: /*.zip$\n")
+        dis, alw = parse_robots_rules(body)
+        assert dis == ("/private/", "/*.zip$")
+        assert alw == ("/private/pub*",)
+
+    def test_matcher_equivalence_engine_sim_duckdb(self):
+        import itertools
+
+        import duckdb
+
+        from hepcrawl_ray.frontier import (
+            robots_blocked_mask,
+            robots_pattern_to_regex,
+        )
+        from hepcrawl_ray.sim import _rule_matches, robots_blocked
+
+        col = pa.array(self.PATHS)
+        for dis in itertools.combinations(self.PATTERNS, 2):
+            for alw in [(), ("/a/b",), ("/*.pdf$",), ("/fish*",)]:
+                mask = robots_blocked_mask(col, dis, alw)
+                ref = np.array([robots_blocked(p, dis, alw)
+                                for p in self.PATHS])
+                assert (mask == ref).all(), (dis, alw)
+        con = duckdb.connect()
+        for pat in self.PATTERNS:
+            rx = robots_pattern_to_regex(pat)
+            for p in self.PATHS:
+                d = con.execute("select regexp_matches(?, ?)",
+                                [p, rx]).fetchone()[0]
+                assert d == _rule_matches(p, pat), (pat, p)
+
+    def test_engine_matches_sim_with_wildcard_rules(self):
+        images, _ = synth.generate_corpus(150)
+        seeds = synth.generate_seeds(images)
+        pol = synth.generate_politeness().to_pylist()
+        for row in pol:
+            # wildcard deny + an Allow that re-opens part of /private/
+            row["robots_disallow"] = list(row["robots_disallow"]) \
+                + ["/set*7$"]
+            row["robots_allow"] = ["/private/*0$"]
+        ref = simulate(seeds.to_pylist(), pol)
+        assert ref.dropped_robots > 0
+        order, seen, parts = run_engine(seeds, pol, 4)
+        got = list(zip(order.column("round").to_pylist(),
+                       order.column("host").to_pylist(),
+                       order.column("url").to_pylist(),
+                       order.column("seq").to_pylist()))
+        want = [(r, h, u, s) for (r, h, u, s, _p, _m) in ref.admissions]
+        assert got == want
+        assert seen == ref.seen_hashes
+        robots = sum(p.metrics["dropped_robots"] for p in parts)
+        assert robots == ref.dropped_robots
+        # the Allow rule actually re-admitted some /private/ URLs
+        assert any("/private/" in u for (_, _, u, _) in got)
 
 
 class TestSkewMitigation:
