@@ -23,6 +23,8 @@ Scale notes (design for 256 nodes / 100 TB, tested single-node):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -85,6 +87,15 @@ def offer_seeds(actors, seeds, num_partitions, offer_batch_size=65536,
     """Canonicalize + route the seed stream into the frontier actors."""
     import ray
 
+    if isinstance(seeds, pa.Table) and seeds.num_rows <= offer_batch_size:
+        # small seed table: one Dataset pass costs ~1.4 s fixed
+        # latency (lesson 15) — dominant for an iterative crawl whose
+        # seed list is a handful of roots.  Canonicalize driver-side
+        # and push directly; offer_tables awaits delivery, which is
+        # the same barrier the polling loop below provides.
+        offers = canonicalize_batch(seeds)
+        offer_tables(actors, offers, num_partitions, salted_hosts)
+        return seeds.num_rows
     if isinstance(seeds, pa.Table):
         # from_arrow(table) is ONE block -> single-task map stages; slice
         # into chunks (zero-copy) so the offer path parallelizes
@@ -279,22 +290,79 @@ class _DiscoverWorker:
                  salted_hosts, discover_batch_fn=None):
         from hepcrawl_ray.stages import DiscoverRouteStage
 
+        # buffered: offers accumulate per worker and deliver as ONE
+        # merged table per partition at flush() — the per-chunk offer
+        # fan-in serialized on the frontier actors' inboxes (lesson 28)
         self.stage = DiscoverRouteStage(
             discover_fn, actors, num_partitions, salted_hosts,
-            discover_batch_fn=discover_batch_fn)
+            discover_batch_fn=discover_batch_fn, buffered=True)
 
     def process(self, table: pa.Table) -> int:
-        # offers are delivered (ray.get inside the stage) before this
-        # returns — the caller's ray.get is the delivery barrier
+        # extraction only — delivery happens at the caller's flush()
         self.stage(table)
         return table.num_rows
+
+    def flush(self) -> int:
+        # offers are delivered (ray.get inside) before this returns —
+        # the caller's ray.get on flush IS the delivery barrier
+        return self.stage.flush()
+
+
+def _iter_checkpoint(actors, checkpoint_dir, it_done, segments,
+                     pending_tables):
+    """Atomic iterative-crawl checkpoint after iteration ``it_done``:
+    frontier partitions snapshot themselves (frontier.checkpoint), the
+    admissions emitted since the LAST checkpoint land as one parquet
+    segment, and ``_iter_meta.json`` commits the set last — a crash
+    between any two steps leaves the previous meta (and therefore the
+    previous consistent state) in effect.  Reference analog: crawl-once
+    DB + last-run file surviving a killed job
+    (hepcrawl/middlewares.py:101-155,
+    hepcrawl/spiders/common/lastrunstore_spider.py:53-126)."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.get([a.checkpoint.remote(checkpoint_dir) for a in actors])
+    segments = list(segments)
+    body = pa.concat_tables(pending_tables) if pending_tables else None
+    if body is not None and body.num_rows:
+        seg_dir = os.path.join(checkpoint_dir, "admissions")
+        os.makedirs(seg_dir, exist_ok=True)
+        name = f"seg_{len(segments):05d}.parquet"
+        tmp = os.path.join(seg_dir, "." + name + ".tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(seg_dir, name))
+        segments.append(name)
+    meta = {"iter": it_done, "segments": segments,
+            "num_partitions": len(actors)}
+    tmp = os.path.join(checkpoint_dir, "._iter_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(checkpoint_dir, "_iter_meta.json"))
+    return segments
+
+
+def _iter_restore(checkpoint_dir):
+    """Load the committed iterative checkpoint -> (meta, admissions)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(checkpoint_dir, "_iter_meta.json")) as f:
+        meta = json.load(f)
+    tables = [pq.read_table(os.path.join(checkpoint_dir, "admissions", s))
+              for s in meta["segments"]]
+    return meta, tables
 
 
 def run_iterative_crawl(seeds, politeness, discover_fn, *,
                         num_partitions=4, salted_hosts=None,
                         rounds_per_iter=1, max_iters=100_000,
                         in_stage=True, n_discover_workers=4,
-                        discover_batch_fn=None):
+                        discover_batch_fn=None, checkpoint_dir=None,
+                        checkpoint_every=0, resume=False):
     """Crawl with mid-run URL discovery (the frontier LOOP).
 
     ``discover_fn(canonical_url, seq) -> list of seed-like dicts`` —
@@ -322,6 +390,19 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
     the identical schedule (pinned in tests).  ``in_stage=False`` is
     the driver-side loop kept as the oracle-exact executable spec for
     the equivalence tests.
+
+    ``checkpoint_dir`` + ``checkpoint_every=k``: every k iterations,
+    after the seal barrier (a quiescent point: all of the round's
+    offers are delivered and sealed, no in-flight state anywhere), the
+    frontier partitions snapshot themselves and the admissions emitted
+    since the last checkpoint are committed as a parquet segment
+    (atomic meta-last protocol, :func:`_iter_checkpoint`).
+    ``resume=True`` restores the committed checkpoint and continues —
+    the resumed run's FULL admission schedule (restored segments +
+    post-resume iterations) is EXACTLY the uninterrupted run's,
+    including iterations whose un-checkpointed work the crash threw
+    away (determinism replays them identically); pinned by
+    tests/test_sources_iterative.py.
     """
     import ray
 
@@ -329,9 +410,24 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
 
     pol_rows = politeness.to_pylist() if isinstance(politeness, pa.Table) \
         else list(politeness)
-    actors = start_frontier(pol_rows, num_partitions, salted_hosts)
-    offer_seeds(actors, seeds, num_partitions, salted_hosts=salted_hosts)
-    ray.get([a.seal.remote() for a in actors])
+    if resume:
+        if not checkpoint_dir:
+            raise ValueError("resume=True requires checkpoint_dir")
+        meta, admissions = _iter_restore(checkpoint_dir)
+        if meta["num_partitions"] != num_partitions:
+            raise ValueError(
+                f"checkpoint has {meta['num_partitions']} partitions, "
+                f"resume requested {num_partitions}")
+        actors = restore_frontier(checkpoint_dir, num_partitions)
+        segments = list(meta["segments"])
+    else:
+        actors = start_frontier(pol_rows, num_partitions, salted_hosts)
+        offer_seeds(actors, seeds, num_partitions,
+                    salted_hosts=salted_hosts)
+        ray.get([a.seal.remote() for a in actors])
+        admissions = []
+        segments = []
+    pending_ckpt: list[pa.Table] = []
 
     # PERSISTENT discover workers (created once, reused every
     # iteration): a fresh map_batches actor pool per iteration pays
@@ -347,8 +443,7 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
                              salted_hosts, discover_batch_fn)
                    for _ in range(n_discover_workers)]
 
-    admissions = []
-    for _ in range(max_iters):
+    for it in range(max_iters):
         tables = ray.get([a.drain.remote(rounds_per_iter) for a in actors])
         t = pa.concat_tables(tables)
         if t.num_rows == 0:
@@ -356,10 +451,14 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
                 break
             continue
         admissions.append(t)
+        pending_ckpt.append(t)
         if in_stage:
-            # discovery+routing runs in the PERSISTENT workers; each
-            # chunk's offers are delivered before its call returns, so
-            # the ray.get barrier IS the delivery barrier
+            # discovery runs in the PERSISTENT workers (extraction
+            # only, offers buffered per worker); the flush barrier
+            # then delivers ONE merged offer table per (worker,
+            # partition) — n_workers × n_partitions inbox messages per
+            # iteration instead of one per 4096-row chunk (the fan-in
+            # that serialized on the actors' inboxes, lesson 28)
             pending, k = [], 0
             for tb in tables:
                 for s in range(0, tb.num_rows, 4096):
@@ -367,26 +466,35 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
                                    .process.remote(tb.slice(s, 4096)))
                     k += 1
             ray.get(pending)
+            ray.get([w.flush.remote() for w in workers])
             ray.get([a.seal.remote() for a in actors])  # no-op if empty
-            continue
-        # discovery in deterministic admission order
-        t_sorted = t.sort_by([("round", "ascending"), ("host", "ascending"),
-                              ("pop_idx", "ascending")])
-        new_rows = []
-        for url, seq in zip(t_sorted.column("url").to_pylist(),
-                            t_sorted.column("seq").to_pylist()):
-            new_rows.extend(discover_fn(url, seq))
-        if new_rows:
-            raw = pa.table({
-                "url": [r["url"] for r in new_rows],
-                "priority": [float(r.get("priority", 0.0)) for r in new_rows],
-                "seq": [int(r["seq"]) for r in new_rows],
-                "mtime": [int(r.get("mtime", 0)) for r in new_rows],
-                "set_id": [r.get("set_id", "") for r in new_rows],
-            })
-            offers = canonicalize_batch(raw)
-            offer_tables(actors, offers, num_partitions, salted_hosts)
-            ray.get([a.seal.remote() for a in actors])
+        else:
+            # discovery in deterministic admission order
+            t_sorted = t.sort_by([("round", "ascending"),
+                                  ("host", "ascending"),
+                                  ("pop_idx", "ascending")])
+            new_rows = []
+            for url, seq in zip(t_sorted.column("url").to_pylist(),
+                                t_sorted.column("seq").to_pylist()):
+                new_rows.extend(discover_fn(url, seq))
+            if new_rows:
+                raw = pa.table({
+                    "url": [r["url"] for r in new_rows],
+                    "priority": [float(r.get("priority", 0.0))
+                                 for r in new_rows],
+                    "seq": [int(r["seq"]) for r in new_rows],
+                    "mtime": [int(r.get("mtime", 0)) for r in new_rows],
+                    "set_id": [r.get("set_id", "") for r in new_rows],
+                })
+                offers = canonicalize_batch(raw)
+                offer_tables(actors, offers, num_partitions, salted_hosts)
+                ray.get([a.seal.remote() for a in actors])
+        # quiescent point: round's offers delivered AND sealed
+        if checkpoint_dir and checkpoint_every \
+                and (it + 1) % checkpoint_every == 0:
+            segments = _iter_checkpoint(actors, checkpoint_dir, it + 1,
+                                        segments, pending_ckpt)
+            pending_ckpt = []
     result = pa.concat_tables(admissions) if admissions else None
     metrics = ray.get([a.get_metrics.remote() for a in actors])
     seen = np.concatenate(ray.get([a.seen_hashes.remote() for a in actors]))

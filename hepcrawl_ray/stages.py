@@ -366,7 +366,8 @@ class DiscoverRouteStage:
     """
 
     def __init__(self, discover_fn, actors, num_partitions,
-                 salted_hosts=None, discover_batch_fn=None):
+                 salted_hosts=None, discover_batch_fn=None,
+                 buffered=False):
         from hepcrawl_ray.frontier import (
             canonicalize_batch,
             route_partition_ids,
@@ -379,10 +380,40 @@ class DiscoverRouteStage:
         self.discover_batch_fn = discover_batch_fn
         self._canon = canonicalize_batch
         self._route_ids = route_partition_ids
+        # buffered=True: __call__ accumulates canonical offers locally
+        # and flush() delivers ONE merged table per partition — the
+        # offer fan-in otherwise serializes on the receiving actors'
+        # inboxes (one offer call per (chunk, partition); CLAUDE.md
+        # lesson 28), which capped the iterative crawl at ~1/3 of the
+        # non-iterative headline.  Arrival order is irrelevant
+        # (admission is decided over a seq-sorted view at seal), so
+        # merging preserves the exact schedule.
+        self.buffered = buffered
+        self._buf: list[pa.Table] = []
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _deliver(self, offers: pa.Table):
         import ray
 
+        parts = self._route_ids(offers.column("host").to_pylist(),
+                                offers.column("url_hash").to_numpy(),
+                                self.num_partitions, self.salted_hosts)
+        pending = []
+        for p in np.unique(parts):
+            sub = offers.filter(pa.array(parts == p))
+            pending.append(self.actors[int(p)].offer.remote(sub))
+        ray.get(pending)       # delivered before return
+
+    def flush(self) -> int:
+        """Deliver all buffered offers (one merged table per
+        partition) and await delivery; returns rows delivered."""
+        if not self._buf:
+            return 0
+        offers = pa.concat_tables(self._buf).combine_chunks()
+        self._buf = []
+        self._deliver(offers)
+        return offers.num_rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         if self.discover_batch_fn is not None:
             # vectorized contract: (urls, seqs) -> (offer table with
             # url/priority/seq/mtime/set_id columns, per-row link
@@ -414,12 +445,8 @@ class DiscoverRouteStage:
             }) if new_rows else None
         if raw is not None and raw.num_rows:
             offers = self._canon(raw)
-            parts = self._route_ids(offers.column("host").to_pylist(),
-                                    offers.column("url_hash").to_numpy(),
-                                    self.num_partitions, self.salted_hosts)
-            pending = []
-            for p in np.unique(parts):
-                sub = offers.filter(pa.array(parts == p))
-                pending.append(self.actors[int(p)].offer.remote(sub))
-            ray.get(pending)       # delivered before this batch returns
+            if self.buffered:
+                self._buf.append(offers)   # delivered at flush()
+            else:
+                self._deliver(offers)      # delivered before batch returns
         return batch.append_column("n_links", pa.array(n_links))

@@ -294,6 +294,71 @@ class TestIterativeCrawl:
         assert a["urls"] == b["urls"] == 3000
         assert schedule(a) == schedule(b)
 
+    @pytest.mark.parametrize("num_partitions", [2, 4])
+    def test_kill_resume_mid_crawl_exact(self, ray_session, tmp_path,
+                                         num_partitions):
+        """Mid-crawl kill/resume of the in-stage iterative path (the
+        production default): run with per-iteration checkpoints, kill
+        AFTER an un-checkpointed iteration (its work is lost), resume
+        from the last committed checkpoint — the resumed run's FULL
+        admission schedule must equal the uninterrupted run's AND the
+        simulator's, bit for bit.  Reference analog: crawl-once DB +
+        last-run file surviving a killed job
+        (hepcrawl/middlewares.py:101-155,
+        hepcrawl/spiders/common/lastrunstore_spider.py:53-126)."""
+        from hepcrawl_ray.pipelines import crawl as cp
+        from hepcrawl_ray.sim import simulate_iterative
+
+        n = 60
+        hosts = ["host1.example.org", "host2.example.org"]
+        seeds = pa.table({
+            "url": [f"http://{hosts[i % 2]}/seed/img{i:07d}"
+                    for i in range(4)],
+            "host": [hosts[i % 2] for i in range(4)],
+            "set_id": ["seed"] * 4,
+            "priority": [0.0] * 4,
+            "seq": [0, 1, 2, 3],
+            "mtime": [1000] * 4,
+            "dup_of": [None] * 4,
+        }, schema=synth.SEEDS_SCHEMA)
+        politeness = pa.table({
+            "host": hosts, "max_concurrency": [2, 1],
+            "min_delay_ms": [0, 100],
+            "robots_disallow": [[], []],
+        }, schema=synth.POLITENESS_SCHEMA)
+        discover = make_tree_discover(n, host=hosts[0])
+
+        def key(table):
+            t = table.sort_by([("round", "ascending"),
+                               ("host", "ascending"),
+                               ("pop_idx", "ascending")])
+            return list(zip(t.column("round").to_pylist(),
+                            t.column("host").to_pylist(),
+                            t.column("url").to_pylist(),
+                            t.column("seq").to_pylist()))
+
+        full = cp.run_iterative_crawl(seeds, politeness, discover,
+                                      num_partitions=num_partitions)
+        ckpt = str(tmp_path / f"ck{num_partitions}")
+        # checkpoint_every=2, kill after iteration 3: the last COMMITTED
+        # state is iteration 2 — iteration 3's work is thrown away and
+        # must be replayed identically on resume
+        partial = cp.run_iterative_crawl(
+            seeds, politeness, discover, num_partitions=num_partitions,
+            checkpoint_dir=ckpt, checkpoint_every=2, max_iters=3)
+        assert partial["admissions"].num_rows \
+            < full["admissions"].num_rows          # genuinely truncated
+        resumed = cp.run_iterative_crawl(
+            None, politeness, discover, num_partitions=num_partitions,
+            checkpoint_dir=ckpt, checkpoint_every=2, resume=True)
+        assert key(resumed["admissions"]) == key(full["admissions"])
+        assert resumed["seen"] == full["seen"]
+        ref = simulate_iterative(seeds.to_pylist(),
+                                 politeness.to_pylist(), discover)
+        want = [(r, h, u, s) for (r, h, u, s, _p, _m) in ref.admissions]
+        assert key(resumed["admissions"]) == want
+        assert resumed["seen"] == ref.seen_hashes
+
     def test_in_stage_dedups_cross_batch(self, ray_session):
         """Two parents in different partitions discovering the same
         child through separate stage batches: crawled once."""
