@@ -258,10 +258,22 @@ class FrontierPartition:
                  capacity: int = 1 << 17, tick_ms: int = DEFAULT_TICK_MS,
                  default_concurrency: int = DEFAULT_CONCURRENCY,
                  default_delay_ms: int = DEFAULT_DELAY_MS,
-                 salted_hosts: dict[str, int] | None = None):
+                 salted_hosts: dict[str, int] | None = None,
+                 spill_dir: str | None = None,
+                 spill_threshold_rows: int | None = None):
         self.part_id = part_id
         self.num_partitions = num_partitions
         self.tick_ms = tick_ms
+        # cold-tail spill (SURVEY §4.1's heap-cap design; round-5): a
+        # queue whose in-memory rows exceed ``spill_threshold_rows``
+        # keeps its sorted HEAD hot and writes the tail to parquet
+        # segments under ``spill_dir/part=<id>``; drain reloads (and
+        # re-caps) only when the schedule actually reaches the tail.
+        # OFF by default — admission schedules are bit-identical either
+        # way (tests/test_frontier.py TestColdTailSpill).
+        self.spill_dir = spill_dir
+        self.spill_threshold = spill_threshold_rows
+        self._spill_seq = 0
         self.default_budget = (default_concurrency, default_delay_ms)
         self.budgets: dict[str, HostBudget] = {}
         for row in politeness_rows or []:
@@ -283,6 +295,7 @@ class FrontierPartition:
         self.metrics = {
             "offered": 0, "dropped_robots": 0, "dropped_dup": 0,
             "admitted_to_queue": 0, "drained": 0, "seal_batches": 0,
+            "spilled_rows": 0, "spill_reloads": 0, "max_hot_resident": 0,
         }
 
     # -- budget lookup ------------------------------------------------------
@@ -392,24 +405,123 @@ class FrontierPartition:
             self._enqueue(qkey, rows)
         return dict(self.metrics)
 
+    # -- cold-tail spill ------------------------------------------------------
+    #
+    # SURVEY §4.1's heap-cap design (vs the reference's whole-list-in-
+    # RAM scheduler, hepcrawl/spiders/common/oaipmh_spider.py:206-214):
+    # each queue keeps a sorted HOT head of at most ``spill_threshold``
+    # rows in memory; the cold tail lives as sorted parquet segments.
+    # Invariant: every hot row sorts strictly before ``boundary`` (the
+    # smallest spilled key), so new offers split cleanly — rows before
+    # the boundary merge into the hot head, rows at/after it append as
+    # a new segment.  Drain reloads (merge-sort of hot remainder + all
+    # segments, then re-cap) only when the schedule actually reaches
+    # the tail — once per ~threshold/2 drained rows, amortized O(1)
+    # IO per row.  Resident set: O(threshold) per queue + one
+    # reloading tail; pair with host salting when a single host's tail
+    # itself exceeds a worker (route_partition_ids).  Consumed segment
+    # files are left on disk because checkpoints reference them by
+    # name; GC = delete segments not in the latest checkpoint manifest.
+
+    def _spill_path(self, name: str) -> str:
+        d = os.path.join(self.spill_dir, f"part={self.part_id}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, name)
+
+    def _write_spill_segment(self, table: pa.Table) -> str:
+        import pyarrow.parquet as pq
+
+        name = f"seg_{self._spill_seq:06d}.parquet"
+        self._spill_seq += 1
+        path = self._spill_path(name)
+        pq.write_table(table, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return name
+
+    @staticmethod
+    def _key_before(rows: pa.Table, boundary) -> np.ndarray:
+        """Mask of rows whose (-priority, seq) key sorts before the
+        spill boundary."""
+        bneg, bseq = boundary
+        negp = -rows.column("priority").to_numpy()
+        seq = rows.column("seq").to_numpy()
+        return (negp < bneg) | ((negp == bneg) & (seq < bseq))
+
+    def _maybe_spill(self, q: dict) -> None:
+        """Cap the hot head: spill rows beyond ``threshold // 2``."""
+        th = self.spill_threshold
+        hot = q["rows"].num_rows - q["cursor"]
+        if not th or self.spill_dir is None or hot <= th:
+            if hot > self.metrics["max_hot_resident"]:
+                self.metrics["max_hot_resident"] = hot
+            return
+        keep = max(1, th // 2)
+        body = q["rows"].slice(q["cursor"])
+        tail = body.slice(keep)
+        q["spill"].append(self._write_spill_segment(tail))
+        q["spilled_rows"] += tail.num_rows
+        self.metrics["spilled_rows"] += tail.num_rows
+        # new tail rows all sort before any previously spilled row
+        # (they were hot), so the first tail key IS the new boundary
+        q["boundary"] = (-float(tail.column("priority")[0].as_py()),
+                         int(tail.column("seq")[0].as_py()))
+        q["rows"], q["cursor"] = body.slice(0, keep), 0
+        if keep > self.metrics["max_hot_resident"]:
+            self.metrics["max_hot_resident"] = keep
+
+    def _reload_spill(self, q: dict) -> None:
+        """Pull the cold tail back: merge hot remainder + all segments
+        into one sorted table (the drain is about to cross the
+        boundary); caller re-caps via _maybe_spill afterwards."""
+        import pyarrow.parquet as pq
+
+        segs = [pq.read_table(self._spill_path(n)) for n in q["spill"]]
+        body = pa.concat_tables([q["rows"].slice(q["cursor"])] + segs)
+        neg_p = pc.negate(body.column("priority"))
+        body = (body.append_column("_negp", neg_p)
+                .sort_by([("_negp", "ascending"), ("seq", "ascending")])
+                .drop(["_negp"]))
+        q["rows"], q["cursor"] = body, 0
+        q["spill"], q["spilled_rows"], q["boundary"] = [], 0, None
+        self.metrics["spill_reloads"] += 1
+
     def _enqueue(self, qkey: str, rows: pa.Table) -> None:
-        """Merge rows into the queue, keeping (-priority, seq) sort."""
+        """Merge rows into the queue, keeping (-priority, seq) sort.
+        With spill active, rows sorting at/after the spill boundary
+        join the cold tail as a new segment, not the hot head."""
         q = self.queues.get(qkey)
-        if q is not None and q["cursor"] < q["rows"].num_rows:
-            remainder = q["rows"].slice(q["cursor"])
-            rows = pa.concat_tables([remainder, rows])
+        spill: list[str] = []
+        spilled, boundary = 0, None
+        if q is not None:
+            spill = list(q["spill"])
+            spilled, boundary = q["spilled_rows"], q["boundary"]
+            if q["cursor"] < q["rows"].num_rows:
+                rows = pa.concat_tables([q["rows"].slice(q["cursor"]),
+                                         rows])
         neg_p = pc.negate(rows.column("priority"))
         rows = rows.append_column("_negp", neg_p)
         rows = rows.sort_by([("_negp", "ascending"), ("seq", "ascending")])
         rows = rows.drop(["_negp"])
+        if boundary is not None and rows.num_rows:
+            hot_mask = self._key_before(rows, boundary)
+            if not hot_mask.all():
+                tail = rows.filter(pa.array(~hot_mask))
+                spill.append(self._write_spill_segment(tail))
+                spilled += tail.num_rows
+                self.metrics["spilled_rows"] += tail.num_rows
+                rows = rows.filter(pa.array(hot_mask))
         host = qkey.split("#", 1)[0]
-        self.queues[qkey] = {"rows": rows, "cursor": 0, "host": host}
+        q = {"rows": rows, "cursor": 0, "host": host, "spill": spill,
+             "spilled_rows": spilled, "boundary": boundary}
+        self._maybe_spill(q)
+        self.queues[qkey] = q
         self.next_round.setdefault(qkey, self.cur_round)
 
     # -- drain ----------------------------------------------------------------
 
     def pending(self) -> int:
-        return sum(q["rows"].num_rows - q["cursor"] for q in self.queues.values())
+        return sum(q["rows"].num_rows - q["cursor"] + q["spilled_rows"]
+                   for q in self.queues.values())
 
     def _share_for(self, qkey: str, host: str) -> int:
         k = self.salted_hosts.get(host, 0)
@@ -438,7 +550,7 @@ class FrontierPartition:
         active_end = self.cur_round
         for qkey in sorted(self.queues):
             q = self.queues[qkey]
-            remaining = q["rows"].num_rows - q["cursor"]
+            remaining = q["rows"].num_rows - q["cursor"] + q["spilled_rows"]
             if remaining <= 0:
                 continue
             host = q["host"]
@@ -455,8 +567,13 @@ class FrontierPartition:
             if nb <= 0:
                 continue
             n = min(remaining, nb * share)
+            if n > q["rows"].num_rows - q["cursor"]:
+                # schedule crosses into the cold tail: reload + re-cap
+                self._reload_spill(q)
             sl = q["rows"].slice(q["cursor"], n)
             q["cursor"] += n
+            if q["spilled_rows"] == 0 and self.spill_threshold:
+                self._maybe_spill(q)
             rr = (r0 + d * np.repeat(np.arange(nb, dtype=np.int64), share)[:n])
             pp = np.tile(np.arange(share, dtype=np.int32), nb)[:n]
             qorder_out.append(sl)
@@ -502,7 +619,7 @@ class FrontierPartition:
         (each queue admits ``share`` rows every ``delay`` rounds)."""
         rate = 0.0
         for qkey, q in self.queues.items():
-            if q["rows"].num_rows - q["cursor"] <= 0:
+            if q["rows"].num_rows - q["cursor"] + q["spilled_rows"] <= 0:
                 continue
             host = q["host"]
             rate += (self._share_for(qkey, host)
@@ -550,11 +667,16 @@ class FrontierPartition:
             "salted_hosts": self.salted_hosts,
             "seen": self.seen.to_bytes(),
             "queues": {k: {"rows": _table_to_bytes(q["rows"].slice(q["cursor"])),
-                           "host": q["host"]}
+                           "host": q["host"], "spill": q["spill"],
+                           "spilled_rows": q["spilled_rows"],
+                           "boundary": q["boundary"]}
                        for k, q in self.queues.items()},
             "next_round": self.next_round,
             "cur_round": self.cur_round,
             "metrics": self.metrics,
+            "spill_dir": self.spill_dir,
+            "spill_threshold": self.spill_threshold,
+            "spill_seq": self._spill_seq,
         }
         with open(tmp, "wb") as f:
             pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -588,12 +710,19 @@ class FrontierPartition:
         self.salted_hosts = state["salted_hosts"]
         self.seen = SeenSet.from_bytes(state["seen"])
         self._buffer = []
-        self.queues = {k: {"rows": _table_from_bytes(v["rows"]), "cursor": 0,
-                           "host": v["host"]}
-                       for k, v in state["queues"].items()}
+        self.queues = {
+            k: {"rows": _table_from_bytes(v["rows"]), "cursor": 0,
+                "host": v["host"], "spill": list(v["spill"]),
+                "spilled_rows": v["spilled_rows"],
+                "boundary": tuple(v["boundary"]) if v["boundary"]
+                else None}
+            for k, v in state["queues"].items()}
         self.next_round = state["next_round"]
         self.cur_round = state["cur_round"]
         self.metrics = state["metrics"]
+        self.spill_dir = state["spill_dir"]
+        self.spill_threshold = state["spill_threshold"]
+        self._spill_seq = state["spill_seq"]
         return self
 
 

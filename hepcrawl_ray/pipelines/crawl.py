@@ -57,15 +57,20 @@ def _make_router(actors, num_partitions, salted_hosts=None):
 
 def start_frontier(politeness_rows, num_partitions=4, salted_hosts=None,
                    capacity_per_partition=1 << 17, tick_ms=100,
-                   num_cpus_per_actor=0.05):
-    """Create the frontier actor pool."""
+                   num_cpus_per_actor=0.05, spill_dir=None,
+                   spill_threshold_rows=None):
+    """Create the frontier actor pool.  ``spill_dir`` +
+    ``spill_threshold_rows`` cap each partition's hot queue heads and
+    spill cold tails to parquet (frontier cold-tail spill; schedules
+    stay bit-identical)."""
     import ray
 
     actor_cls = ray.remote(num_cpus=num_cpus_per_actor)(FrontierPartition)
     return [
         actor_cls.remote(i, num_partitions, politeness_rows,
                          capacity=capacity_per_partition, tick_ms=tick_ms,
-                         salted_hosts=salted_hosts)
+                         salted_hosts=salted_hosts, spill_dir=spill_dir,
+                         spill_threshold_rows=spill_threshold_rows)
         for i in range(num_partitions)
     ]
 

@@ -283,6 +283,138 @@ Disallow: /
         assert p.metrics["dropped_robots"] == 1
 
 
+def _hot_seeds(n_hot=3000, n_cold=40):
+    """One pathologically hot host (n_hot URLs, mixed priorities so the
+    sort interleaves) + a few cold hosts."""
+    hosts = [f"host{k}.example.org" for k in range(3)]
+    urls, hs, prio, seq = [], [], [], []
+    s = 0
+    for i in range(n_hot):
+        urls.append(f"http://{hosts[0]}/p/{i:06d}")
+        hs.append(hosts[0])
+        prio.append(float(i % 5 - 2))
+        seq.append(s)
+        s += 1
+    for i in range(n_cold):
+        h = hosts[1 + i % 2]
+        urls.append(f"http://{h}/c/{i:04d}")
+        hs.append(h)
+        prio.append(0.0)
+        seq.append(s)
+        s += 1
+    n = len(urls)
+    return pa.table({
+        "url": urls, "host": hs, "set_id": ["s"] * n,
+        "priority": prio, "seq": seq, "mtime": [1000] * n,
+        "dup_of": [None] * n,
+    }, schema=synth.SEEDS_SCHEMA), pa.table({
+        "host": hosts, "max_concurrency": [4, 2, 1],
+        "min_delay_ms": [0, 100, 0],
+        "robots_disallow": [[], [], []],
+    }, schema=synth.POLITENESS_SCHEMA)
+
+
+class TestColdTailSpill:
+    """SURVEY §4.1's frontier heap cap: a queue over the threshold
+    keeps a bounded hot head in memory and spills the cold tail to
+    parquet — with a BIT-IDENTICAL admission schedule, and exact
+    checkpoint/restore including the spill manifest."""
+
+    def _run(self, seeds, politeness, tmp, threshold,
+             chunk_rows=None, checkpoint_at=None):
+        from hepcrawl_ray.frontier import route_partition_ids
+
+        pol = politeness.to_pylist()
+        P = 2
+        kw = {}
+        if threshold:
+            kw = {"spill_dir": str(tmp), "spill_threshold_rows": threshold}
+        parts = [FrontierPartition(i, P, pol, **kw) for i in range(P)]
+        offers = canonicalize_batch(seeds)
+        pids = route_partition_ids(offers.column("host").to_pylist(),
+                                   offers.column("url_hash").to_numpy(),
+                                   P, None)
+        for i, p in enumerate(parts):
+            p.offer(offers.filter(pa.array(pids == i)))
+            p.seal()
+        out = []
+        if checkpoint_at is not None:
+            for p in parts:
+                out.append(p.drain(max_rounds=checkpoint_at))
+                p.checkpoint(str(tmp / "ckpt"))
+            parts = [FrontierPartition.restore(str(tmp / "ckpt"), i)
+                     for i in range(P)]
+        for p in parts:
+            if chunk_rows:
+                while p.pending():
+                    out.append(p.drain_chunk(chunk_rows))
+            else:
+                out.append(p.drain())
+        t = pa.concat_tables(out).sort_by(
+            [("round", "ascending"), ("host", "ascending"),
+             ("pop_idx", "ascending")])
+        return t, parts
+
+    def test_spilled_schedule_identical_and_bounded(self, tmp_path):
+        seeds, politeness = _hot_seeds()
+        want, _ = self._run(seeds, politeness, tmp_path / "a", None)
+        got, parts = self._run(seeds, politeness, tmp_path / "b", 256,
+                               chunk_rows=200)
+        assert got.equals(want)
+        m = [p.get_metrics() for p in parts]
+        assert sum(x["spilled_rows"] for x in m) > 0       # really spilled
+        assert sum(x["spill_reloads"] for x in m) > 0      # really reloaded
+        # the hot head never exceeded the cap
+        assert max(x["max_hot_resident"] for x in m) <= 256
+
+    def test_spill_mixed_with_new_offers(self, tmp_path):
+        """Offers arriving AFTER a spill (some sorting into the hot
+        head, some past the boundary into the tail) keep the schedule
+        identical to the uncapped run."""
+        from hepcrawl_ray.frontier import route_partition_ids
+
+        seeds, politeness = _hot_seeds(n_hot=1200, n_cold=10)
+        host = "host0.example.org"
+        extra = pa.table({
+            "url": [f"http://{host}/x/{i:05d}" for i in range(400)],
+            "host": [host] * 400, "set_id": ["s"] * 400,
+            # priorities straddle the whole range: half sort into the
+            # hot head, half behind the spill boundary
+            "priority": [float((i % 9) - 4) for i in range(400)],
+            "seq": [10_000 + i for i in range(400)],
+            "mtime": [1000] * 400, "dup_of": [None] * 400,
+        }, schema=synth.SEEDS_SCHEMA)
+
+        def run(threshold, tmp):
+            pol = politeness.to_pylist()
+            kw = {"spill_dir": str(tmp),
+                  "spill_threshold_rows": threshold} if threshold else {}
+            p = FrontierPartition(0, 1, pol, **kw)
+            p.offer(canonicalize_batch(seeds))
+            p.seal()
+            out = [p.drain(max_rounds=30)]
+            p.offer(canonicalize_batch(extra))
+            p.seal()
+            out.append(p.drain())
+            return pa.concat_tables(out).sort_by(
+                [("round", "ascending"), ("host", "ascending"),
+                 ("pop_idx", "ascending")]), p
+
+        want, _ = run(None, tmp_path / "u")
+        got, p = run(128, tmp_path / "c")
+        assert got.equals(want)
+        assert p.metrics["spilled_rows"] > 0
+
+    def test_spill_checkpoint_restore_exact(self, tmp_path):
+        seeds, politeness = _hot_seeds()
+        want, _ = self._run(seeds, politeness, tmp_path / "a", None)
+        got, parts = self._run(seeds, politeness, tmp_path / "b", 200,
+                               checkpoint_at=40)
+        assert got.equals(want)
+        # the restored partitions carried the spill manifest across
+        assert sum(p.metrics["spilled_rows"] for p in parts) > 0
+
+
 class TestRobotsRFC9309:
     """RFC 9309 wildcard / end-anchor / Allow longest-match support
     (round-5): the vectorized engine matcher, the scalar sim spec and
