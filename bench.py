@@ -78,6 +78,14 @@ QUERY_NAMES = [
     # session-8 batch 2 (warehouse + audit ops)
     "upsert_orders", "gap_fill_interpolate", "table_profile_orders",
     "corpus_drift_chi2",
+    # round-5: the round-4 crawl-policy / link-prediction / audit batch
+    # (previously only idle-timed in BASELINE.md prose — timed here so
+    # regressions are machine-visible in BENCH_r{N}.json)
+    "robots_prefix_gate", "politeness_violations",
+    "host_budget_allocate", "host_backoff_schedule",
+    "host_rate_cap_audit", "url_canonical_dedup", "dup_rate_by_source",
+    "graph_common_neighbors", "graph_resource_allocation",
+    "shingle_df_spectrum", "dedup_phash_tiles", "image_batch_padding",
 ]
 
 

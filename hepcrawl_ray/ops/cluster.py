@@ -50,6 +50,12 @@ def _init_centroids(ds, k, *, id_col, vec_col) -> np.ndarray:
 
     def local_k(t: pa.Table) -> pa.Table:
         t = drop_null_vectors(t, vec_col)
+        if t.num_rows == 0:
+            # a batch can be ALL null vectors (adversarial fixture);
+            # typed empty keeps the schema (lesson 27)
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary()),
+                             "dim": pa.array([], pa.int64())})
         ids = t.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         h = (ids * _HASH_MULT) % (1 << 31)
@@ -62,6 +68,8 @@ def _init_centroids(ds, k, *, id_col, vec_col) -> np.ndarray:
 
     rows = (ds.select_columns([id_col, vec_col])
             .map_batches(local_k, batch_format="pyarrow").take_all())
+    if not rows:
+        raise ValueError("k-means seeding: no non-null vectors in input")
     rows.sort(key=lambda r: int(r["h"]))
     dim = int(rows[0]["dim"])
     pool = _normalize(np.stack(

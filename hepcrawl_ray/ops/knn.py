@@ -220,8 +220,12 @@ def _train_centroids(ds, *, n_centroids, id_col, vec_col, seed,
                      sample_n=2048, iters=5) -> np.ndarray:
     """k-means-lite coarse centroids from a deterministic sample."""
     sample = ds.select_columns([id_col, vec_col]).take(sample_n)
-    mat = _normalize(np.array([r[vec_col] for r in sample],
-                              dtype=np.float64))
+    # null vectors are unindexed (drop_null_vectors contract) — the
+    # driver-side sample must drop them too or np.array goes ragged
+    vecs = [r[vec_col] for r in sample if r[vec_col] is not None]
+    if not vecs:
+        raise ValueError("centroid training: no non-null vectors")
+    mat = _normalize(np.array(vecs, dtype=np.float64))
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
                           replace=False)]
@@ -652,6 +656,15 @@ def knn_pq(ds, query_ids, *, k=10, m=8, ks=16, refine=4,
     wide corpus never shuffles.  Approximate by construction (recall
     pinned in tests vs the brute-force twin); rows-only query.
     """
+    # adapt m to the corpus dim: PQ needs dim % m == 0.  A corpus with
+    # a smaller / odd dim falls back to the largest divisor <= m
+    # (worst case m=1: one full-vector codebook) instead of refusing —
+    # the adversarial 4-d fixture hits this with the default m=8.
+    probe = ds.select_columns([id_col, vec_col]).take(8)
+    dims = [len(r[vec_col]) for r in probe if r[vec_col] is not None]
+    if dims:
+        while dims[0] % m:
+            m -= 1
     books = train_pq(ds, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
                      seed=seed)
 

@@ -5974,7 +5974,9 @@ class _QualityModelStage:
         texts = t.column("text").to_pylist()
         scores = np.zeros(len(texts), dtype=np.float64)
         for i, txt in enumerate(texts):
-            toks = txt.lower().split()
+            # NULL text scores like empty text (no tokens) — real
+            # corpora carry null payload rows (adversarial fixture)
+            toks = txt.lower().split() if txt is not None else []
             if not toks:
                 continue
             idx = np.frombuffer(

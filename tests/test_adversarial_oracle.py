@@ -463,7 +463,63 @@ ADVERSARIAL_QUERIES = [
     # either side) and the repetitive w1w2w3 doc (within-doc DISTINCT
     # collapses the repeats before counting)
     "shingle_df_spectrum",
+    # round-5 completion sweep: every remaining ORACLE-backed query
+    # runs on this fixture too (the registry's last uncovered oracles
+    # — older scalar-function, source-synthesis, xml-parser, rollup
+    # and drift shapes).  The two deliberate exclusions stand:
+    # knn_bruteforce and hybrid_rrf_retrieval rank by raw float
+    # similarity, tie-unsafe on the planted duplicate vectors.
+    "changepoint_revenue", "corpus_drift_chi2", "corpus_drift_emd",
+    "crossref_records", "dedup_phash_images", "edp_references",
+    "filter_harvest_predicate", "fn_date_normalize", "fn_name_cleanup",
+    "incremental_harvest", "marcxml_records", "oa_conditional_fanout",
+    "parser_envelope_fields", "peak_hour_per_user",
+    "pos_conference_papers", "source_arxiv_harvest",
+    "source_desy_harvest", "source_jsonl_expand",
+    "source_paged_harvest", "source_robust_read",
+    "source_sitemap_expand", "source_tar_expand", "source_wsp_harvest",
+    "source_xml_feed_expand", "source_zip_expand",
+    "table_profile_orders", "to_hep_normalize", "to_hep_validate",
+    "tree_rollup_docs", "unpivot_event_counts",
+    "weighted_sample_orders", "xml_arxiv_classify",
+    "xml_elsevier_extract", "xml_jats_authors", "xml_jats_references",
+    "xml_nlm_extract",
 ]
+
+
+def _registry():
+    import __ray_entry__ as entry_mod
+
+    return entry_mod
+
+
+# the rows-only remainder (no SQL oracle by design — sketches, crawl
+# pipelines, image/audio ops, LSH/ANN paths): the adversarial bar for
+# them is to RUN on this fixture's ties/bursts/empties without
+# crashing, keep a non-degenerate schema, and be bit-deterministic
+# across two executions (their exactness is pinned elsewhere by
+# brute-force / recall / planted-failure tests)
+ADVERSARIAL_ROWS_ONLY = "computed-at-collect-time"
+
+
+def _rows_only_names():
+    m = _registry()
+    # the two oracle-backed exclusions (float-similarity ranking is
+    # tie-unsafe vs SQL on the planted duplicate vectors) still get
+    # the determinism check here — every registry query now has SOME
+    # adversarial coverage
+    extra = {"knn_bruteforce", "hybrid_rrf_retrieval"}
+    return sorted((set(m.queries()) - set(m.oracle_sql())) | extra)
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_adversarial_rows_only_deterministic(ray_session, adv_dir,
+                                             name):
+    q = _registry().queries()[name]
+    a = normalize(to_pandas(q(adv_dir)))
+    b = normalize(to_pandas(q(adv_dir)))
+    assert a.shape[1] > 0, name
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 @pytest.mark.parametrize("name", ADVERSARIAL_QUERIES)
