@@ -230,7 +230,8 @@ def run_crawl(images, seeds, politeness, *, num_partitions=4,
               fetch_concurrency=4, parse_concurrency=4,
               batch_size=1024, verify_pixels=True, num_blocks=None,
               drop_bytes=False, frontier_capacity=1 << 17,
-              drain_chunk_rows=1 << 18):
+              drain_chunk_rows=1 << 18, spill_dir=None,
+              spill_threshold_rows=None):
     """Full crawl.  Returns dict with the records Dataset and metrics.
 
     ``drain_chunk_rows``: admissions leave each frontier partition in
@@ -243,7 +244,9 @@ def run_crawl(images, seeds, politeness, *, num_partitions=4,
     pol_rows = politeness.to_pylist() if isinstance(politeness, pa.Table) \
         else list(politeness)
     actors = start_frontier(pol_rows, num_partitions, salted_hosts,
-                            capacity_per_partition=frontier_capacity)
+                            capacity_per_partition=frontier_capacity,
+                            spill_dir=spill_dir,
+                            spill_threshold_rows=spill_threshold_rows)
     offered = offer_seeds(actors, seeds, num_partitions,
                           salted_hosts=salted_hosts)
     if checkpoint_dir:

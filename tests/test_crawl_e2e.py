@@ -111,6 +111,31 @@ class TestEndToEnd:
 
 
 class TestResumeThroughRay:
+    def test_spill_through_actor_pool_matches_sim(self, ray_session,
+                                                  corpus, tmp_path):
+        """run_crawl with the cold-tail spill active (tiny cap so the
+        hot host spills through the Ray actor path) produces the exact
+        simulator admission schedule, and the partitions report spill
+        activity in their metrics."""
+        images, _, seeds, politeness = corpus
+        out = cp.run_crawl(images, seeds, politeness, num_partitions=3,
+                           fetch_concurrency=2, parse_concurrency=2,
+                           spill_dir=str(tmp_path / "spill"),
+                           spill_threshold_rows=32)
+        table = pa.concat_tables(out["records"].iter_batches(
+            batch_size=10_000, batch_format="pyarrow"))
+        ref = simulate(seeds.to_pylist(), politeness.to_pylist())
+        ordered = table.sort_by([("round", "ascending"),
+                                 ("host", "ascending"),
+                                 ("pop_idx", "ascending")])
+        got = list(zip(ordered.column("round").to_pylist(),
+                       ordered.column("host").to_pylist(),
+                       ordered.column("url").to_pylist(),
+                       ordered.column("seq").to_pylist()))
+        want = [(r, h, u, s) for (r, h, u, s, _p, _m) in ref.admissions]
+        assert got == want
+        assert sum(m["spilled_rows"] for m in out["metrics"]) > 0
+
     def test_checkpoint_restore_actor_pool(self, ray_session, corpus, tmp_path):
         import ray
 

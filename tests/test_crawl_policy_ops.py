@@ -33,17 +33,21 @@ def _to_df(res) -> pd.DataFrame:
 
 
 def test_robots_gate_matches_scalar_reference(ray_session):
+    from hepcrawl_ray.sim import _rule_matches
+
     ev = _events()
-    # scalar reference: evaluate every rule per URL, longest prefix
-    # wins, allow wins ties, default allow
+    # scalar reference: evaluate every rule per URL with the RFC 9309
+    # matcher (sim's independent greedy scanner — wildcards and end
+    # anchors included), longest pattern wins, allow wins ties,
+    # default allow
     counts: dict[tuple[int, str], int] = {}
     for eid, uid, et in zip(ev["event_id"], ev["user_id"],
                             ev["event_type"]):
         hc = int(uid) % 4
         path = f"/{et}/{int(eid) % 1000}"
-        best = (0, 1)   # (prefix_len, allow) — the virtual default
+        best = (0, 1)   # (pattern_len, allow) — the virtual default
         for rhc, prefix, allow in Q._ROBOTS_RULES:
-            if rhc == hc and path.startswith(prefix):
+            if rhc == hc and _rule_matches(path, prefix):
                 cand = (len(prefix), allow)
                 if cand[0] > best[0] or (cand[0] == best[0]
                                          and cand[1] > best[1]):
