@@ -353,8 +353,22 @@ def main():
             for _ in range(max(1, BENCH_CRAWL_REPS))]
     crawl = max(reps, key=lambda r: r["urls_per_sec"])
     load_end = loadavg_1m()
-    iterative = (run_iterative_bench()
-                 if os.environ.get("BENCH_SKIP_ITER") != "1" else None)
+    # iterative: best-of-N like the headline (the 60k-URL workload is
+    # ~2 s, dominated by per-iteration fixed latency — a single rep
+    # right after the crawl reps reads 30-40% low from leftover load)
+    iterative = None
+    if os.environ.get("BENCH_SKIP_ITER") != "1":
+        it_reps = [run_iterative_bench()
+                   for _ in range(max(1, BENCH_CRAWL_REPS))]
+        iterative = max(it_reps, key=lambda r: r["urls_per_sec"])
+        iterative["reps_urls_per_sec"] = [r["urls_per_sec"]
+                                         for r in it_reps]
+        # steady-state variant: 10x the URLs so per-iteration barriers
+        # and actor spin-up amortize (the scale-representative number)
+        steady_n = int(os.environ.get("BENCH_ITER_STEADY_URLS",
+                                      "600000"))
+        if steady_n:
+            iterative["steady"] = run_iterative_bench(n_urls=steady_n)
     queries = run_queries() if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
     out = {
         "metric": "frontier_crawl_sec",
@@ -375,6 +389,12 @@ def main():
         out["iterative_sec"] = iterative["sec"]
         out["iterative_urls"] = iterative["urls"]
         out["iterative_urls_per_sec"] = iterative["urls_per_sec"]
+        out["iterative_reps_urls_per_sec"] = \
+            iterative["reps_urls_per_sec"]
+        if "steady" in iterative:
+            out["iterative_steady_urls"] = iterative["steady"]["urls"]
+            out["iterative_steady_urls_per_sec"] = \
+                iterative["steady"]["urls_per_sec"]
     print(json.dumps(out))
     ray.shutdown()
 
