@@ -16754,6 +16754,239 @@ ORACLE_SQL.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# round-5 batch: crawler-trap detection, leakage-safe splitting, Zipf audit
+# (the remaining crawl-ops/training-assembly gaps a production frontier +
+#  data pipeline hits: infinite URL spaces, dup-leakage across splits,
+#  tokenizer-planning token statistics)
+# ---------------------------------------------------------------------------
+
+def q_url_template_traps(sf_dir: str):
+    """Crawler-trap detection by URL path templating: collapse digit
+    runs to ``#`` (``/p/123/s7`` -> ``/p/#/s#``) and count DISTINCT
+    concrete paths per (host_class, template) — a template exploding
+    into many URLs is the signature of calendar pages, session-id
+    paths and other infinite URL spaces a frontier must cap
+    (reference analog: the crawl-once middleware is the DEFENSE, this
+    is the DETECTOR; hepcrawl/middlewares.py:58-210).  ``trap`` flags
+    templates with >= 20 distinct URLs.
+
+    Scale shape: path build + digit templating are Arrow RE2 kernels;
+    per-batch (hc, template, path) pre-dedup, ONE template-hash bucket
+    shuffle, per-bucket distinct counts; output is template-sized."""
+    from hepcrawl_ray.ops.text import content_hash64
+
+    n_buckets = 64
+
+    def rows(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hc = uid % 4
+        deep = pc.binary_join_element_wise(
+            pa.scalar("/s"), pc.cast(pa.array(uid % 50), pa.string()),
+            pa.scalar(""))
+        path = pc.binary_join_element_wise(
+            pa.scalar("/"), t.column("event_type"), pa.scalar("/"),
+            pc.cast(pa.array(eid % 400), pa.string()),
+            pc.if_else(pa.array(eid % 2 == 0), deep,
+                       pa.array([""] * len(eid), pa.string())),
+            pa.scalar(""))
+        tmpl = pc.replace_substring_regex(path, pattern="[0-9]+",
+                                          replacement="#")
+        d = (pd.DataFrame({
+            "hc": hc,
+            "template": tmpl.to_numpy(zero_copy_only=False),
+            "path": path.to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        h = content_hash64(d["template"].tolist())
+        d["_bucket"] = (h % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(d.astype({"hc": "int64"}),
+                                    preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.drop_duplicates(["hc", "template", "path"])
+        out = (k.groupby(["hc", "template"], as_index=False)
+               .agg(n_urls=("path", "count")))
+        return out.astype({"hc": "int64", "n_urls": "int64"})
+
+    p = _pdf(_read(sf_dir, "events",
+                   ["event_id", "user_id", "event_type"])
+             .map_batches(rows, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(fold, batch_format="pandas"),
+             ["hc", "template", "n_urls"])
+    out = (p.groupby(["hc", "template"], as_index=False)["n_urls"]
+           .sum())
+    out["trap"] = (out["n_urls"] >= 20).astype("int64")
+    out = out.rename(columns={"hc": "host_class"})
+    return (out.sort_values(["host_class", "template"])
+            .reset_index(drop=True)
+            .astype({"host_class": "int64", "n_urls": "int64",
+                     "trap": "int64"}))
+
+
+def q_leakage_safe_split(sf_dir: str):
+    """Train/val/test assignment keyed on CONTENT (md5 of the text),
+    not doc_id — exact duplicates land in the SAME split by
+    construction, the standard leakage guard before held-out
+    evaluation.  First hex digit routes: 0-9,a,b -> train (12/16),
+    c,d -> val, e,f -> test.  Output: per (split, source) doc and
+    token totals (the budget-planning view).
+
+    Scale shape: md5 + token count per batch (C per call / Arrow
+    split), additive (split, source) partials, dimension-sized
+    combine.  md5 is oracle-portable (DuckDB md5() is the same
+    RFC 1321 hex), unlike the engine's siphash/blake2 keys."""
+    import hashlib
+
+    def part(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        valid = pc.is_valid(texts)
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return pa.table({"split": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        txt = t.column("text")
+        trimmed = pc.utf8_trim_whitespace(txt)
+        ntok = pc.list_value_length(
+            pc.split_pattern_regex(trimmed, pattern=r"\s+")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok[pc.equal(pc.utf8_length(trimmed), 0)
+             .to_numpy(zero_copy_only=False)] = 0
+        first = np.array([hashlib.md5(x.encode()).hexdigest()[0]
+                          for x in txt.to_pylist()])
+        split = np.where(first < "c", "train",
+                         np.where(first < "e", "val", "test"))
+        d = pd.DataFrame({
+            "split": split,
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "n_tokens": ntok})
+        g = d.groupby(["split", "source"], as_index=False).agg(
+            n_docs=("n_tokens", "count"), n_tokens=("n_tokens", "sum"))
+        return pa.Table.from_pandas(g.astype(
+            {"n_docs": "int64", "n_tokens": "int64"}),
+            preserve_index=False)
+
+    p = _pdf(_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow"),
+             ["split", "source", "n_docs", "n_tokens"])
+    out = (p.groupby(["split", "source"], as_index=False)
+           [["n_docs", "n_tokens"]].sum())
+    return (out.sort_values(["split", "source"]).reset_index(drop=True)
+            .astype({"n_docs": "int64", "n_tokens": "int64"}))
+
+
+def q_zipf_rank_freq(sf_dir: str):
+    """Top-100 corpus tokens by total frequency with dense 1..100
+    rank (ties by token asc) — the Zipf-head audit run before
+    committing to a tokenizer vocabulary / stopword list.
+
+    Scale shape: per-batch flat Arrow token split + pandas
+    value_counts partial, ONE token-hash bucket shuffle with
+    per-bucket top-100 prune (each token lives in exactly one bucket,
+    so the global head survives), 100-row driver fold."""
+    from hepcrawl_ray.ops.text import content_hash64
+
+    n_buckets = 64
+
+    def part(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.fill_null(t.column("text"), ""))
+        keep = pc.greater(pc.utf8_length(txt), 0)
+        txt = pc.if_else(keep, txt, pa.scalar(None, pa.string()))
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()   # list-ChunkedArray.flatten()
+        toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+        flat = toks.flatten()
+        c = pd.Series(flat.to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        if not len(c):
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "p_freq": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int64())})
+        h = content_hash64(c.index.tolist())
+        return pa.table({
+            "tok": pa.array(c.index, pa.string()),
+            "p_freq": pa.array(c.to_numpy().astype(np.int64)),
+            "_bucket": pa.array((h % n_buckets).astype(np.int64))})
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("tok", as_index=False)["p_freq"].sum()
+               .rename(columns={"p_freq": "freq"}))
+        return (out.sort_values(["freq", "tok"],
+                                ascending=[False, True]).head(100)
+                .astype({"freq": "int64"}))
+
+    p = _pdf(_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(bucket_top, batch_format="pandas"),
+             ["tok", "freq"])
+    out = (p.sort_values(["freq", "tok"], ascending=[False, True])
+           .head(100).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.astype({"freq": "int64", "rank": "int64"})
+
+
+QUERIES.update({
+    "url_template_traps": q_url_template_traps,
+    "leakage_safe_split": q_leakage_safe_split,
+    "zipf_rank_freq": q_zipf_rank_freq,
+})
+
+ORACLE_SQL.update({
+    "url_template_traps": """
+        WITH u AS (SELECT DISTINCT user_id % 4 AS hc,
+                '/' || event_type || '/'
+                || CAST(event_id % 400 AS VARCHAR)
+                || CASE WHEN event_id % 2 = 0
+                        THEN '/s' || CAST(user_id % 50 AS VARCHAR)
+                        ELSE '' END AS path
+            FROM events),
+        t AS (SELECT hc,
+                     regexp_replace(path, '[0-9]+', '#', 'g')
+                         AS template,
+                     count(*) AS n_urls
+              FROM u GROUP BY hc, template)
+        SELECT CAST(hc AS BIGINT) AS host_class, template,
+               CAST(n_urls AS BIGINT) AS n_urls,
+               CAST(CASE WHEN n_urls >= 20 THEN 1 ELSE 0 END
+                    AS BIGINT) AS trap
+        FROM t
+    """,
+    "leakage_safe_split": """
+        WITH d AS (SELECT source, text,
+                CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+                     WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+                     ELSE 'test' END AS split,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text),
+                                                    '\\s+'))
+                END AS n_tokens
+            FROM documents WHERE text IS NOT NULL)
+        SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM d GROUP BY split, source
+    """,
+    "zipf_rank_freq": """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS tok
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''),
+        c AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok)
+        SELECT tok, CAST(freq AS BIGINT) AS freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                    AS BIGINT) AS rank
+        FROM c ORDER BY freq DESC, tok LIMIT 100
+    """,
+})
+
+
 _SEED_TYPES = {"int64": pa.int64(), "string": pa.string(),
                "bool": pa.bool_(), "float64": pa.float64()}
 

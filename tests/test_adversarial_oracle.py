@@ -484,6 +484,11 @@ ADVERSARIAL_QUERIES = [
     "weighted_sample_orders", "xml_arxiv_classify",
     "xml_elsevier_extract", "xml_jats_authors", "xml_jats_references",
     "xml_nlm_extract",
+    # round-5 batch: trap templates over handcrafted event ids; the
+    # leakage split over the planted EXACT dup (same md5 -> same split
+    # by construction) and the NULL-text row (excluded both sides);
+    # Zipf head over the tiny tied-frequency vocabulary
+    "url_template_traps", "leakage_safe_split", "zipf_rank_freq",
 ]
 
 
