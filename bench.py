@@ -467,8 +467,39 @@ def scaling():
     }))
 
 
+def probe():
+    """Pre-launch window gate for the OFFICIAL scaling pair
+    (BASELINE.md lesson 31): one fresh-process 8-CPU rep of the
+    scaling workload.  Fast host windows inflate the 8-CPU level
+    (25-75% above norm) while the 32-CPU level sits at the shared-DRAM
+    ceiling, compressing the ratio — so launch the pair only when this
+    probe reads <= ~18k URLs/s and loadavg < 3; otherwise retry in a
+    different hour."""
+    import subprocess
+
+    build_bench_corpus()
+    build_bench_corpus(int(os.environ.get("BENCH_SCALING_MULT", "2000")))
+    env = dict(os.environ, RAY_GRAFT_CPUS="8", BENCH_SKIP_QUERIES="1",
+               BENCH_SKIP_ITER="1",
+               BENCH_SEED_MULT=os.environ.get("BENCH_SCALING_MULT",
+                                              "2000"),
+               BENCH_WARMUP_MULT="100", BENCH_CRAWL_REPS="1")
+    out = subprocess.run([sys.executable, "bench.py"], env=env,
+                         capture_output=True, text=True,
+                         check=True).stdout
+    r = json.loads(out.strip().splitlines()[-1])
+    ok = r["urls_per_sec"] <= 18_500 and loadavg_1m() < 3
+    print(json.dumps({"probe8_urls_per_sec": r["urls_per_sec"],
+                      "loadavg": loadavg_1m(),
+                      "window_ok": bool(ok),
+                      "gate": "launch --scaling iff probe <= ~18k "
+                              "and loadavg < 3 (BASELINE.md lesson 31)"}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--probe" in sys.argv:
+        probe()
     else:
         main()
