@@ -86,8 +86,10 @@ QUERY_NAMES = [
     "host_rate_cap_audit", "url_canonical_dedup", "dup_rate_by_source",
     "graph_common_neighbors", "graph_resource_allocation",
     "shingle_df_spectrum", "dedup_phash_tiles", "image_batch_padding",
-    # round-5 batch (trap detection / leakage split / Zipf audit)
+    # round-5 batch (trap detection / leakage split / Zipf audit,
+    # dedup impact spectrum, mixture reweighting)
     "url_template_traps", "leakage_safe_split", "zipf_rank_freq",
+    "dedup_cluster_sizes", "source_mixture_rates",
 ]
 
 

@@ -1099,34 +1099,10 @@ ORACLE_SQL = {
         JOIN nsh nb ON nb.doc_id = doc_b
         WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.3
     """,
-    "dedup_components": """
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-            FROM documents WHERE trim(text) <> ''),
-        sh AS (
-            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
-        nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
-        cnt AS (
-            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
-            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-            JOIN keep k ON k.s = x.s
-            GROUP BY 1, 2),
-        pairs AS (
-            SELECT doc_a, doc_b FROM cnt
-            JOIN nsh na ON na.doc_id = doc_a
-            JOIN nsh nb ON nb.doc_id = doc_b
-            WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.3),
-        und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id)
-        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS root
-        FROM reach GROUP BY id
-    """,
+    # shared WITH-body (through the transitive-closure roots) for
+    # dedup_components and dedup_cluster_sizes — ONE source of truth
+    # (see _NEARDUP_ROOTS_SQL below this dict)
+    "dedup_components": "__NEARDUP_ROOTS_PLACEHOLDER__",
     "dedup_embedding_cosine": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1162,6 +1138,41 @@ ORACLE_SQL = {
         FROM documents
     """,
 }
+
+# shared near-dup transitive-closure WITH-body: exact 3-shingle
+# Jaccard >= 0.3 pairs -> undirected closure -> per-doc min root.
+# One source of truth for dedup_components and dedup_cluster_sizes.
+_NEARDUP_ROOTS_SQL = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+    nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
+    cnt AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        JOIN keep k ON k.s = x.s
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cnt
+        JOIN nsh na ON na.doc_id = doc_a
+        JOIN nsh nb ON nb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.3),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id),
+    roots AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS root
+              FROM reach GROUP BY id)
+"""
+
+ORACLE_SQL["dedup_components"] = \
+    _NEARDUP_ROOTS_SQL + "    SELECT doc_id, root FROM roots"
 
 
 # ---------------------------------------------------------------------------
@@ -16932,10 +16943,111 @@ def q_zipf_rank_freq(sf_dir: str):
     return out.astype({"freq": "int64", "rank": "int64"})
 
 
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size SPECTRUM: how many clusters have exactly
+    k members (k=1 are unique docs) — the dedup impact report read
+    before committing to keep-one-per-cluster (docs removed =
+    sum((k-1) * n_clusters)).  Built on the same exact-Jaccard
+    component labeling as q_dedup_components.
+
+    Scale shape: labels stream from the components op; per-batch
+    partial root counts, ONE root-bucket shuffle folding to per-root
+    sizes then the bucket's size histogram — the driver combine is
+    spectrum-sized (distinct k values), never doc-sized."""
+    labels = q_dedup_components(sf_dir)
+    n_buckets = 64
+
+    def part(t: pa.Table) -> pa.Table:
+        c = pd.Series(t.column("root").to_numpy(zero_copy_only=False)
+                      .astype(np.int64)).value_counts()
+        roots = c.index.to_numpy().astype(np.int64)
+        return pa.table({
+            "root": pa.array(roots),
+            "p_n": pa.array(c.to_numpy().astype(np.int64)),
+            "_bucket": pa.array(roots % n_buckets)})
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("root")["p_n"].sum()
+        h = (sizes.value_counts().rename_axis("cluster_size")
+             .rename("n_clusters").reset_index())
+        return h.astype({"cluster_size": "int64",
+                         "n_clusters": "int64"})
+
+    p = _pdf(labels.map_batches(part, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(hist_bucket, batch_format="pandas"),
+             ["cluster_size", "n_clusters"])
+    out = (p.groupby("cluster_size", as_index=False)["n_clusters"]
+           .sum().sort_values("cluster_size").reset_index(drop=True))
+    return out.astype({"cluster_size": "int64", "n_clusters": "int64"})
+
+
+def q_source_mixture_rates(sf_dir: str):
+    """Static mixture reweighting (the DoReMi/Pile-style recipe step):
+    given integer target weights per source (w = ascii(last char) % 4
+    + 1, a deterministic stand-in for a tuned mixture that parses for
+    ANY source naming), compute each source's
+    actual token count and the integer per-mille acceptance rate that
+    downsamples it toward its target share:
+    ``rate_milli = min(1000, 1000 * w * total_tokens // (sum_w *
+    n_tokens))`` — sources above their target share get rate < 1000,
+    sources at/below keep everything (upsampling is a separate epoch
+    op).  All-integer math so the oracle hashes exactly.
+
+    Scale shape: per-batch (source, n_tokens) partials, source-sized
+    combine, one scalar total — no shuffle beyond the dimension-sized
+    groupby."""
+    def part(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        valid = pc.is_valid(txt)
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "p_tokens": pa.array([], pa.int64()),
+                             "p_docs": pa.array([], pa.int64())})
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        if isinstance(trimmed, pa.ChunkedArray):
+            trimmed = trimmed.combine_chunks()
+        ntok = pc.list_value_length(
+            pc.split_pattern_regex(trimmed, pattern=r"\s+")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok[pc.equal(pc.utf8_length(trimmed), 0)
+             .to_numpy(zero_copy_only=False)] = 0
+        g = (pd.DataFrame({
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "n": ntok})
+            .groupby("source", as_index=False)
+            .agg(p_tokens=("n", "sum"), p_docs=("n", "count")))
+        return pa.Table.from_pandas(g.astype(
+            {"p_tokens": "int64", "p_docs": "int64"}),
+            preserve_index=False)
+
+    p = _pdf(_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow"),
+             ["source", "p_tokens", "p_docs"])
+    out = (p.groupby("source", as_index=False)
+           [["p_tokens", "p_docs"]].sum()
+           .rename(columns={"p_tokens": "n_tokens",
+                            "p_docs": "n_docs"}))
+    w = out["source"].str[-1].map(ord) % 4 + 1
+    total = int(out["n_tokens"].sum())
+    sum_w = int(w.sum())
+    rate = np.minimum(
+        1000,
+        1000 * w.to_numpy(dtype=np.int64) * total
+        // (sum_w * out["n_tokens"].to_numpy(dtype=np.int64)))
+    out["target_w"] = w.astype("int64")
+    out["rate_milli"] = rate.astype("int64")
+    return (out.sort_values("source").reset_index(drop=True)
+            .astype({"n_tokens": "int64", "n_docs": "int64"}))
+
+
 QUERIES.update({
     "url_template_traps": q_url_template_traps,
     "leakage_safe_split": q_leakage_safe_split,
     "zipf_rank_freq": q_zipf_rank_freq,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "source_mixture_rates": q_source_mixture_rates,
 })
 
 ORACLE_SQL.update({
@@ -16983,6 +17095,32 @@ ORACLE_SQL.update({
                CAST(row_number() OVER (ORDER BY freq DESC, tok)
                     AS BIGINT) AS rank
         FROM c ORDER BY freq DESC, tok LIMIT 100
+    """,
+    "dedup_cluster_sizes": _NEARDUP_ROOTS_SQL + """
+        , sz AS (SELECT root, count(*) AS k FROM roots GROUP BY root)
+        SELECT CAST(k AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sz GROUP BY k
+    """,
+    "source_mixture_rates": """
+        WITH d AS (SELECT source,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text),
+                                                    '\\s+'))
+                END AS n
+            FROM documents WHERE text IS NOT NULL),
+        s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     ascii(right(source, 1)) % 4 + 1 AS target_w
+              FROM d GROUP BY source),
+        t AS (SELECT sum(n_tokens) AS total, sum(target_w) AS sum_w
+              FROM s)
+        SELECT source, n_tokens, n_docs,
+               CAST(target_w AS BIGINT) AS target_w,
+               CAST(least(1000, 1000 * target_w * t.total
+                          // (t.sum_w * n_tokens)) AS BIGINT)
+                   AS rate_milli
+        FROM s, t
     """,
 })
 

@@ -489,6 +489,11 @@ ADVERSARIAL_QUERIES = [
     # by construction) and the NULL-text row (excluded both sides);
     # Zipf head over the tiny tied-frequency vocabulary
     "url_template_traps", "leakage_safe_split", "zipf_rank_freq",
+    # cluster-size spectrum over the planted exact-dup + near-dup
+    # components (a real k=2+ cluster exists); mixture rates over the
+    # fixture's two sources — but the fixture's sources are s1/s2
+    # (suffix parses) with heavy token skew
+    "dedup_cluster_sizes", "source_mixture_rates",
 ]
 
 
