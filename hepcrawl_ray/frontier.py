@@ -346,9 +346,12 @@ class FrontierPartition:
         self.metrics["offered"] += t.num_rows
         self.metrics["seal_batches"] += 1
 
-        # robots filter (Arrow kernels; one pass per (host, rule) —
-        # RFC 9309 longest-match with Allow overrides, wildcard/anchor
-        # patterns included, see robots_blocked_mask)
+        # robots filter (Arrow kernels — RFC 9309 longest-match with
+        # Allow overrides, wildcard/anchor patterns included, see
+        # robots_blocked_mask).  Rules run over ONLY that host's rows
+        # (a take per ruled host), not the whole batch per host — with
+        # H hosts x R regex rules the full-column version costs H x
+        # the kernel work.
         host_col = t.column("host")
         path_col = t.column("path")
         distinct_hosts = pc.unique(host_col).to_pylist()
@@ -360,8 +363,12 @@ class FrontierPartition:
             m = pc.equal(host_col, host)
             if isinstance(m, pa.ChunkedArray):
                 m = m.combine_chunks()
-            blocked = robots_blocked_mask(path_col, bud.disallow, bud.allow)
-            keep &= ~(m.to_numpy(zero_copy_only=False) & blocked)
+            idx = np.nonzero(m.to_numpy(zero_copy_only=False))[0]
+            if not idx.size:
+                continue
+            blocked = robots_blocked_mask(path_col.take(pa.array(idx)),
+                                          bud.disallow, bud.allow)
+            keep[idx[blocked]] = False
         self.metrics["dropped_robots"] += int((~keep).sum())
         if not keep.all():
             t = t.filter(pa.array(keep))
@@ -702,7 +709,10 @@ class FrontierPartition:
         self.tick_ms = state["tick_ms"]
         self.default_budget = tuple(state["default_budget"])
         self.budgets = {}
-        for h, (c, dr, dis, alw) in state["budgets"].items():
+        for h, packed in state["budgets"].items():
+            # pre-round-5 checkpoints stored 3-tuples (no Allow rules)
+            c, dr, dis = packed[:3]
+            alw = packed[3] if len(packed) > 3 else ()
             b = HostBudget.__new__(HostBudget)
             b.concurrency, b.delay_rounds = c, dr
             b.disallow, b.allow = tuple(dis), tuple(alw)
@@ -712,17 +722,18 @@ class FrontierPartition:
         self._buffer = []
         self.queues = {
             k: {"rows": _table_from_bytes(v["rows"]), "cursor": 0,
-                "host": v["host"], "spill": list(v["spill"]),
-                "spilled_rows": v["spilled_rows"],
-                "boundary": tuple(v["boundary"]) if v["boundary"]
-                else None}
+                "host": v["host"], "spill": list(v.get("spill", ())),
+                "spilled_rows": v.get("spilled_rows", 0),
+                "boundary": tuple(v["boundary"])
+                if v.get("boundary") else None}
             for k, v in state["queues"].items()}
         self.next_round = state["next_round"]
         self.cur_round = state["cur_round"]
-        self.metrics = state["metrics"]
-        self.spill_dir = state["spill_dir"]
-        self.spill_threshold = state["spill_threshold"]
-        self._spill_seq = state["spill_seq"]
+        self.metrics = {**{"spilled_rows": 0, "spill_reloads": 0,
+                           "max_hot_resident": 0}, **state["metrics"]}
+        self.spill_dir = state.get("spill_dir")
+        self.spill_threshold = state.get("spill_threshold")
+        self._spill_seq = state.get("spill_seq", 0)
         return self
 
 

@@ -660,10 +660,10 @@ def knn_pq(ds, query_ids, *, k=10, m=8, ks=16, refine=4,
     # a smaller / odd dim falls back to the largest divisor <= m
     # (worst case m=1: one full-vector codebook) instead of refusing —
     # the adversarial 4-d fixture hits this with the default m=8.
-    probe = ds.select_columns([id_col, vec_col]).take(8)
+    probe = ds.select_columns([id_col, vec_col]).take(64)
     dims = [len(r[vec_col]) for r in probe if r[vec_col] is not None]
-    if dims:
-        while dims[0] % m:
+    if dims and dims[0] > 0:
+        while dims[0] % m and m > 1:
             m -= 1
     books = train_pq(ds, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
                      seed=seed)

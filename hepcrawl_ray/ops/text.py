@@ -15,7 +15,12 @@ from hashlib import blake2b
 
 import numpy as np
 
-_WS = re.compile(r"\s+")
+# RE2's \s class ([\t\n\f\r ] — ASCII, no \v, no Unicode spaces), NOT
+# Python's Unicode \s: the vectorized kernels (Arrow
+# split_pattern_regex) and every DuckDB oracle (regexp_split_to_array)
+# run RE2, so the scalar reference MUST tokenize identically or
+# non-ASCII whitespace silently diverges engine-vs-oracle (r5 review).
+_WS = re.compile(r"[\t\n\f\r ]+")
 
 # small fixed stopword list — shared with the SQL oracle
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")

@@ -316,23 +316,30 @@ class _DiscoverWorker:
         return self.stage.flush()
 
 
-def _iter_checkpoint(actors, checkpoint_dir, it_done, segments,
+def _iter_checkpoint(actors, checkpoint_dir, gen, segments,
                      pending_tables):
-    """Atomic iterative-crawl checkpoint after iteration ``it_done``:
-    frontier partitions snapshot themselves (frontier.checkpoint), the
-    admissions emitted since the LAST checkpoint land as one parquet
-    segment, and ``_iter_meta.json`` commits the set last — a crash
-    between any two steps leaves the previous meta (and therefore the
-    previous consistent state) in effect.  Reference analog: crawl-once
-    DB + last-run file surviving a killed job
+    """Atomic iterative-crawl checkpoint, commit-on-meta: frontier
+    partitions snapshot into a FRESH generation directory
+    (``gen=<n>/part=<i>/state.pkl`` — never overwriting the generation
+    the current ``_iter_meta.json`` references), the admissions
+    emitted since the LAST checkpoint land as one parquet segment,
+    and the meta replace commits the set LAST.  A crash anywhere
+    leaves the previously committed (meta, gen, segments) triple in
+    effect: a torn newer gen dir or an orphan segment is simply
+    ignored (and overwritten deterministically) on resume.  Older
+    committed generations are GC'd after the commit.  Reference
+    analog: crawl-once DB + last-run file surviving a killed job
     (hepcrawl/middlewares.py:101-155,
     hepcrawl/spiders/common/lastrunstore_spider.py:53-126)."""
+    import glob
     import json
+    import shutil
 
     import pyarrow.parquet as pq
     import ray
 
-    ray.get([a.checkpoint.remote(checkpoint_dir) for a in actors])
+    gen_dir = os.path.join(checkpoint_dir, f"gen={gen}")
+    ray.get([a.checkpoint.remote(gen_dir) for a in actors])
     segments = list(segments)
     body = pa.concat_tables(pending_tables) if pending_tables else None
     if body is not None and body.num_rows:
@@ -343,17 +350,24 @@ def _iter_checkpoint(actors, checkpoint_dir, it_done, segments,
         pq.write_table(body, tmp)
         os.replace(tmp, os.path.join(seg_dir, name))
         segments.append(name)
-    meta = {"iter": it_done, "segments": segments,
+    meta = {"gen": gen, "segments": segments,
             "num_partitions": len(actors)}
     tmp = os.path.join(checkpoint_dir, "._iter_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(checkpoint_dir, "_iter_meta.json"))
+    # GC everything the committed meta does not reference (old gens
+    # AND stale crash-artifact gens); best-effort
+    for d in glob.glob(os.path.join(checkpoint_dir, "gen=*")):
+        if os.path.basename(d) != f"gen={gen}":
+            shutil.rmtree(d, ignore_errors=True)
     return segments
 
 
 def _iter_restore(checkpoint_dir):
-    """Load the committed iterative checkpoint -> (meta, admissions)."""
+    """Load the COMMITTED iterative checkpoint (the meta-referenced
+    generation only — torn newer gens are ignored) ->
+    (meta, admissions)."""
     import json
 
     import pyarrow.parquet as pq
@@ -426,15 +440,19 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
             raise ValueError(
                 f"checkpoint has {meta['num_partitions']} partitions, "
                 f"resume requested {num_partitions}")
-        actors = restore_frontier(checkpoint_dir, num_partitions)
+        actors = restore_frontier(
+            os.path.join(checkpoint_dir, f"gen={meta['gen']}"),
+            num_partitions)
         segments = list(meta["segments"])
-    else:
+        gen = int(meta["gen"])     # monotone: new gens never touch
+    else:                          # the committed one in place
         actors = start_frontier(pol_rows, num_partitions, salted_hosts)
         offer_seeds(actors, seeds, num_partitions,
                     salted_hosts=salted_hosts)
         ray.get([a.seal.remote() for a in actors])
         admissions = []
         segments = []
+        gen = 0
     pending_ckpt: list[pa.Table] = []
 
     # PERSISTENT discover workers (created once, reused every
@@ -500,7 +518,8 @@ def run_iterative_crawl(seeds, politeness, discover_fn, *,
         # quiescent point: round's offers delivered AND sealed
         if checkpoint_dir and checkpoint_every \
                 and (it + 1) % checkpoint_every == 0:
-            segments = _iter_checkpoint(actors, checkpoint_dir, it + 1,
+            gen += 1
+            segments = _iter_checkpoint(actors, checkpoint_dir, gen,
                                         segments, pending_ckpt)
             pending_ckpt = []
     result = pa.concat_tables(admissions) if admissions else None

@@ -1877,8 +1877,6 @@ def q_top_ngrams(sf_dir: str):
     (ties by shingle text asc) — the n-gram statistics sweep.  Partial
     per-batch distinct counting, then the bucket-groupby pattern, then
     a tiny global sort."""
-    from ray.data.aggregate import Sum
-
     explode_partial = _shingle_df_partial
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -16191,8 +16189,10 @@ def _tile_phash_rows(t: pa.Table) -> pa.Table:
         num = int(iid[3:])
         # probes live at num + offset: a corpus with ids >= the offset
         # would alias probes onto real images and corrupt pair output
-        assert num < _TILE_PROBE_OFFSET, \
-            f"image id {num} >= probe offset {_TILE_PROBE_OFFSET}"
+        # (ValueError, not assert: must survive python -O)
+        if num >= _TILE_PROBE_OFFSET:
+            raise ValueError(
+                f"image id {num} >= probe offset {_TILE_PROBE_OFFSET}")
         nums.append(num)
         grays.append(gray.astype(np.float32))
         if num % 25 == 0:
@@ -17029,13 +17029,19 @@ def q_source_mixture_rates(sf_dir: str):
            [["p_tokens", "p_docs"]].sum()
            .rename(columns={"p_tokens": "n_tokens",
                             "p_docs": "n_docs"}))
-    w = out["source"].str[-1].map(ord) % 4 + 1
+    # .str[-1:] + guarded ord: an EMPTY source name yields '' (not
+    # NaN), mapping to 0 like the oracle's ascii(right(source, 1))
+    w = (out["source"].str[-1:]
+         .map(lambda s: ord(s) if s else 0) % 4 + 1)
     total = int(out["n_tokens"].sum())
     sum_w = int(w.sum())
-    rate = np.minimum(
-        1000,
-        1000 * w.to_numpy(dtype=np.int64) * total
-        // (sum_w * out["n_tokens"].to_numpy(dtype=np.int64)))
+    ntk = out["n_tokens"].to_numpy(dtype=np.int64)
+    # a zero-token source keeps everything (rate 1000) — matching the
+    # oracle, where x // 0 is NULL and least(1000, NULL) = 1000
+    rate = np.where(
+        ntk == 0, np.int64(1000),
+        np.minimum(1000, 1000 * w.to_numpy(dtype=np.int64) * total
+                   // np.maximum(sum_w * ntk, 1)))
     out["target_w"] = w.astype("int64")
     out["rate_milli"] = rate.astype("int64")
     return (out.sort_values("source").reset_index(drop=True)

@@ -100,6 +100,10 @@ def test_shingle_explode_matches_reference():
         "", None, "one two", "alpha beta gamma",
         "  padded   tokens \t with   odd whitespace  runs here ",
         "w1 w2 w3 w1 w2 w3",
+        # NON-ASCII whitespace: \v, NBSP and U+2028 are NOT RE2 \s —
+        # they stay inside tokens on BOTH sides (the scalar tokenizer
+        # is pinned to RE2 semantics; r5 review finding)
+        "a\x0bb c d e", "x\xa0y z w v", "p q r s t",
     ]
     for k in (1, 2, 3, 5):
         di, sh = T.shingle_explode(texts, k)

@@ -348,6 +348,19 @@ class TestIterativeCrawl:
             checkpoint_dir=ckpt, checkpoint_every=2, max_iters=3)
         assert partial["admissions"].num_rows \
             < full["admissions"].num_rows          # genuinely truncated
+        # simulate a crash MID-CHECKPOINT: a torn newer generation dir
+        # (snapshots written, meta never committed) and an orphan
+        # admissions segment.  Resume must honor ONLY the committed
+        # meta and ignore / deterministically overwrite both.
+        import os
+
+        torn = os.path.join(ckpt, "gen=99", "part=0")
+        os.makedirs(torn)
+        with open(os.path.join(torn, "state.pkl"), "wb") as f:
+            f.write(b"torn half-written snapshot")
+        with open(os.path.join(ckpt, "admissions",
+                               "seg_99999.parquet"), "wb") as f:
+            f.write(b"orphan")
         resumed = cp.run_iterative_crawl(
             None, politeness, discover, num_partitions=num_partitions,
             checkpoint_dir=ckpt, checkpoint_every=2, resume=True)
